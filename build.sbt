@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // ParallelGC: measured lower steady-state latency than G1 for this batch
+  // workload on this box (Probe q05: 0.4-1.3 s/rep vs 1.2-5 s under G1).
+  "-XX:+UseParallelGC",
+) ++ sys.env.get("GRAFT_JVM_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -1,0 +1,52 @@
+package graft.functions
+
+import java.text.Normalizer
+import java.util.Locale
+import java.util.regex.Pattern
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM-side text kernels shared by the Catalyst expressions and typed code.
+  *
+  * Semantics follow the reference normalizer (`/root/reference/vspace/utils/text.py:5-17`):
+  * Unicode NFC normalize, lowercase, extract `\w+` runs, re-join with single
+  * spaces. The reference runs Python 3 `re`, whose `\w` is Unicode-aware, so
+  * we compile with UNICODE_CHARACTER_CLASS for parity.
+  *
+  * These are plain static methods (object = static forwarders) so generated
+  * whole-stage code can call them directly without holding object refs.
+  */
+object TextKernels {
+  private val WordRun: Pattern = Pattern.compile("\\w+", Pattern.UNICODE_CHARACTER_CLASS)
+
+  def normalize(s: String): String = {
+    val nfc   = Normalizer.normalize(s, Normalizer.Form.NFC)
+    val lower = nfc.toLowerCase(Locale.ROOT)
+    val m     = WordRun.matcher(lower)
+    val sb    = new java.lang.StringBuilder(lower.length)
+    var first = true
+    while (m.find()) {
+      if (!first) sb.append(' ')
+      sb.append(m.group())
+      first = false
+    }
+    sb.toString
+  }
+
+  def normalizeUtf8(u: UTF8String): UTF8String =
+    UTF8String.fromString(normalize(u.toString))
+
+  /** Polynomial hash (Rabin-Karp style) of a string over the 2^64 ring
+    * (Java long wraparound is defined, so this is deterministic across JVMs).
+    * Used by the winnowing fingerprinter.
+    */
+  def rollingHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = h * 1000003L + s.charAt(i).toLong
+      i += 1
+    }
+    h
+  }
+}

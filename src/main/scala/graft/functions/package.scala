@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Public Column-level API of the engine: text normalization, tokenization,
+  * n-gram generation, vector math. Everything here composes into Catalyst
+  * plans (built-in functions + two custom codegen'd expressions) — no UDFs,
+  * no Python workers, no RDD lambdas (contrast with the reference's
+  * `mapValues` chains at `/root/reference/vspace/pipelines/base.py:181-185`).
+  */
+package object functions {
+
+  private def ex(c: Column) = Bridge.expression(c)
+
+  /** NFC-normalize + lowercase + keep `\w+` runs joined by single spaces.
+    * Mirrors reference `vspace/utils/text.py:5-17`. */
+  def normalize_text(c: Column): Column =
+    Bridge.column(NormalizeText(ex(c.cast("string"))))
+
+  /** Deterministic 64-bit polynomial hash of a string (2^64 ring). */
+  def rolling_hash(c: Column): Column =
+    Bridge.column(RollingHash(ex(c.cast("string"))))
+
+  /** xxhash64 with an explicit seed — gives us k independent hash families
+    * for MinHash signatures (public Catalyst XxHash64 expression). */
+  def xxhash64_seeded(seed: Long, cols: Column*): Column =
+    Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.XxHash64(cols.map(ex), seed))
+
+  /** Whitespace tokens of the normalized text; empty array for empty text
+    * (plain `split("")` would yield `[""]`). */
+  def norm_tokens(c: Column): Column = {
+    val n = normalize_text(c)
+    when(length(n) === 0, array().cast("array<string>")).otherwise(split(n, " "))
+  }
+
+  /** Tokens of already-clean space-separated text. */
+  def ws_tokens(c: Column): Column =
+    when(length(c) === 0, array().cast("array<string>")).otherwise(split(c, "\\s+"))
+
+  /** All n-grams of exactly `n` words from a token array, space-joined.
+    * Pure built-ins (`transform`/`sequence`/`slice`) => codegen-friendly,
+    * no shuffle, no UDF. */
+  def word_ngrams(tokens: Column, n: Column): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(1), size(tokens) - n + lit(1)),
+        i => array_join(slice(tokens, i, n), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  def word_ngrams(tokens: Column, n: Int): Column = word_ngrams(tokens, lit(n))
+
+  /** All n-grams for n in [minN, maxN] (the reference's `everygrams`,
+    * `base.py:128-152`), flattened into one array. */
+  def everygrams(tokens: Column, minN: Int, maxN: Int): Column =
+    flatten(transform(sequence(lit(minN), lit(maxN)), n => word_ngrams(tokens, n)))
+
+  // ---- vector math over array<double> (embedding columns) ----
+
+  def vec_dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
+
+  /** Cosine similarity computed in double precision with sequential
+    * accumulation (matches DuckDB's list_cosine_similarity fold order). */
+  def cosine_sim(a: Column, b: Column): Column =
+    vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+}

@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator suite over the TPC-H-ish testdata.
+  *
+  * Covers the reference's relational surface (SURVEY.md §2.3/§2.4: broadcast
+  * equi-join `base.py:221-225`, shuffle equi-join `base.py:227`, semi-join
+  * spirit `base.py:364-389`, grouped hash agg `base.py:192-208`, distinct
+  * `base.py:352`, union `base.py:350`, collect_list `base.py:116-117`) plus
+  * the standard capabilities the reference lacks (window functions, sorts /
+  * top-k, set ops, rollup/cube, outer/anti joins) — all declarative
+  * DataFrame plans so Catalyst applies pushdown, pruning, join selection
+  * and whole-stage codegen.
+  *
+  * Scale notes (100 TB posture): every aggregate is a partial+final hash
+  * agg; small dims (nation, region, customer at dim-scale) are broadcast
+  * explicitly; fact⋈fact joins shuffle on their equi-keys only after
+  * column pruning; outputs are rounded/ordered deterministically for the
+  * oracle gate.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val queries: Seq[Q] = Seq(
+
+    // --- scans + hash aggregation (TPC-H Q1 shape; SURVEY A2 analogue) ---
+    Q("q01_agg_lineitem",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |round(sum(l_quantity),2) AS sum_qty,
+             |round(sum(l_extendedprice),2) AS sum_base_price,
+             |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+             |round(avg(l_quantity),4) AS avg_qty,
+             |round(avg(l_discount),4) AS avg_disc,
+             |count(*) AS count_order
+             |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin),
+      bench = true),
+
+    // --- filter + projection; predicate/column pushdown reach the scan ---
+    Q("q02_filter_pushdown",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+                  col("l_shipdate") <  lit("1996-01-01").cast("timestamp") &&
+                  col("l_quantity") > 45)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("l_quantity"), 2).as("qty"),
+            round(col("l_extendedprice"), 2).as("price"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, round(l_quantity,2) AS qty,
+             |round(l_extendedprice,2) AS price
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             |  AND l_shipdate <  TIMESTAMP '1996-01-01' AND l_quantity > 45
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // --- broadcast hash join (reference J1, base.py:221-225) ---
+    Q("q03_broadcast_join",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+               count(lit(1)).as("n_orders"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, round(sum(o_totalprice),2) AS revenue,
+             |count(*) AS n_orders
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
+
+    // --- fact⋈fact shuffle join (reference J2, base.py:227) ---
+    Q("q04_shuffle_join_agg",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+               count(lit(1)).as("n_lines"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+             |count(*) AS n_lines
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
+
+    // --- multiway join: TPC-H Q5 shape (dims broadcast, facts shuffled) ---
+    Q("q05_multiway_join",
+      (s, dir) => {
+        val customer = t(s, dir, "customer")
+        val orders   = t(s, dir, "orders")
+        val lineitem = t(s, dir, "lineitem")
+        val supplier = t(s, dir, "supplier")
+        val nation   = t(s, dir, "nation")
+        val region   = t(s, dir, "region")
+        lineitem
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supplier),
+            col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""SELECT r_name, n_name,
+             |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey  = c_custkey
+             |JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation   ON s_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |GROUP BY 1,2 ORDER BY 1,2""".stripMargin),
+      bench = true),
+
+    // --- left-semi join (reference J3 vocabulary-membership spirit) ---
+    Q("q06_semi_join",
+      (s, dir) => {
+        val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 100000)
+        t(s, dir, "customer")
+          .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name")).agg(count(lit(1)).as("n_cust"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, count(*) AS n_cust
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- left-anti join ---
+    Q("q07_anti_join",
+      (s, dir) => {
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_cust"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_cust
+             |FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- left outer join, nulls → 0 ---
+    Q("q08_outer_join",
+      (s, dir) => {
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+               round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spend"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+             |round(coalesce(sum(o_totalprice),0),2) AS total_spend
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- window: ranked top-k per group (SURVEY §2.5 extension) ---
+    Q("q09_window_topk",
+      (s, dir) => {
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        t(s, dir, "part")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("p_brand"), col("p_partkey"),
+            round(col("p_retailprice"), 2).as("price"), col("rn"))
+          .orderBy(col("p_brand"), col("rn"))
+      },
+      Some("""SELECT p_brand, p_partkey, round(p_retailprice,2) AS price, rn
+             |FROM (SELECT p_brand, p_partkey, p_retailprice,
+             |        row_number() OVER (PARTITION BY p_brand
+             |          ORDER BY p_retailprice DESC, p_partkey) AS rn
+             |      FROM part)
+             |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin)),
+
+    // --- window: running sum + lag ---
+    Q("q10_window_running",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(sum(col("o_totalprice"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+              .as("running_spend"),
+            round(coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2)
+              .as("prev_price"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |  ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_spend,
+             |round(coalesce(lag(o_totalprice,1) OVER (PARTITION BY o_custkey
+             |  ORDER BY o_orderdate, o_orderkey),0),2) AS prev_price
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+      bench = true),
+
+    // --- distinct (reference A4, base.py:352) ---
+    Q("q11_distinct",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus")).distinct()
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus
+             |FROM lineitem ORDER BY 1,2""".stripMargin)),
+
+    // --- union + distinct (reference U1, base.py:350-352) ---
+    Q("q12_union_distinct",
+      (s, dir) => {
+        t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+          .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+          .distinct()
+          .orderBy(col("nationkey"))
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |UNION
+             |SELECT s_nationkey FROM supplier ORDER BY 1""".stripMargin)),
+
+    // --- intersect ---
+    Q("q13_intersect",
+      (s, dir) => {
+        t(s, dir, "lineitem").select(col("l_partkey").as("partkey"))
+          .intersect(
+            t(s, dir, "part").filter(col("p_size") > 40)
+              .select(col("p_partkey").as("partkey")))
+          .orderBy(col("partkey"))
+      },
+      Some("""SELECT l_partkey AS partkey FROM lineitem
+             |INTERSECT
+             |SELECT p_partkey FROM part WHERE p_size > 40 ORDER BY 1""".stripMargin)),
+
+    // --- except ---
+    Q("q14_except",
+      (s, dir) => {
+        t(s, dir, "part").select(col("p_partkey").as("partkey"))
+          .except(t(s, dir, "lineitem").select(col("l_partkey").as("partkey")))
+          .orderBy(col("partkey"))
+      },
+      Some("""SELECT p_partkey AS partkey FROM part
+             |EXCEPT
+             |SELECT l_partkey FROM lineitem ORDER BY 1""".stripMargin)),
+
+    // --- rollup (capability extension; SURVEY §2.4 absent-note) ---
+    Q("q15_rollup",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+                  coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+                  col("sum_qty"), col("n"))
+          .orderBy(col("rf"), col("ls"))
+      },
+      Some("""SELECT coalesce(l_returnflag,'ALL') AS rf,
+             |coalesce(l_linestatus,'ALL') AS ls,
+             |round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY 1,2""".stripMargin)),
+
+    // --- cube ---
+    Q("q16_cube",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+                  coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+                  col("revenue"), col("n"))
+          .orderBy(col("status"), col("priority"))
+      },
+      Some("""SELECT coalesce(o_orderstatus,'ALL') AS status,
+             |coalesce(o_orderpriority,'ALL') AS priority,
+             |round(sum(o_totalprice),2) AS revenue, count(*) AS n
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY 1,2""".stripMargin)),
+
+    // --- collect_list (reference A3, base.py:116-117), sorted for determinism ---
+    Q("q17_collect_sorted",
+      (s, dir) => {
+        t(s, dir, "supplier")
+          .groupBy(col("s_nationkey"))
+          .agg(array_join(sort_array(collect_list(col("s_name"))), "|").as("names"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some("""SELECT s_nationkey, string_agg(s_name, '|' ORDER BY s_name) AS names
+             |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- global sort + limit (top-k) ---
+    Q("q18_topk_orders",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      },
+      Some("""SELECT o_orderkey, round(o_totalprice,2) AS price
+             |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)),
+
+    // --- exact count-distinct per group ---
+    Q("q19_count_distinct",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+             |count(*) AS n_orders
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- approx distinct (HLL sketch; implementation-specific values → no
+    //     SQL oracle, driver records rows-only; exact twin is q19) ---
+    Q("q19b_approx_distinct",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+          .orderBy(col("l_returnflag"))
+      },
+      None)
+  )
+}
