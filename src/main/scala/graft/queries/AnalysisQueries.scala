@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{rolling_hash, word_ngrams}
+
+/** Text-analysis battery over `documents`: language-ID heuristic, quality
+  * scoring, regex token estimation, and winnowing document fingerprints.
+  * All per-document map-side work (no shuffle except the final aggregates)
+  * — at 100 TB these run as a single scan + whole-stage-codegen'd pass.
+  */
+object AnalysisQueries {
+
+  val queries: Seq[Q] = Seq(
+
+    // --- stopword-ratio language heuristic vs the labeled lang column.
+    //     (The synthetic corpus shares one vocabulary across langs, so this
+    //     grades the plumbing, not linguistics.) ---
+    Q("q50_langid_confusion",
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).as("wc"),
+            explode(split(col("text"), " ")).as("token"))
+        toks.groupBy(col("doc_id"), col("lang"), col("wc"))
+          .agg(count(when(col("token").isin("the", "a"), 1)).as("n_stop"))
+          .select(col("lang"),
+            when(col("n_stop").cast("double") / col("wc") >= 0.05, "en")
+              .otherwise("unk").as("predicted"))
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("predicted"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, len(string_split(text,' ')) AS wc,
+             |         unnest(string_split(text,' ')) AS token
+             |  FROM documents),
+             |per_doc AS (
+             |  SELECT doc_id, lang, wc,
+             |         count(*) FILTER (token IN ('the','a')) AS n_stop
+             |  FROM toks GROUP BY 1,2,3),
+             |pred AS (
+             |  SELECT lang, CASE WHEN n_stop::DOUBLE / wc >= 0.05
+             |    THEN 'en' ELSE 'unk' END AS predicted
+             |  FROM per_doc)
+             |SELECT lang, predicted, count(*) AS n FROM pred
+             |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // --- quality scoring: length, lexical diversity, stopword ratio,
+    //     mean token length -> one composite score per document ---
+    Q("q51_quality_scores",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            split(col("text"), " ").as("toks"),
+            length(regexp_replace(col("text"), " ", "")).as("letters"))
+          .select(col("doc_id"),
+            size(col("toks")).as("wc"),
+            (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+              .as("diversity"),
+            (size(filter(col("toks"), t => t.isin("the", "a"))).cast("double")
+              / size(col("toks"))).as("stop_ratio"),
+            (col("letters").cast("double") / size(col("toks"))).as("mean_tok_len"))
+        d.select(col("doc_id"), col("wc"),
+            round(col("diversity"), 4).as("diversity"),
+            round(col("stop_ratio"), 4).as("stop_ratio"),
+            round(col("mean_tok_len"), 4).as("mean_tok_len"),
+            round(least(col("wc") / 100.0, lit(1.0)) * 0.4
+              + col("diversity") * 0.4
+              + (lit(1.0) - col("stop_ratio")) * 0.2, 4).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text,' ') AS toks,
+             |         len(replace(text,' ','')) AS letters
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id, len(toks) AS wc,
+             |         len(list_distinct(toks))::DOUBLE / len(toks) AS diversity,
+             |         len(list_filter(toks, t -> t IN ('the','a')))::DOUBLE
+             |           / len(toks) AS stop_ratio,
+             |         letters::DOUBLE / len(toks) AS mean_tok_len
+             |  FROM d)
+             |SELECT doc_id, wc, round(diversity,4) AS diversity,
+             |       round(stop_ratio,4) AS stop_ratio,
+             |       round(mean_tok_len,4) AS mean_tok_len,
+             |       round(least(wc/100.0, 1.0)*0.4 + diversity*0.4
+             |             + (1.0-stop_ratio)*0.2, 4) AS quality
+             |FROM m ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    // --- regex token estimate (BPE-ish segmentation: letter runs, digit
+    //     runs, other non-space symbols) ---
+    Q("q52_token_estimate",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"),
+              lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             |  AS n_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // --- winnowing fingerprints: rolling hash of 3-token shingles, min per
+    //     sliding window of 4 -> distinct fingerprints per doc. Custom
+    //     codegen'd rolling_hash expression -> rows-only gate. ---
+    Q("q53_fingerprint_winnow",
+      (s, dir) => {
+        val sh = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            transform(word_ngrams(split(col("text"), " "), 3),
+              g => rolling_hash(g)).as("hashes"))
+        sh.select(col("doc_id"),
+            transform(
+              sequence(lit(1), greatest(size(col("hashes")) - 3, lit(1))),
+              i => array_min(slice(col("hashes"), i, lit(4)))).as("wins"))
+          .select(col("doc_id"),
+            size(array_distinct(col("wins"))).as("n_fingerprints"),
+            array_min(col("wins")).as("min_fp"))
+          .orderBy(col("doc_id"))
+      },
+      None)
+  )
+}

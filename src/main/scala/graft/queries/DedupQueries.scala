@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{word_ngrams, xxhash64_seeded}
+
+/** Training-data deduplication over `documents`: exact (hash groupBy),
+  * MinHash+LSH banding with exact-Jaccard verification, all-pairs n-gram
+  * Jaccard, SimHash hamming pairs, and embedding-cosine near-dup.
+  *
+  * Scale posture (100 TB): exact dedup is one hash-partitioned groupBy on a
+  * 128-bit digest (no text shuffle — only the digest and ids move). MinHash
+  * reduces each document to a 64-long signature (map-side, partial-agg'd
+  * min), and candidate generation is an equi-join on (band_id, band_hash) —
+  * the only all-pairs work happens inside a MinHash bucket, never globally.
+  * The brute-force Jaccard query is intentionally bounded (doc_id filter)
+  * and exists as the small-scale oracle twin; LSH is the scale path.
+  */
+object DedupQueries {
+
+  private val NumHashes = 64
+  private val BandRows  = 2  // 32 bands x 2 rows: P(miss | j>=0.8) ~ 6e-15
+  private val NumBands  = NumHashes / BandRows
+
+  /** doc_id + distinct 3-token shingles. */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(word_ngrams(split(col("text"), " "), 3)).as("shingles"))
+
+  /** MinHash signature: for hash family i (seeded xxhash64), the min over
+    * the doc's shingles — 64 partial-aggregated mins, no row blowup. */
+  private def minhashSignatures(docs: DataFrame): DataFrame = {
+    val exploded = shingled(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val minCols: Seq[Column] = (0 until NumHashes).map { i =>
+      min(xxhash64_seeded(i.toLong, col("shingle"))).as(s"mh_$i")
+    }
+    exploded.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** Exact Jaccard between two pre-distinct shingle arrays (set semantics
+    * on both engines: array_intersect/array_union vs list_intersect). */
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  val queries: Seq[Q] = Seq(
+
+    // --- exact duplicate summary: one hash groupBy over a 128-bit digest ---
+    Q("q30_dedup_exact_summary",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(md5(col("text"))).as("n_unique"),
+            (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_docs"))
+      },
+      Some("""SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+             |count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+             |FROM documents""".stripMargin)),
+
+    // --- exact dedup, keep-first: representative id per content group ---
+    Q("q31_dedup_exact_keepfirst",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
+
+    // --- MinHash + LSH banding, exact-verified (the scale path).
+    //     Candidates: pairs sharing any of 32 (band, band-hash) keys;
+    //     verification: exact shingle Jaccard >= 0.7. Oracle is the
+    //     brute-force pair join — identical iff LSH recall is 1 at the
+    //     threshold, which the 32x2 banding guarantees to ~1e-14. ---
+    Q("q32_dedup_minhash_lsh",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val sigs = minhashSignatures(docs)
+        val bandCols = (0 until NumBands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64_seeded(1000L + b,
+              (0 until BandRows).map(r => col(s"mh_${b * BandRows + r}")): _*)
+              .as("bh"))
+        }
+        val buckets = sigs
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+        val cands = buckets.as("a")
+          .join(buckets.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        val sh = shingled(docs)
+        cands
+          .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            jaccard(col("sh_a"), col("sh_b")).as("jac"))
+          .filter(col("jac") >= 0.7)
+          .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+             |        for i in range(1, len(toks)-1)]) AS sh FROM t),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |        len(list_intersect(a.sh,b.sh))::DOUBLE
+             |          / len(list_distinct(list_concat(a.sh,b.sh))) AS jac
+             |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, round(jac,4) AS jac FROM p
+             |WHERE jac >= 0.7 ORDER BY id_a, id_b""".stripMargin),
+      bench = true),
+
+    // --- brute-force n-gram Jaccard on a bounded slice (oracle twin /
+    //     correctness baseline for the LSH path) ---
+    Q("q33_dedup_ngram_jaccard",
+      (s, dir) => {
+        val sh = shingled(Tables(s, dir, "documents").filter(col("doc_id") < 250))
+        sh.toDF("id_a", "sh_a")
+          .join(sh.toDF("id_b", "sh_b"), col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(jaccard(col("sh_a"), col("sh_b")), 4).as("jac"))
+          .filter(col("jac") >= 0.2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+             |           FROM documents WHERE doc_id < 250),
+             |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+             |        for i in range(1, len(toks)-1)]) AS sh FROM t)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       round(len(list_intersect(a.sh,b.sh))::DOUBLE
+             |         / len(list_distinct(list_concat(a.sh,b.sh))), 4) AS jac
+             |FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |WHERE round(len(list_intersect(a.sh,b.sh))::DOUBLE
+             |         / len(list_distinct(list_concat(a.sh,b.sh))), 4) >= 0.2
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // --- SimHash near-dup pairs: 64-bit signature from seeded token
+    //     hashes; pair generation via 4x16-bit chunk pigeonhole (hamming
+    //     <= 3 => at least one chunk equal), verified by bit_count(xor).
+    //     Hash family is engine-internal -> no SQL oracle (rows-only). ---
+    Q("q34_dedup_simhash",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val tok = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("token"))
+        val contrib = tok.select(col("doc_id"),
+          xxhash64_seeded(7L, col("token")).as("h"))
+          .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("bit"), col("h"))
+          .select(col("doc_id"), col("bit"),
+            expr("(shiftrightunsigned(h, bit) & 1L) * 2 - 1").as("sgn"))
+        val sims = contrib
+          .groupBy(col("doc_id"), col("bit"))
+          .agg(sum(col("sgn")).as("bitsum"))
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("bitsum") > 0,
+            expr("shiftleft(1L, bit)")).otherwise(lit(0L))).as("simhash"))
+        val chunks = sims.select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("c"))
+          .select(col("doc_id"), col("simhash"), col("c"),
+            expr("shiftrightunsigned(simhash, c * 16) & 65535L").as("chunk"))
+        chunks.as("a")
+          .join(chunks.as("b"),
+            col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
+    // --- embedding-cosine near-dup pairs (threshold on the rounded value
+    //     so both engines compare identical 4-dp numbers) ---
+    Q("q35_dedup_embedding_cosine",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        e.toDF("id_a", "va")
+          .join(e.toDF("id_b", "vb"), col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(graft.functions.cosine_sim(col("va"), col("vb")), 4).as("sim"))
+          .filter(col("sim") >= 0.4)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |       round(list_cosine_similarity(a.v,b.v), 4) AS sim
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE round(list_cosine_similarity(a.v,b.v), 4) >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin))
+  )
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream analytics over `events` (batch plans; the Structured
+  * Streaming variants of the windowed aggregations live in
+  * `graft.streaming` and are exercised by scalatest, since the driver's
+  * DuckDB gate is batch-only).
+  *
+  * Scale posture: time-bucketed aggregations shuffle on (bucket, type) with
+  * partial aggregation; sessionization is one shuffle on user_id with
+  * window functions inside the partition — the standard scalable shape.
+  */
+object EventQueries {
+
+  val queries: Seq[Q] = Seq(
+
+    // --- hourly tumbling counts (batch twin of the streaming window agg) ---
+    Q("q60_hourly_counts",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("h"), col("event_type"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+             |round(sum(value),2) AS sum_value
+             |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin),
+      bench = true),
+
+    // --- 6-hour tumbling buckets via Spark's window() expression (start
+    //     timestamp only, for oracle parity with epoch bucketing) ---
+    Q("q61_window_6h",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+          .orderBy(col("bucket"), col("event_type"))
+      },
+      Some("""SELECT make_timestamp(((epoch(ts)::BIGINT // 21600) * 21600) * 1000000) AS bucket,
+             |event_type, count(*) AS n
+             |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // --- sessionization: 30-min inactivity gap, one shuffle on user_id ---
+    Q("q62_sessionize",
+      (s, dir) => {
+        val byUser = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val withGap = Tables(s, dir, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+              .otherwise(0))
+          .withColumn("session_id",
+            sum(col("new_session")).over(
+              byUser.rowsBetween(Long.MinValue, 0)))
+        withGap
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_events")).as("n_events"),
+            round(avg(col("n_events")), 4).as("avg_events_per_session"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+             |    THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM g),
+             |per_sess AS (
+             |  SELECT user_id, session_id, count(*) AS n_events
+             |  FROM sess GROUP BY 1,2)
+             |SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+             |       round(avg(n_events),4) AS avg_events_per_session
+             |FROM per_sess GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- semi-structured JSON extraction from the props column ---
+    Q("q63_json_extract",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |round(avg(CAST(json_extract(props,'$.k') AS BIGINT)),4) AS avg_k,
+             |max(CAST(json_extract(props,'$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- pivot: daily counts, one column per event type ---
+    Q("q64_pivot_daily",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .agg(count(lit(1)))
+          .na.fill(0)
+          .orderBy(col("day"))
+      },
+      Some("""SELECT date_trunc('day', ts) AS day,
+             |count(*) FILTER (event_type='click') AS click,
+             |count(*) FILTER (event_type='view') AS view,
+             |count(*) FILTER (event_type='purchase') AS purchase,
+             |count(*) FILTER (event_type='signup') AS signup,
+             |count(*) FILTER (event_type='error') AS error
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

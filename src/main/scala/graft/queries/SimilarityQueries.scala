@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{cosine_sim, xxhash64_seeded}
+
+/** Similarity search over the `embeddings` table (`Array[Float]` columns):
+  * brute-force cosine top-k as the correctness baseline, a random-hyperplane
+  * LSH-bucketed variant as the scale path, recall of ANN vs exact, and
+  * per-label centroids.
+  *
+  * Scale posture (100 TB): brute-force is a broadcast nested-loop of a tiny
+  * query set against the full corpus — embarrassingly parallel, no shuffle
+  * of the big side; top-k per query is a window over (query, candidate)
+  * scores partitioned by query. The LSH variant buckets the corpus by a
+  * 16-bit hyperplane signature so each query only scores its bucket; at
+  * cluster scale the buckets are the unit of partition pruning (write the
+  * index `partitionBy(bucket)`).
+  */
+object SimilarityQueries {
+
+  // 4 planes -> 16 buckets: sized so buckets stay populated at harness SFs
+  // (500-5000 vectors); at cluster scale raise toward log2(n/target_bucket).
+  private val NumPlanes = 4
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+
+  /** Deterministic pseudo-random hyperplanes: component d of plane p is
+    * +-1 from the sign bit of xxhash64(seed=p, d). The dot-product sign
+    * bits concatenate into the bucket signature. */
+  private def lshSignature(v: Column): Column = {
+    val planeDots: Seq[Column] = (0 until NumPlanes).map { p =>
+      val signedSum = aggregate(
+        zip_with(v,
+          transform(sequence(lit(0), lit(63)),
+            d => when(xxhash64_seeded(p.toLong, d) >= 0, lit(1.0)).otherwise(lit(-1.0))),
+          (x, s) => x * s),
+        lit(0.0), (acc, x) => acc + x)
+      when(signedSum > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    planeDots.reduce(_ + _)
+  }
+
+  private def knn(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
+    val all = vecs(s, dir)
+    val q   = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine_sim(col("qv"), col("v")), 4).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // --- brute-force cosine top-10 for 5 query vectors ---
+    Q("q40_knn_bruteforce",
+      (s, dir) => knn(s, dir, nQueries = 5, k = 10)
+        .orderBy(col("query_id"), col("rank")),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT query_id, vec_id,
+             |         round(list_cosine_similarity(qv, v), 4) AS sim
+             |  FROM e CROSS JOIN q WHERE vec_id <> query_id),
+             |ranked AS (
+             |  SELECT query_id, vec_id, sim,
+             |         row_number() OVER (PARTITION BY query_id
+             |           ORDER BY sim DESC, vec_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, vec_id, sim, rank FROM ranked
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+      bench = true),
+
+    // --- per-label centroid (elementwise mean), reported as squared norm
+    //     (position-wise avg matches the DuckDB v[i] formulation) ---
+    Q("q41_label_centroids",
+      (s, dir) => {
+        vecs(s, dir)
+          .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("c"))
+          .groupBy(col("label"))
+          .agg(round(sum(col("c") * col("c")), 4).as("sqnorm"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+             |x AS (SELECT label, i, avg(v[i]) AS c
+             |      FROM e, range(1, 65) r(i) GROUP BY 1,2)
+             |SELECT label, round(sum(c*c),4) AS sqnorm
+             |FROM x GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- ANN via random-hyperplane LSH buckets: each query scores only
+    //     its bucket. Engine-internal hash family -> rows-only gate;
+    //     quality is measured against exact kNN by q43. ---
+    Q("q42_ann_lsh",
+      (s, dir) => {
+        val all = vecs(s, dir).withColumn("bucket", lshSignature(col("v")))
+        val q = all.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("bucket").as("qbucket"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        all.join(broadcast(q), col("bucket") === col("qbucket") &&
+            col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round(cosine_sim(col("qv"), col("v")), 4).as("sim"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // --- recall@10 of the LSH path vs brute force (self-contained quality
+    //     metric; both sides computed in-engine) ---
+    Q("q43_ann_recall",
+      (s, dir) => {
+        val exact = knn(s, dir, nQueries = 5, k = 10)
+          .select(col("query_id"), col("vec_id"))
+        val all = vecs(s, dir).withColumn("bucket", lshSignature(col("v")))
+        val q = all.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("bucket").as("qbucket"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        val ann = all.join(broadcast(q), col("bucket") === col("qbucket") &&
+            col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round(cosine_sim(col("qv"), col("v")), 4).as("sim"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("vec_id"))
+        exact.join(ann.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"))
+          .agg((sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
+          .orderBy(col("query_id"))
+      },
+      None)
+  )
+}

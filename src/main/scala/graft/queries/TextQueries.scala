@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.word_ngrams
+
+/** The vspace text-analytics core re-expressed over the `documents` table:
+  * tokenization, per-document n-gram counting, global and per-source
+  * DF/TF/tdsum term statistics, TF-IDF weighting, vocabulary-membership
+  * semi-join, and top-k terms per source — the reference's entire stats
+  * surface (`/root/reference/vspace/pipelines/base.py:128-208`,
+  * `base.py:364-389`) as pure Catalyst plans.
+  *
+  * Scale posture: token explosion is a Generate (no shuffle); the per-doc
+  * aggregation and the term-level aggregation are both partial+final hash
+  * aggs, so the only shuffles are on (doc_id, token) and (token[, source]) —
+  * exactly the two the semantics require. Vocabulary filtering is a
+  * left-semi join (scales past driver memory, unlike the reference's
+  * collected+broadcast DAWG, `dawg.py:107-117`); for small vocabularies
+  * Catalyst turns it into a broadcast semi join automatically.
+  */
+object TextQueries {
+
+  /** Whitespace tokens with positions (testdata text is pre-normalized,
+    * single-space separated). */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).as("wc"),
+      explode(split(col("text"), " ")).as("token"))
+
+  /** Reference A2 (`base.py:192-208`): per-doc token counts, then
+    * DF = docs containing token, TF = total occurrences,
+    * tdsum = sum of doc lengths over docs containing token. */
+  private def termStats(docs: DataFrame, perSource: Boolean): DataFrame = {
+    val grp  = if (perSource) Seq("token", "source") else Seq("token")
+    val perDoc = tokens(docs)
+      .groupBy(col("doc_id") +: grp.map(col): _*)
+      .agg(count(lit(1)).as("tf"), first(col("wc")).as("wc"))
+    perDoc
+      .groupBy(grp.map(col): _*)
+      .agg(count(lit(1)).as("document_frequency"),
+        sum(col("tf")).as("term_frequency"),
+        sum(col("wc")).as("tdsum"))
+  }
+
+  private val oracleToks =
+    """toks AS (
+      |  SELECT doc_id, source, len(string_split(text,' ')) AS wc,
+      |         unnest(string_split(text,' ')) AS token
+      |  FROM documents)""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // --- per-document word count (reference A5, base.py:142) ---
+    Q("q20_doc_wordcount",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).as("wc"),
+            col("n_chars"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, len(string_split(text,' ')) AS wc, n_chars, lang
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // --- global term stats: the vspace flagship (reference A2 global) ---
+    Q("q21_term_stats_global",
+      (s, dir) => termStats(Tables(s, dir, "documents"), perSource = false)
+        .orderBy(col("token")),
+      Some(s"""WITH $oracleToks,
+              |per_doc AS (
+              |  SELECT doc_id, token, count(*) AS tf, any_value(wc) AS wc
+              |  FROM toks GROUP BY 1,2)
+              |SELECT token, count(*) AS document_frequency,
+              |       sum(tf) AS term_frequency, sum(wc) AS tdsum
+              |FROM per_doc GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
+
+    // --- per-source term stats (reference A2 grouped, base.py:204-208;
+    //     source fan-out analogue of combine_corpus_with_sources) ---
+    Q("q22_term_stats_by_source",
+      (s, dir) => termStats(Tables(s, dir, "documents"), perSource = true)
+        .orderBy(col("token"), col("source")),
+      Some(s"""WITH $oracleToks,
+              |per_doc AS (
+              |  SELECT doc_id, token, source, count(*) AS tf, any_value(wc) AS wc
+              |  FROM toks GROUP BY 1,2,3)
+              |SELECT token, source, count(*) AS document_frequency,
+              |       sum(tf) AS term_frequency, sum(wc) AS tdsum
+              |FROM per_doc GROUP BY 1,2 ORDER BY 1,2""".stripMargin),
+      bench = true),
+
+    // --- bigram counts (reference A1 n-gram core, base.py:128-152) via the
+    //     pure-built-in word_ngrams (transform/sequence/slice — codegen'd,
+    //     no UDF, no shuffle before the count agg) ---
+    Q("q23_bigram_counts",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(explode(word_ngrams(split(col("text"), " "), 2)).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+      },
+      Some("""WITH t AS (SELECT string_split(text,' ') AS toks FROM documents),
+             |b AS (SELECT unnest([array_to_string(toks[i:i+1],' ')
+             |                     for i in range(1, len(toks))]) AS bigram FROM t)
+             |SELECT bigram, count(*) AS n FROM b
+             |GROUP BY 1 ORDER BY n DESC, bigram""".stripMargin),
+      bench = true),
+
+    // --- trigram counts over everygrams' n=3 slice ---
+    Q("q24_trigram_counts",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(explode(word_ngrams(split(col("text"), " "), 3)).as("trigram"))
+          .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("trigram"))
+      },
+      Some("""WITH t AS (SELECT string_split(text,' ') AS toks FROM documents),
+             |b AS (SELECT unnest([array_to_string(toks[i:i+2],' ')
+             |                     for i in range(1, len(toks)-1)]) AS trigram FROM t)
+             |SELECT trigram, count(*) AS n FROM b
+             |GROUP BY 1 ORDER BY n DESC, trigram""".stripMargin)),
+
+    // --- TF-IDF weighting (the downstream consumer of vspace's stats) ---
+    Q("q25_tfidf",
+      (s, dir) => {
+        val docs  = Tables(s, dir, "documents")
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val perDoc = tokens(docs)
+          .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        val df = perDoc.groupBy(col("token"))
+          .agg(count(lit(1)).as("document_frequency"))
+        perDoc
+          .join(df, "token")
+          .crossJoin(broadcast(nDocs))
+          .select(col("doc_id"), col("token"),
+            round(col("tf") * log((col("n_docs") + 1) / (col("document_frequency") + 1)), 6)
+              .as("tfidf"))
+          .filter(col("doc_id") < 20)
+          .orderBy(col("doc_id"), col("token"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+             |per_doc AS (
+             |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1,2),
+             |df AS (
+             |  SELECT token, count(*) AS document_frequency FROM per_doc GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents)
+             |SELECT doc_id, per_doc.token,
+             |       round(tf * ln((n_docs + 1)::DOUBLE / (document_frequency + 1)), 6) AS tfidf
+             |FROM per_doc JOIN df ON per_doc.token = df.token CROSS JOIN n
+             |WHERE doc_id < 20 ORDER BY doc_id, per_doc.token""".stripMargin)),
+
+    // --- vocabulary membership as left-semi join (reference P5/J3,
+    //     base.py:364-389 — the DAWG replaced by a relational semi join) ---
+    Q("q26_vocab_semijoin",
+      (s, dir) => {
+        val docs  = Tables(s, dir, "documents")
+        val vocab = tokens(docs.filter(col("lang") === "zh"))
+          .select(col("token")).distinct()
+        termStats(docs, perSource = false)
+          .join(vocab, Seq("token"), "left_semi")
+          .orderBy(col("token"))
+      },
+      Some(s"""WITH $oracleToks,
+              |per_doc AS (
+              |  SELECT doc_id, token, count(*) AS tf, any_value(wc) AS wc
+              |  FROM toks GROUP BY 1,2),
+              |stats AS (
+              |  SELECT token, count(*) AS document_frequency,
+              |         sum(tf) AS term_frequency, sum(wc) AS tdsum
+              |  FROM per_doc GROUP BY 1)
+              |SELECT * FROM stats WHERE token IN (
+              |  SELECT DISTINCT unnest(string_split(text,' ')) FROM documents
+              |  WHERE lang = 'zh')
+              |ORDER BY token""".stripMargin)),
+
+    // --- top-k terms per source (window over the stats output — the
+    //     natural consumer of W3's per-source files, SURVEY §2.5) ---
+    Q("q27_topk_terms_per_source",
+      (s, dir) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("term_frequency").desc, col("token"))
+        termStats(Tables(s, dir, "documents"), perSource = true)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("source"), col("token"), col("term_frequency"), col("rank"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some(s"""WITH $oracleToks,
+              |per_doc AS (
+              |  SELECT doc_id, token, source, count(*) AS tf
+              |  FROM toks GROUP BY 1,2,3),
+              |stats AS (
+              |  SELECT token, source, sum(tf) AS term_frequency
+              |  FROM per_doc GROUP BY 1,2),
+              |ranked AS (
+              |  SELECT source, token, term_frequency,
+              |         row_number() OVER (PARTITION BY source
+              |           ORDER BY term_frequency DESC, token) AS rank
+              |  FROM stats)
+              |SELECT source, token, term_frequency, rank FROM ranked
+              |WHERE rank <= 5 ORDER BY source, rank""".stripMargin))
+  )
+}
