@@ -1,0 +1,64 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed in partition-sized
+  * batches. The decode kernels are STUBBED (no codec libraries in this
+  * environment) behind `Decoder`; everything Spark-side — schema, batch
+  * iteration via mapPartitions on a typed Dataset, partition sizing,
+  * deterministic feature extraction — is real and tested.
+  *
+  * Scale posture: payloads never pass through a shuffle (features are
+  * extracted map-side and the binary column dropped before any wide
+  * operation); `binaryFile` reads split per file; feature rows are narrow.
+  */
+object Multimodal {
+
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  final case class MediaFeatures(media_id: Long, kind: String,
+      n_bytes: Long, checksum: Long, width: Int, height: Int)
+
+  /** Decode stub: a real deployment plugs a codec here (javacv, ffmpeg
+    * bindings, ...). The fake is deterministic in the payload so tests and
+    * oracle comparisons are stable. */
+  trait Decoder extends Serializable {
+    def decode(kind: String, payload: Array[Byte]): (Int, Int)
+  }
+
+  object StubDecoder extends Decoder {
+    override def decode(kind: String, payload: Array[Byte]): (Int, Int) = {
+      // deterministic fake dimensions derived from content
+      val h = payload.foldLeft(17L)((a, b) => a * 31 + (b & 0xff))
+      (((h & 0x3ff) + 16).toInt, (((h >>> 10) & 0x3ff) + 16).toInt)
+    }
+  }
+
+  /** Batch feature extraction over binary payloads: one pass per
+    * partition, no shuffle, payload dropped from the output row. */
+  def extractFeatures(media: Dataset[MediaRow],
+      decoder: Decoder = StubDecoder): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h) = decoder.decode(r.kind, r.payload)
+        var crc = 0L
+        var i = 0
+        while (i < r.payload.length) { crc = crc * 1000003L + (r.payload(i) & 0xff); i += 1 }
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, crc, w, h)
+      }
+    }
+  }
+
+  /** Wrap the documents table as fake media payloads (UTF-8 bytes) — the
+    * plumbing demo used by tests and the harness query. */
+  def documentsAsMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        lit("text").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+}

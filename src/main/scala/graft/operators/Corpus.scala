@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{everygrams, norm_tokens, normalize_text}
+
+/** Corpus processing (reference `process_corpus` + `ngram_counts`,
+  * `/root/reference/vspace/pipelines/base.py:128-189`) as one declarative
+  * plan: normalize -> tokenize -> n-grams -> per-doc counts.
+  *
+  * Where the reference pipes every document through three Python closures
+  * (`mapValues(normalize|tokenize|ngram_counter)`), this stays inside
+  * whole-stage codegen end-to-end: the normalizer is a codegen'd Catalyst
+  * expression, n-grams are built-in `transform/sequence/slice`, counting is
+  * a partial+final hash aggregation. The canonical output is LONG format
+  * `(document_index, wc, token, tf)` — the natural shuffle-friendly shape
+  * at 100 TB (a MapType column would concentrate each doc's entire n-gram
+  * histogram in one row; long format lets tokens hash-partition evenly).
+  * `toTokenCountsMap` recovers the reference's map-typed schema when
+  * compatibility matters.
+  */
+object Corpus {
+
+  /** The reference drops pseudo-tokens `nferdoccount_<n>` from every n-gram
+    * stream (`base.py:378, 385-389`). */
+  val DocIdPattern = "^nferdoccount_[0-9]+$"
+
+  /** N-gram depth semantics. The reference's `max_len = (max_len else wc)+1`
+    * (`base.py:143`) makes nltk's inclusive bound emit up to
+    * (maxNgrams+1)-grams; `compatOffByOne=true` reproduces that, the
+    * default treats maxNgrams as inclusive (SURVEY §7.0 decision). */
+  def maxDepth(maxNgrams: Int, compatOffByOne: Boolean): Int =
+    if (compatOffByOne) maxNgrams + 1 else maxNgrams
+
+  /** (document_index, text) -> (document_index, wc, token, tf) where token
+    * ranges over 1..maxN word n-grams of the normalized text. `wc` is the
+    * unigram count of the normalized doc (reference `base.py:142`). */
+  def tokenCounts(corpus: DataFrame, maxNgrams: Int,
+      compatOffByOne: Boolean = false): DataFrame = {
+    val maxN = maxDepth(maxNgrams, compatOffByOne)
+    corpus
+      .select(col("document_index"), norm_tokens(col("text")).as("tokens"))
+      .select(col("document_index"), size(col("tokens")).as("wc"),
+        explode(everygrams(col("tokens"), 1, maxN)).as("token"))
+      .filter(!col("token").rlike(DocIdPattern))
+      .groupBy(col("document_index"), col("wc"), col("token"))
+      .agg(count(lit(1)).cast("int").as("tf"))
+  }
+
+  /** Reference-shape output: one row per doc with a token_counts map
+    * (`base.py:165-188`). Only for compat surfaces — prefer long format. */
+  def toTokenCountsMap(tokenCounts: DataFrame): DataFrame =
+    tokenCounts
+      .groupBy(col("document_index"), col("wc"))
+      .agg(map_from_entries(collect_list(struct(col("token"), col("tf"))))
+        .as("token_counts"))
+
+  /** The normalized corpus side-output (reference `base.py:392-394`). */
+  def normalized(corpus: DataFrame): DataFrame =
+    corpus.select(col("document_index"), normalize_text(col("text")).as("text"))
+}

@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Output sinks (reference W1-W4, `base.py:356-358, 394, 425-437`). CSV
+  * keeps the reference's tab-separated no-header contract; parquet is the
+  * recommended format for anything consumed downstream. The per-source
+  * stats write partitions by source (Hive-style dirs) so downstream reads
+  * get partition pruning — same as the reference (`base.py:425-427`).
+  */
+object Sinks {
+
+  /** W1: vocabulary as tab-separated CSV, overwrite. */
+  def writeVocabulary(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("delimiter", "\t").csv(path)
+
+  /** W2: normalized corpus. The reference dumps Python tuple reprs via
+    * saveAsTextFile (`base.py:394`); we keep it structured. */
+  def writeNormalizedCorpus(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** W3: per-source stats, partitioned by source. */
+  def writeStatsBySource(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").partitionBy("source")
+      .option("delimiter", "\t").csv(path)
+
+  /** W4: global stats. */
+  def writeStatsGlobal(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("delimiter", "\t").csv(path)
+}

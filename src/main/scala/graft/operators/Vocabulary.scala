@@ -1,0 +1,76 @@
+package graft.operators
+
+import java.util.Arrays
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vocabulary construction and membership filtering (reference
+  * `base.py:341-371` + `lookups/dawg.py`).
+  *
+  * The reference materializes the whole vocabulary on the driver as a list
+  * of range-partitioned DAWG tries and broadcasts the pickle
+  * (`dawg.py:107-117`, `base.py:364-367`) — workable at GB scale, a
+  * driver-memory wall at 100 TB. Here membership is, by default, a
+  * relational left-semi join (SemiJoinFilter): fully Catalyst-planned,
+  * broadcast automatically when the vocabulary is small, shuffle-partitioned
+  * when it is not, no driver materialization ever. BroadcastSetFilter keeps
+  * the reference's shape (driver collect + broadcast + per-row membership
+  * probe against a sorted array — binary search replaces the DAWG, which
+  * the reference only ever uses for `__contains__`, `dawg.py:179-193`).
+  */
+object Vocabulary {
+
+  /** Union phrases + collections, dedup, assign ids
+    * (reference `base.py:341-355`; ids via monotonically_increasing_id are
+    * non-contiguous there too and never consumed downstream). */
+  def build(phrases: DataFrame, collections: DataFrame): DataFrame =
+    phrases.toDF("token")
+      .union(collections.toDF("token"))
+      .na.drop()
+      .filter(length(trim(col("token"))) =!= 0)
+      .distinct()
+      .withColumn("tokenid", monotonically_increasing_id())
+
+  sealed trait TokenFilter {
+    /** Keep rows of `df` whose `tokenCol` passes the reference predicate:
+      * unigrams (no space) always pass; multi-grams must be in the
+      * vocabulary (`base.py:385-389`). */
+    def apply(df: DataFrame, tokenCol: String): DataFrame
+  }
+
+  /** Default, scale path: left-semi join against the vocabulary relation.
+    * Unigrams bypass the join via a union of the two disjoint predicates. */
+  final case class SemiJoinFilter(vocabulary: DataFrame) extends TokenFilter {
+    override def apply(df: DataFrame, tokenCol: String): DataFrame = {
+      val unigrams   = df.filter(!col(tokenCol).contains(" "))
+      val multigrams = df.filter(col(tokenCol).contains(" "))
+        .join(vocabulary.select(col("token").as(tokenCol)), Seq(tokenCol), "left_semi")
+      unigrams.unionByName(multigrams)
+    }
+  }
+
+  /** Reference-shaped path: vocabulary collected once, broadcast as a
+    * sorted array, probed per row by binary search. Bounded by driver
+    * memory — use only when the vocabulary is known-small. */
+  final class BroadcastSetFilter(bc: Broadcast[Array[String]]) extends TokenFilter {
+    override def apply(df: DataFrame, tokenCol: String): DataFrame = {
+      val localBc  = bc // avoid capturing non-serializable `this` in the UDF
+      val contains = udf { t: String =>
+        !t.contains(" ") || Arrays.binarySearch(localBc.value.asInstanceOf[Array[AnyRef]], t) >= 0
+      }
+      df.filter(contains(col(tokenCol)))
+    }
+  }
+
+  object BroadcastSetFilter {
+    def apply(spark: SparkSession, vocabulary: DataFrame): BroadcastSetFilter = {
+      val sorted = vocabulary.select("token").na.drop()
+        .as(org.apache.spark.sql.Encoders.STRING)
+        .collect()
+      Arrays.sort(sorted.asInstanceOf[Array[AnyRef]])
+      new BroadcastSetFilter(spark.sparkContext.broadcast(sorted))
+    }
+  }
+}

@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.{Corpus, Sinks, Stats, Vocabulary}
+import graft.sources.CorpusSources
+
+/** Job configuration, INI-compatible with the reference's job.conf
+  * (ConfigParser sections `vspace_conf` + `vspace_input`,
+  * reference `base.py:306-328`).
+  */
+final case class VspaceConfig(
+    stagingLoc: String,
+    outputFolder: String,
+    maxNgrams: Int,
+    splits: Option[Int],
+    corpus: String,
+    index2doc: String,
+    src2sub: String,
+    collections: String,
+    phrases: String,
+    compatOffByOne: Boolean = false)
+
+object VspaceConfig {
+  /** Minimal INI parser: `[section]` headers, `key = value` pairs, `#`/`;`
+    * comments. No external deps. */
+  def parseIni(text: String): Map[String, Map[String, String]] = {
+    var section = ""
+    val out = scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, String]]()
+    text.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith(";"))
+      .foreach { l =>
+        if (l.startsWith("[") && l.endsWith("]")) {
+          section = l.substring(1, l.length - 1).trim
+          out.getOrElseUpdate(section, scala.collection.mutable.Map())
+        } else l.split("=", 2) match {
+          case Array(k, v) =>
+            out.getOrElseUpdate(section, scala.collection.mutable.Map())
+              .update(k.trim, v.trim)
+          case _ => ()
+        }
+      }
+    out.map { case (k, v) => k -> v.toMap }.toMap
+  }
+
+  def load(path: String): VspaceConfig = {
+    val ini  = parseIni(Files.readString(Paths.get(path)))
+    val conf = ini.getOrElse("vspace_conf", Map.empty)
+    val in   = ini.getOrElse("vspace_input", Map.empty)
+    VspaceConfig(
+      stagingLoc   = conf.getOrElse("stagingloc", "/tmp/vspace-staging"),
+      outputFolder = conf.getOrElse("outputFolder",
+        conf.getOrElse("outputfolder", "/tmp/vspace-out")),
+      maxNgrams    = conf.getOrElse("maxngrams", "3").toInt,
+      splits       = conf.get("splits").map(_.toInt),
+      corpus       = in("corpus"),
+      index2doc    = in("index2doc"),
+      src2sub      = in("src2sub"),
+      collections  = in("collections"),
+      phrases      = in("phrases"),
+      compatOffByOne = conf.get("compatoffbyone").exists(_.toBoolean))
+  }
+}
+
+/** End-to-end vspace pipeline (reference `main()`, `base.py:306-441`):
+  * vocabulary job -> corpus job -> stats job, with the same persist points
+  * (vocabulary consumed twice, corpus consumed twice) and the same five
+  * outputs. One Catalyst plan per output; the only driver materialization
+  * is the optional BroadcastSetFilter path.
+  */
+object VspacePipeline {
+
+  def run(spark: SparkSession, cfg: VspaceConfig,
+      useBroadcastFilter: Boolean = false): Unit = {
+    cfg.splits.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
+    val out = cfg.outputFolder
+
+    // --- vocabulary job (reference base.py:341-371) ---
+    val vocabulary = Vocabulary.build(
+      CorpusSources.loadPhrases(spark, cfg.phrases),
+      CorpusSources.loadCollections(spark, cfg.collections))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    Sinks.writeVocabulary(vocabulary, s"$out/vocabulary")
+
+    val tokenFilter =
+      if (useBroadcastFilter) Vocabulary.BroadcastSetFilter(spark, vocabulary)
+      else Vocabulary.SemiJoinFilter(vocabulary)
+
+    // --- corpus job (reference base.py:373-397) ---
+    val raw = CorpusSources.loadRawCorpus(spark, cfg.corpus)
+    Sinks.writeNormalizedCorpus(Corpus.normalized(raw), s"$out/normalized_corpus")
+    val counts = tokenFilter(
+      Corpus.tokenCounts(raw, cfg.maxNgrams, cfg.compatOffByOne), "token")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // --- stats job (reference base.py:399-439) ---
+    val index   = CorpusSources.loadIndex(spark, cfg.index2doc)
+    val sources = CorpusSources.loadSources(spark, cfg.src2sub)
+    val withSources = Stats.combineCorpusWithSources(counts, index, sources)
+    Sinks.writeStatsBySource(
+      Stats.computeStats(withSources, Seq("token", "source")), s"$out/stats_by_source")
+    Sinks.writeStatsGlobal(
+      Stats.computeStats(counts, Seq("token")), s"$out/stats_global")
+
+    counts.unpersist()
+    vocabulary.unpersist()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = VspaceConfig.load(args(0))
+    val spark = SparkSession.builder()
+      .appName("graft-vspace")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS",
+          Runtime.getRuntime.availableProcessors().toString))
+      .getOrCreate()
+    try run(spark, cfg) finally spark.stop()
+  }
+}

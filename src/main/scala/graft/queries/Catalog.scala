@@ -17,7 +17,8 @@ final case class Q(
 object Catalog {
   lazy val all: Seq[Q] =
     Relational.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ AnalysisQueries.queries ++ EventQueries.queries
+      SimilarityQueries.queries ++ AnalysisQueries.queries ++
+      EventQueries.queries ++ MultimodalQueries.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the vspace input formats (reference
+  * `/root/reference/vspace/pipelines/base.py:56-118, 234-303`), re-expressed
+  * as Catalyst scans — no RDD record readers, no per-line Python decode.
+  *
+  * Scale posture: every loader is a plain DataFrame scan, so splitting,
+  * predicate pushdown and column pruning apply; the corpus reader relies on
+  * Spark's multi-char `lineSep` text source (splittable per file, streamed —
+  * never materializes a whole file on one executor).
+  */
+object CorpusSources {
+
+  /** The corpus document separator: 15 repetitions of the magic stopword
+    * (reference `base.py:36`). */
+  val RecordDelimiter: String = List.fill(15)("nferstopword").mkString(" ")
+
+  /** Fixed 10-column index schema (reference `base.py:38-51`). */
+  val IndexSchema: StructType = StructType(Seq(
+    StructField("document_index", LongType),
+    StructField("url", StringType),
+    StructField("subsource", StringType),
+    StructField("year", IntegerType),
+    StructField("meta1", StringType),
+    StructField("title", StringType),
+    StructField("author", StringType),
+    StructField("meta2", StringType),
+    StructField("meta3", StringType),
+    StructField("meta4", StringType)))
+
+  /** T1: read a delimiter-separated corpus into (document_index, text).
+    *
+    * Doc ids are contiguous zero-based in file order, matching the
+    * reference's `zipWithIndex` (`base.py:73`). The id assignment is the
+    * one operation that fixes a global order — Spark's zipWithIndex runs a
+    * lightweight count-per-partition job first; ids stay deterministic
+    * because text-file split order is deterministic.
+    */
+  def loadRawCorpus(spark: SparkSession, path: String,
+      recordDelimiter: String = RecordDelimiter): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read.option("lineSep", recordDelimiter).text(path)
+    raw.rdd.map(_.getString(0)).zipWithIndex()
+      .map { case (text, idx) => (idx, text) }
+      .toDF("document_index", "text")
+  }
+
+  /** T2: tab-separated index file with the fixed 10-col schema. */
+  def loadIndex(spark: SparkSession, path: String,
+      delimiter: String = "\t", schema: StructType = IndexSchema): DataFrame =
+    spark.read.schema(schema)
+      .options(Map("delimiter" -> delimiter, "header" -> "false"))
+      .csv(path)
+
+  /** T3: source -> comma-joined subsources file, normalized to
+    * `subsource -> array<source>` (reference `base.py:94-118`). */
+  def loadSources(spark: SparkSession, path: String,
+      delimiter: String = " "): DataFrame =
+    spark.read
+      .schema(StructType(Seq(
+        StructField("source", StringType),
+        StructField("subsources", StringType))))
+      .options(Map("delimiter" -> delimiter, "header" -> "false"))
+      .csv(path)
+      .withColumn("subsource", explode(split(col("subsources"), ",")))
+      .groupBy("subsource")
+      .agg(collect_list("source").as("sources"))
+
+  /** T4: line file with control-char stripping (reference `try_decode`,
+    * `base.py:234-266`). Divergence, pinned in tests: the reference
+    * silently DROPS lines that fail utf-8 decode; Spark's text reader
+    * replaces malformed bytes with U+FFFD — we drop those lines to match
+    * the reference's filtering effect. */
+  def loadDecoded(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .filter(!col("value").contains("�"))
+      .select(regexp_replace(col("value"), "[\\x00\\x01\\t]", "").as("value"))
+
+  /** T5: phrases file — first space-separated field, underscores to
+    * spaces (reference `base.py:278-289`). */
+  def loadPhrases(spark: SparkSession, path: String): DataFrame =
+    loadDecoded(spark, path)
+      .select(translate(split(col("value"), " ").getItem(0), "_", " ").as("phrase"))
+
+  /** T6: collections file — whole line, underscores to spaces
+    * (reference `base.py:292-303`). */
+  def loadCollections(spark: SparkSession, path: String): DataFrame =
+    loadDecoded(spark, path)
+      .select(translate(col("value"), "_", " ").as("phrase"))
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (green-field extension — the reference is
+  * batch-only, SURVEY §2.9). Transform builders take unbounded DataFrames
+  * from any source (`readStream` file/kafka/rate or MemoryStream in tests)
+  * so the same code runs in tests and against a real bus.
+  *
+  * Scale posture: windowed counts are partial-aggregated per trigger with
+  * watermark-bounded state; sessionization keeps one state object per
+  * user_id (keyed state, timeout-driven eviction) — both are the standard
+  * unbounded-state-safe shapes.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts per event_type with late-data handling. */
+  def windowedCounts(events: DataFrame, window_ : String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Tumbling-window token counts over a text stream — the streaming twin
+    * of the vspace term-frequency core. */
+  def windowedTokenCounts(docs: DataFrame, window_ : String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(graft.functions.norm_tokens(col("text"))).as("token"))
+      .groupBy(window(col("ts"), window_), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("token"), col("n"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(nEvents: Long, start: Long, lastTs: Long)
+  final case class SessionOut(user_id: Long, n_events: Long,
+      duration_secs: Long)
+
+  /** Session aggregation with explicit keyed state: a session closes after
+    * `gapSecs` of inactivity (processing-time timeout), emitting one row
+    * per closed session. */
+  def sessionize(events: Dataset[Event], gapSecs: Long = 1800)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        case (userId, batch, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionOut(userId, s.nEvents, (s.lastTs - s.start) / 1000)
+          } else {
+            val evs  = batch.toSeq
+            val tsMs = evs.map(_.ts.getTime)
+            val prev = state.getOption
+            val next = prev match {
+              case Some(s) => SessionState(s.nEvents + evs.size,
+                s.start, math.max(s.lastTs, tsMs.max))
+              case None => SessionState(evs.size, tsMs.min, tsMs.max)
+            }
+            state.update(next)
+            state.setTimeoutDuration(gapSecs * 1000)
+            SessionOut(userId, next.nEvents, (next.lastTs - next.start) / 1000)
+          }
+      }
+  }
+
+  /** Convenience: stream the testdata events parquet as a file source. */
+  def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DataFrame to completion against a memory sink and
+    * return the sink table name (test/dev helper). */
+  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

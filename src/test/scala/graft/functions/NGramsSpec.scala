@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The n-gram Column builders vs hand-computed tables (reference
+  * `everygrams` semantics, `base.py:128-152`). */
+class NGramsSpec extends SparkSpec {
+
+  private def grams(text: String, minN: Int, maxN: Int): Seq[String] = {
+    import spark.implicits._
+    Seq(text).toDF("text")
+      .select(everygrams(split(col("text"), " "), minN, maxN).as("g"))
+      .as[Seq[String]].head()
+  }
+
+  test("bigrams of 4 tokens") {
+    import spark.implicits._
+    val out = Seq("a b c d").toDF("text")
+      .select(word_ngrams(split(col("text"), " "), 2).as("g"))
+      .as[Seq[String]].head()
+    assert(out == Seq("a b", "b c", "c d"))
+  }
+
+  test("everygrams 1..3 matches hand-computed set") {
+    assert(grams("a b c d", 1, 3) == Seq(
+      "a", "b", "c", "d",
+      "a b", "b c", "c d",
+      "a b c", "b c d"))
+  }
+
+  test("n-grams longer than the doc yield nothing") {
+    assert(grams("a b", 3, 5).isEmpty)
+    assert(grams("a b", 1, 5) == Seq("a", "b", "a b"))
+  }
+
+  test("norm_tokens of empty text is an empty array") {
+    import spark.implicits._
+    val out = Seq("", "!!!", "one two").toDF("text")
+      .select(norm_tokens(col("text")).as("t")).as[Seq[String]].collect()
+    assert(out(0).isEmpty && out(1).isEmpty && out(2) == Seq("one", "two"))
+  }
+
+  test("reference off-by-one compat emits (maxNgrams+1)-grams") {
+    import graft.operators.Corpus
+    assert(Corpus.maxDepth(3, compatOffByOne = false) == 3)
+    assert(Corpus.maxDepth(3, compatOffByOne = true) == 4)
+  }
+}

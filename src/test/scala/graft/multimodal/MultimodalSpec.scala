@@ -1,0 +1,38 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  test("feature extraction is deterministic, shuffle-free and drops payloads") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", Array[Byte](1, 2, 3)),
+      Multimodal.MediaRow(2L, "audio", Array[Byte](9, 9)),
+      Multimodal.MediaRow(3L, "image", Array[Byte]())).toDS()
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).n_bytes == 3 && feats(2L).n_bytes == 2 && feats(3L).n_bytes == 0)
+    // deterministic stub dimensions
+    val again = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert((1L to 3L).forall(i =>
+      feats(i).width == again(i).width && feats(i).height == again(i).height &&
+        feats(i).checksum == again(i).checksum))
+    // no shuffle in the plan
+    val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("documents-as-media payload bytes equal utf-8 text length") {
+    val sf = "/root/testdata/sf0.001"
+    val feats = Multimodal.extractFeatures(
+      Multimodal.documentsAsMedia(spark, sf))
+    val viaSql = graft.Tables(spark, sf, "documents")
+      .selectExpr("doc_id", "cast(octet_length(text) AS bigint) AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    feats.collect().foreach { f =>
+      assert(f.n_bytes == viaSql(f.media_id), s"doc ${f.media_id}")
+    }
+  }
+}

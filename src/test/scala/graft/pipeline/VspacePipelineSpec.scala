@@ -1,0 +1,161 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{Corpus, Stats, Vocabulary}
+import graft.sources.CorpusSources
+
+/** End-to-end pipeline over a hand-verified mini fixture (SURVEY §5.4):
+  * a 3-document corpus in vspace format (delimiter-separated), a tab
+  * index, a source->subsource mapping, phrases + collections files.
+  */
+class VspacePipelineSpec extends SparkSpec {
+
+  private lazy val dir = Files.createTempDirectory("vspace-fixture").toString
+
+  private lazy val paths: Map[String, String] = {
+    val delim = CorpusSources.RecordDelimiter
+    // doc0: "Big Data! systems." -> [big, data, systems]
+    // doc1: "data, data big"     -> [data, data, big]
+    // doc2: "Spark."             -> [spark]
+    val corpus = s"Big Data! systems. ${delim} data, data big ${delim} Spark."
+    val index = Seq(
+      "0\thttp://a\tsub1\t2020\t\tT0\tA\t\t\t",
+      "1\thttp://b\tsub1\t2021\t\tT1\tB\t\t\t",
+      "2\thttp://c\tsub2\t2021\t\tT2\tC\t\t\t").mkString("\n")
+    val src2sub = Seq("SRC_A sub1", "SRC_B sub1,sub2").mkString("\n")
+    val phrases = Seq("big_data extra", "ignored").mkString("\n")
+    val collections = Seq("data_big").mkString("\n")
+    val m = Map(
+      "corpus" -> s"$dir/corpus.txt", "index" -> s"$dir/index.tsv",
+      "src2sub" -> s"$dir/src2sub.txt", "phrases" -> s"$dir/phrases.txt",
+      "collections" -> s"$dir/collections.txt")
+    Files.writeString(java.nio.file.Paths.get(m("corpus")), corpus)
+    Files.writeString(java.nio.file.Paths.get(m("index")), index)
+    Files.writeString(java.nio.file.Paths.get(m("src2sub")), src2sub)
+    Files.writeString(java.nio.file.Paths.get(m("phrases")), phrases)
+    Files.writeString(java.nio.file.Paths.get(m("collections")), collections)
+    m
+  }
+
+  test("corpus loader splits on the delimiter with contiguous ids") {
+    val docs = CorpusSources.loadRawCorpus(spark, paths("corpus"))
+      .orderBy("document_index").collect()
+    assert(docs.length == 3)
+    assert(docs.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(docs(2).getString(1).trim == "Spark.")
+  }
+
+  test("vocabulary build: phrases+collections, underscores, dedup") {
+    val vocab = Vocabulary.build(
+      CorpusSources.loadPhrases(spark, paths("phrases")),
+      CorpusSources.loadCollections(spark, paths("collections")))
+    val tokens = vocab.select("token").collect().map(_.getString(0)).toSet
+    // phrases: first field only, _ -> " "; collections: whole line
+    assert(tokens == Set("big data", "ignored", "data big"))
+  }
+
+  test("token counts: normalized unigrams+bigrams, hand-checked") {
+    val counts = Corpus.tokenCounts(
+      CorpusSources.loadRawCorpus(spark, paths("corpus")), maxNgrams = 2)
+    val rows = counts.collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getInt(3))).toSet
+    // doc0 [big, data, systems]: unigrams + "big data", "data systems"
+    assert(rows.contains((0L, "big", 1)))
+    assert(rows.contains((0L, "big data", 1)))
+    assert(rows.contains((0L, "data systems", 1)))
+    // doc1 [data, data, big]: data x2, "data data", "data big"
+    assert(rows.contains((1L, "data", 2)))
+    assert(rows.contains((1L, "data data", 1)))
+    assert(rows.contains((1L, "data big", 1)))
+    // doc2 [spark]
+    assert(rows.contains((2L, "spark", 1)))
+    // wc column
+    val wc = counts.select("document_index", "wc").distinct().collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(wc == Map(0L -> 3, 1L -> 3, 2L -> 1))
+  }
+
+  test("vocabulary filter: unigrams pass, multigrams gated; both impls agree") {
+    val counts = Corpus.tokenCounts(
+      CorpusSources.loadRawCorpus(spark, paths("corpus")), maxNgrams = 2)
+    val vocab = Vocabulary.build(
+      CorpusSources.loadPhrases(spark, paths("phrases")),
+      CorpusSources.loadCollections(spark, paths("collections")))
+
+    val semi = Vocabulary.SemiJoinFilter(vocab)(counts, "token")
+    val bcast = Vocabulary.BroadcastSetFilter(spark, vocab)(counts, "token")
+
+    val semiSet = semi.select("document_index", "token").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val bcastSet = bcast.select("document_index", "token").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(semiSet == bcastSet)
+    // all unigrams pass; of the bigrams only "big data" and "data big"
+    // are in vocabulary
+    assert(semiSet.contains((0L, "big data")))
+    assert(semiSet.contains((1L, "data big")))
+    assert(!semiSet.contains((0L, "data systems")))
+    assert(!semiSet.contains((1L, "data data")))
+    assert(semiSet.contains((2L, "spark")))
+  }
+
+  test("global stats DF/TF/tdsum hand-checked") {
+    val counts = Corpus.tokenCounts(
+      CorpusSources.loadRawCorpus(spark, paths("corpus")), maxNgrams = 1)
+    val stats = Stats.computeStats(counts, Seq("token")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // data: docs 0,1; tf 1+2=3; tdsum 3+3=6
+    assert(stats("data") == ((2L, 3L, 6L)))
+    assert(stats("big") == ((2L, 2L, 6L)))
+    assert(stats("systems") == ((1L, 1L, 3L)))
+    assert(stats("spark") == ((1L, 1L, 1L)))
+  }
+
+  test("per-source stats through index and sources joins") {
+    val counts = Corpus.tokenCounts(
+      CorpusSources.loadRawCorpus(spark, paths("corpus")), maxNgrams = 1)
+    val withSources = Stats.combineCorpusWithSources(counts,
+      CorpusSources.loadIndex(spark, paths("index")),
+      CorpusSources.loadSources(spark, paths("src2sub")))
+    val stats = Stats.computeStats(withSources, Seq("token", "source"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // sub1 -> docs 0,1 via SRC_A and SRC_B; sub2 -> doc2 via SRC_B
+    assert(stats(("data", "SRC_A")) == 2L) // docs 0,1
+    assert(stats(("data", "SRC_B")) == 2L)
+    assert(stats(("spark", "SRC_B")) == 1L)
+    assert(!stats.contains(("spark", "SRC_A")))
+  }
+
+  test("full pipeline writes five outputs from an INI config") {
+    val out = Files.createTempDirectory("vspace-out").toString
+    val conf =
+      s"""[vspace_conf]
+         |stagingloc = $dir/staging
+         |outputFolder = $out
+         |maxngrams = 2
+         |[vspace_input]
+         |corpus = ${paths("corpus")}
+         |index2doc = ${paths("index")}
+         |src2sub = ${paths("src2sub")}
+         |collections = ${paths("collections")}
+         |phrases = ${paths("phrases")}
+         |""".stripMargin
+    val confPath = s"$dir/job.conf"
+    Files.writeString(java.nio.file.Paths.get(confPath), conf)
+    VspacePipeline.run(spark, VspaceConfig.load(confPath))
+    val globals = spark.read.option("delimiter", "\t")
+      .csv(s"$out/stats_global")
+    assert(globals.count() > 0)
+    val bySource = spark.read.option("delimiter", "\t")
+      .csv(s"$out/stats_by_source")
+    assert(bySource.count() > 0)
+    assert(Files.exists(java.nio.file.Paths.get(s"$out/vocabulary")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$out/normalized_corpus")))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed token counts over a micro-batch stream") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)]
+    val q = EventStreams.windowedTokenCounts(
+      input.toDF().toDF("ts", "text"), "5 minutes", "10 minutes")
+    input.addData((ts(0), "big data"), (ts(1), "data"), (ts(7), "data"))
+    EventStreams.runToMemory(q, "tok_counts", OutputMode.Complete())
+    val rows = spark.table("tok_counts")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      ("2024-01-01 10:00:00.0", "big", 1L),
+      ("2024-01-01 10:00:00.0", "data", 2L),
+      ("2024-01-01 10:05:00.0", "data", 1L)))
+  }
+
+  test("windowed event counts with watermark drop late data in append mode") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val out = EventStreams.windowedCounts(df, "5 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("ev_counts")
+      .outputMode(OutputMode.Append()).start()
+    // one micro-batch per addData so the watermark actually advances
+    input.addData((1L, ts(0), "click", 1.0), (2L, ts(2), "click", 2.0))
+    q.processAllAvailable()
+    input.addData((3L, ts(20), "view", 1.0)) // advances watermark past 10:05
+    q.processAllAvailable()
+    input.addData((4L, ts(1), "click", 9.0)) // late beyond watermark: dropped
+    q.processAllAvailable()
+    input.addData((5L, ts(30), "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("ev_counts")
+      .select(col("bucket").cast("string"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // the 10:00 click window was finalized with 2 events (late #4 dropped)
+    assert(emitted.contains(("2024-01-01 10:00:00", "click", 2L)))
+    assert(!emitted.exists { case (_, t, n) => t == "click" && n == 3L })
+  }
+
+  test("stateful sessionization emits per-user session aggregates") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val input = MemoryStream[EventStreams.Event]
+    val out = EventStreams.sessionize(input.toDS(), gapSecs = 1800)
+    input.addData(
+      EventStreams.Event(1, ts(0), 100, "click", 1.0),
+      EventStreams.Event(2, ts(10), 100, "view", 1.0),
+      EventStreams.Event(3, ts(5), 200, "click", 1.0))
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    // processAllAvailable() never settles with processing-time timeouts
+    // (the engine keeps scheduling timeout-check batches), so poll the sink.
+    val expected = Set((100L, 2L, 600L), (200L, 1L, 0L))
+    def rows() = spark.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val deadline = System.currentTimeMillis + 60000
+    while (System.currentTimeMillis < deadline && rows() != expected)
+      Thread.sleep(250)
+    q.stop()
+    assert(rows() == expected)
+  }
+}
