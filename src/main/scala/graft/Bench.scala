@@ -21,6 +21,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // testdata parquet files are single-row-group and would scan as ONE
+      // partition, serializing CPU-bound per-row work; force splittable
+      // scans (no-op at cluster scale where files exceed maxPartitionBytes)
+      .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -19,7 +19,7 @@ object AnalysisQueries {
     //     grades the plumbing, not linguistics.) ---
     Q("q50_langid_confusion",
       (s, dir) => {
-        val toks = Tables(s, dir, "documents")
+        val toks = fanout(Tables(s, dir, "documents"))
           .select(col("doc_id"), col("lang"),
             size(split(col("text"), " ")).as("wc"),
             explode(split(col("text"), " ")).as("token"))
@@ -51,7 +51,7 @@ object AnalysisQueries {
     //     mean token length -> one composite score per document ---
     Q("q51_quality_scores",
       (s, dir) => {
-        val d = Tables(s, dir, "documents")
+        val d = fanout(Tables(s, dir, "documents"))
           .select(col("doc_id"),
             split(col("text"), " ").as("toks"),
             length(regexp_replace(col("text"), " ", "")).as("letters"))
@@ -94,7 +94,7 @@ object AnalysisQueries {
     //     runs, other non-space symbols) ---
     Q("q52_token_estimate",
       (s, dir) => {
-        Tables(s, dir, "documents")
+        fanout(Tables(s, dir, "documents"))
           .select(col("doc_id"),
             size(regexp_extract_all(col("text"),
               lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_tokens"))
@@ -110,7 +110,7 @@ object AnalysisQueries {
     //     codegen'd rolling_hash expression -> rows-only gate. ---
     Q("q53_fingerprint_winnow",
       (s, dir) => {
-        val sh = Tables(s, dir, "documents")
+        val sh = fanout(Tables(s, dir, "documents"))
           .select(col("doc_id"),
             transform(word_ngrams(split(col("text"), " "), 3),
               g => rolling_hash(g)).as("hashes"))

@@ -24,20 +24,27 @@ object DedupQueries {
   private val BandRows  = 2  // 32 bands x 2 rows: P(miss | j>=0.8) ~ 6e-15
   private val NumBands  = NumHashes / BandRows
 
-  /** doc_id + distinct 3-token shingles. */
+  /** doc_id + distinct 3-token shingles (fanned out first: shingling and
+    * everything downstream is CPU-bound, not scan-bound). */
   private def shingled(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    fanout(docs).select(col("doc_id"),
       array_distinct(word_ngrams(split(col("text"), " "), 3)).as("shingles"))
 
   /** MinHash signature: for hash family i (seeded xxhash64), the min over
-    * the doc's shingles — 64 partial-aggregated mins, no row blowup. */
+    * the doc's shingles — computed entirely map-side with
+    * array_min(transform(...)), so signature generation is a single
+    * shuffle-free scan (the explode + 64-way min-groupBy alternative moves
+    * every (doc, shingle) row through an exchange; at 100 TB that shuffle
+    * IS the job). Docs with no shingles (< 3 tokens) are dropped, matching
+    * the explode formulation which emits no rows for them. */
   private def minhashSignatures(docs: DataFrame): DataFrame = {
-    val exploded = shingled(docs)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val minCols: Seq[Column] = (0 until NumHashes).map { i =>
-      min(xxhash64_seeded(i.toLong, col("shingle"))).as(s"mh_$i")
+    val sigCols: Seq[Column] = (0 until NumHashes).map { i =>
+      array_min(transform(col("shingles"), s => xxhash64_seeded(i.toLong, s)))
+        .as(s"mh_$i")
     }
-    exploded.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    shingled(docs)
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id") +: sigCols: _*)
   }
 
   /** Exact Jaccard between two pre-distinct shingle arrays (set semantics
@@ -147,7 +154,7 @@ object DedupQueries {
     Q("q34_dedup_simhash",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
-        val tok = docs.select(col("doc_id"),
+        val tok = fanout(docs).select(col("doc_id"),
           explode(split(col("text"), " ")).as("token"))
         val contrib = tok.select(col("doc_id"),
           xxhash64_seeded(7L, col("token")).as("h"))

@@ -27,7 +27,7 @@ object SimilarityQueries {
   private val NumPlanes = 4
 
   private def vecs(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "embeddings")
+    fanout(Tables(s, dir, "embeddings"))
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
 

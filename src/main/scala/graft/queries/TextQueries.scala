@@ -27,7 +27,7 @@ object TextQueries {
   /** Whitespace tokens with positions (testdata text is pre-normalized,
     * single-space separated). */
   private def tokens(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("source"),
+    fanout(docs).select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).as("wc"),
       explode(split(col("text"), " ")).as("token"))
 
@@ -97,7 +97,7 @@ object TextQueries {
     //     no UDF, no shuffle before the count agg) ---
     Q("q23_bigram_counts",
       (s, dir) => {
-        Tables(s, dir, "documents")
+        fanout(Tables(s, dir, "documents"))
           .select(explode(word_ngrams(split(col("text"), " "), 2)).as("bigram"))
           .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("bigram"))
@@ -112,7 +112,7 @@ object TextQueries {
     // --- trigram counts over everygrams' n=3 slice ---
     Q("q24_trigram_counts",
       (s, dir) => {
-        Tables(s, dir, "documents")
+        fanout(Tables(s, dir, "documents"))
           .select(explode(word_ngrams(split(col("text"), " "), 3)).as("trigram"))
           .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("trigram"))

@@ -17,6 +17,7 @@ object Probe {
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.ui.enabled", "false")
     // extra confs from env, e.g. SPARK_GRAFT_CONF="spark.sql.codegen.wholeStage=false;spark.x=y"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
@@ -33,6 +34,8 @@ object Probe {
       }
     })
     val q = Catalog.byName(name)
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      q.fn(spark, sfDir).explain("formatted")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val df = q.fn(spark, sfDir)
