@@ -335,6 +335,31 @@ object Relational {
              |count(*) AS n_orders
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // --- statistical aggregates: stddev/variance/correlation/covariance +
+    //     exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    //     `quantile_cont`) ---
+    Q("q19c_stat_aggs",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+            round(var_samp(col("l_quantity")), 4).as("var_qty"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+            round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"),
+            round(expr("percentile(l_quantity, 0.5)"), 2).as("median_qty"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |round(stddev_samp(l_quantity),4) AS sd_qty,
+             |round(var_samp(l_quantity),4) AS var_qty,
+             |round(corr(l_quantity,l_extendedprice),4) AS corr_qp,
+             |round(covar_samp(l_quantity,l_discount),6) AS cov_qd,
+             |round(quantile_cont(l_quantity, 0.5),2) AS median_qty,
+             |round(quantile_cont(l_extendedprice, 0.9),2) AS p90_price
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // --- approx distinct (HLL sketch; implementation-specific values → no
     //     SQL oracle, driver records rows-only; exact twin is q19) ---
     Q("q19b_approx_distinct",

@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.word_ngrams
+import graft.functions.{everygrams, word_ngrams}
+import graft.operators.{Corpus, Stats, Vocabulary}
 
 /** The vspace text-analytics core re-expressed over the `documents` table:
   * tokenization, per-document n-gram counting, global and per-source
@@ -202,6 +203,55 @@ object TextQueries {
               |           ORDER BY term_frequency DESC, token) AS rank
               |  FROM stats)
               |SELECT source, token, term_frequency, rank FROM ranked
-              |WHERE rank <= 5 ORDER BY source, rank""".stripMargin))
+              |WHERE rank <= 5 ORDER BY source, rank""".stripMargin)),
+
+    // --- the vspace flagship end-to-end: normalize -> everygrams 1..3 ->
+    //     per-doc counts -> vocabulary filter (unigrams pass, multigrams
+    //     semi-joined, reference P5 base.py:385-389) -> DF/TF/tdsum stats —
+    //     wired through the graft.operators pipeline layer itself so the
+    //     oracle gate exercises Corpus/Vocabulary/Stats directly ---
+    Q("q28_everygram_vocab_stats",
+      (s, dir) => {
+        val docs   = Tables(s, dir, "documents")
+        val corpus = fanout(docs)
+          .select(col("doc_id").as("document_index"), col("text"))
+        val tc = Corpus.tokenCounts(corpus, maxNgrams = 3)
+        val vocab = fanout(docs.filter(col("lang") === "zh"))
+          .select(explode(everygrams(split(col("text"), " "), 2, 3)).as("token"))
+          .distinct()
+        Stats.computeStats(
+            Vocabulary.SemiJoinFilter(vocab).apply(tc, "token"), Seq("token"))
+          .orderBy(col("token"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |g AS (
+             |  SELECT doc_id, len(toks) AS wc, unnest(toks) AS token FROM t
+             |  UNION ALL
+             |  SELECT doc_id, len(toks) AS wc,
+             |    unnest([array_to_string(toks[i:i+1],' ') for i in range(1, len(toks))]) AS token
+             |  FROM t
+             |  UNION ALL
+             |  SELECT doc_id, len(toks) AS wc,
+             |    unnest([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)]) AS token
+             |  FROM t),
+             |zh AS (SELECT string_split(text,' ') AS toks FROM documents WHERE lang='zh'),
+             |vocab AS (SELECT DISTINCT token FROM (
+             |  SELECT unnest([array_to_string(toks[i:i+1],' ') for i in range(1, len(toks))]) AS token
+             |  FROM zh
+             |  UNION ALL
+             |  SELECT unnest([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)]) AS token
+             |  FROM zh)),
+             |per_doc AS (
+             |  SELECT doc_id, token, count(*) AS tf, any_value(wc) AS wc
+             |  FROM g GROUP BY 1,2),
+             |kept AS (
+             |  SELECT * FROM per_doc WHERE NOT contains(token,' ')
+             |  UNION ALL
+             |  SELECT * FROM per_doc WHERE contains(token,' ')
+             |    AND token IN (SELECT token FROM vocab))
+             |SELECT token, count(*) AS document_frequency,
+             |       sum(tf) AS term_frequency, sum(wc) AS tdsum
+             |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true)
   )
 }
