@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -118,6 +119,51 @@ object EventQueries {
              |count(*) FILTER (event_type='purchase') AS purchase,
              |count(*) FILTER (event_type='signup') AS signup,
              |count(*) FILTER (event_type='error') AS error
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- as-of join (an operator the reference lacks, SURVEY §2.3
+    //     absent-note): each purchase matched to the user's most recent
+    //     strictly-prior click. Composed from a running max over a
+    //     user-partitioned window — one shuffle on user_id, no range-join
+    //     blowup; the standard Spark shape for temporal as-of matching. ---
+    Q("q65_asof_join",
+      (s, dir) => {
+        val w = Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables(s, dir, "events")
+          .withColumn("last_click_ts",
+            max(when(col("event_type") === "click", col("ts"))).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"), col("last_click_ts"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, ts, last_click_ts FROM (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    max(CASE WHEN event_type='click' THEN ts END) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS last_click_ts
+             |  FROM events)
+             |WHERE event_type = 'purchase'
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // --- salted two-phase aggregation: event_type has only 5 values, so a
+    //     direct groupBy funnels the final agg through 5 reducers. Salting
+    //     with a deterministic 32-way key spreads phase one across the
+    //     cluster; phase two combines 5x32 partials — the standard
+    //     skewed-key aggregation shape. Oracle is the plain aggregate. ---
+    Q("q66_salted_agg",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .withColumn("salt", pmod(xxhash64(col("event_id")), lit(32)))
+          .groupBy(col("event_type"), col("salt"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("n")).as("n"), round(sum(col("sv")), 2).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
