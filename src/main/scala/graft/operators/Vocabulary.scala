@@ -65,8 +65,18 @@ object Vocabulary {
   }
 
   object BroadcastSetFilter {
-    def apply(spark: SparkSession, vocabulary: DataFrame): BroadcastSetFilter = {
+    /** Range-partition + in-partition sort before collecting (the
+      * reference's DAWG prep, `dawg.py:96-98`): executors do the sort work
+      * and collect() preserves partition order, so the concatenated array
+      * arrives globally ordered. The driver-side Arrays.sort then only
+      * re-checks order under Java's UTF-16 comparator (binary UTF-8 and
+      * UTF-16 order diverge for supplementary-plane chars) — near-linear
+      * on already-sorted input. */
+    def apply(spark: SparkSession, vocabulary: DataFrame,
+        numPartitions: Int = 20): BroadcastSetFilter = {
       val sorted = vocabulary.select("token").na.drop()
+        .repartitionByRange(numPartitions, col("token"))
+        .sortWithinPartitions("token")
         .as(org.apache.spark.sql.Encoders.STRING)
         .collect()
       Arrays.sort(sorted.asInstanceOf[Array[AnyRef]])

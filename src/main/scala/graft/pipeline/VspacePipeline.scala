@@ -79,8 +79,13 @@ object VspacePipeline {
       useBroadcastFilter: Boolean = false): Unit = {
     cfg.splits.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
     val out = cfg.outputFolder
+    // stage attribution in the Spark UI (reference sets a job group per
+    // stage the same way, base.py:341,362,373,399)
+    def stage(name: String): Unit =
+      spark.sparkContext.setJobGroup(name, s"vspace $name", interruptOnCancel = false)
 
     // --- vocabulary job (reference base.py:341-371) ---
+    stage("vocabulary")
     val vocabulary = Vocabulary.build(
       CorpusSources.loadPhrases(spark, cfg.phrases),
       CorpusSources.loadCollections(spark, cfg.collections))
@@ -92,6 +97,7 @@ object VspacePipeline {
       else Vocabulary.SemiJoinFilter(vocabulary)
 
     // --- corpus job (reference base.py:373-397) ---
+    stage("corpus")
     val raw = CorpusSources.loadRawCorpus(spark, cfg.corpus)
     Sinks.writeNormalizedCorpus(Corpus.normalized(raw), s"$out/normalized_corpus")
     val counts = tokenFilter(
@@ -99,6 +105,7 @@ object VspacePipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // --- stats job (reference base.py:399-439) ---
+    stage("stats")
     val index   = CorpusSources.loadIndex(spark, cfg.index2doc)
     val sources = CorpusSources.loadSources(spark, cfg.src2sub)
     val withSources = Stats.combineCorpusWithSources(counts, index, sources)
