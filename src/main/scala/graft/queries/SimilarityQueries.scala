@@ -144,6 +144,54 @@ object SimilarityQueries {
           .agg((sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
           .orderBy(col("query_id"))
       },
+      None),
+
+    // --- IVF-style ANN: per-label mean vectors act as the coarse
+    //     quantizer's cells; every vector is assigned to its NEAREST cell
+    //     (map-side vs a broadcast of k centroids), and each query scores
+    //     only its nprobe=3 closest cells. At cluster scale the index is
+    //     written partitionBy(cell) so probes become partition-pruned
+    //     scans. Engine-internal cell ids -> rows-only gate. ---
+    Q("q44_ann_ivf",
+      (s, dir) => {
+        val all = vecs(s, dir)
+        // centroids: elementwise mean per label (k = #labels cells)
+        val cents = all
+          .select(col("label").as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("c"))
+          .groupBy(col("cell"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            e => e.getField("c")).as("cv"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cd").desc, col("cell"))
+        val assigned = all.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("v"), col("cell"),
+            cosine_sim(col("v"), col("cv")).as("cd"))
+          .withColumn("cr", row_number().over(wAssign))
+          .filter(col("cr") === 1)
+          .select(col("vec_id"), col("v"), col("cell"))
+        // queries probe their nprobe nearest cells
+        val nprobe = 3
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("cd").desc, col("cell"))
+        val probes = all.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+          .crossJoin(broadcast(cents))
+          .select(col("query_id"), col("qv"), col("cell"),
+            cosine_sim(col("qv"), col("cv")).as("cd"))
+          .withColumn("cr", row_number().over(wProbe))
+          .filter(col("cr") <= nprobe)
+          .select(col("query_id"), col("qv"), col("cell"))
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        assigned.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round(cosine_sim(col("qv"), col("v")), 4).as("sim"))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
       None)
   )
 }
