@@ -27,4 +27,14 @@ object Sinks {
   /** W4: global stats. */
   def writeStatsGlobal(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("delimiter", "\t").csv(path)
+
+  /** Hash-bucketed, bucket-sorted table write (scale extension): both
+    * sides of a repeated equi-join written with the same bucketing plan
+    * with ZERO exchanges — the co-located-join prep any 100 TB pipeline
+    * does once so downstream joins/aggs on the key never shuffle again.
+    * Bucket metadata lives in the session catalog, hence saveAsTable. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 }

@@ -78,4 +78,26 @@ class EventStreamsSpec extends SparkSpec {
     q.stop()
     assert(rows() == expected)
   }
+
+  test("file-source stream over the events parquet matches batch totals") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // the file source wants a directory of files, not a bare file
+    val streamDir = java.nio.file.Files.createTempDirectory("ev_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventStreams.eventsFileStream(spark, streamDir.toString)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("ev_file")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ev_file").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.Tables(spark, dir, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch && streamed.values.sum > 0)
+  }
 }
