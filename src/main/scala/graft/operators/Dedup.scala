@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Duplicate-cluster resolution: after near-dup PAIR detection (MinHash/
+  * SimHash/cosine), production dedup needs the transitive closure — one
+  * canonical representative per connected component of the pair graph.
+  *
+  * Implemented as iterative min-label propagation: each node starts
+  * labeled with its own id; every round each node takes the min of its
+  * label and its neighbors' labels; converges in O(component diameter)
+  * rounds. Each round is one shuffle on the node id — the standard
+  * large-scale shape (what GraphFrames/Pregel do under the hood), safe at
+  * any graph size because nothing is ever collected to the driver; the
+  * driver only checks the "any label changed?" bit per round.
+  */
+object Dedup {
+
+  /** edges: undirected pairs in columns (a, b). Returns (id, cluster_id)
+    * for every node that appears in an edge, cluster_id = min node id of
+    * its component. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter    = 0
+    var changed = true
+    while (changed && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("b"), col("lbl").as("blbl")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("blbl")).as("nbl"))
+      val next = labels
+        .join(nbrMin.select(col("a").as("id"), col("nbl")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.select(col("id"), col("lbl").as("old")), Seq("id"))
+        .filter(col("lbl") < col("old"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels.withColumnRenamed("lbl", "cluster_id")
+  }
+}

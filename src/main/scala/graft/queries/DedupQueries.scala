@@ -52,6 +52,34 @@ object DedupQueries {
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** LSH candidate pairs, exact-verified at `threshold` (shared by the
+    * pair query q32 and the cluster query q36). */
+  private def lshVerifiedPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val bandCols = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64_seeded(1000L + b,
+          (0 until BandRows).map(r => col(s"mh_${b * BandRows + r}")): _*)
+          .as("bh"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cands = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sh = shingled(docs)
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
   val queries: Seq[Q] = Seq(
 
     // --- exact duplicate summary: one hash groupBy over a 128-bit digest ---
@@ -85,30 +113,7 @@ object DedupQueries {
     //     threshold, which the 32x2 banding guarantees to ~1e-14. ---
     Q("q32_dedup_minhash_lsh",
       (s, dir) => {
-        val docs = Tables(s, dir, "documents")
-        val sigs = minhashSignatures(docs)
-        val bandCols = (0 until NumBands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64_seeded(1000L + b,
-              (0 until BandRows).map(r => col(s"mh_${b * BandRows + r}")): _*)
-              .as("bh"))
-        }
-        val buckets = sigs
-          .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-        val cands = buckets.as("a")
-          .join(buckets.as("b"),
-            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .distinct()
-        val sh = shingled(docs)
-        cands
-          .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-          .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
-          .select(col("id_a"), col("id_b"),
-            jaccard(col("sh_a"), col("sh_b")).as("jac"))
-          .filter(col("jac") >= 0.7)
+        lshVerifiedPairs(Tables(s, dir, "documents"), 0.7)
           .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
           .orderBy(col("id_a"), col("id_b"))
       },
@@ -122,6 +127,36 @@ object DedupQueries {
              |SELECT id_a, id_b, round(jac,4) AS jac FROM p
              |WHERE jac >= 0.7 ORDER BY id_a, id_b""".stripMargin),
       bench = true),
+
+    // --- duplicate clusters: transitive closure of the verified near-dup
+    //     pairs via distributed min-label propagation (operators/Dedup) —
+    //     one (doc_id, cluster_id) row per document in any near-dup pair,
+    //     cluster id = min doc id of the component. Oracle: recursive-CTE
+    //     reachability over the same pair set. ---
+    Q("q36_dedup_clusters",
+      (s, dir) => {
+        val pairs = lshVerifiedPairs(Tables(s, dir, "documents"), 0.7)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        graft.operators.Dedup.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE
+             |t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+             |        for i in range(1, len(toks)-1)]) AS sh FROM t),
+             |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+             |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |      WHERE len(list_intersect(a.sh,b.sh))::DOUBLE
+             |        / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.7),
+             |e AS (SELECT ida AS a, idb AS b FROM p
+             |      UNION SELECT idb, ida FROM p),
+             |reach(a, b) AS (
+             |  SELECT a, b FROM e
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+             |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)),
 
     // --- brute-force n-gram Jaccard on a bounded slice (oracle twin /
     //     correctness baseline for the LSH path) ---
