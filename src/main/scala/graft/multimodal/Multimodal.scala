@@ -51,6 +51,44 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(media_id: Long, kind: String,
+      width: Int, height: Int, payload: Array[Byte])
+  final case class FrameRow(media_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** Resize: decode (stub) -> scale to target box -> re-encode (stub:
+    * deterministic truncation/padding of the payload proportional to the
+    * area change). Map-side, one pass, payload stays partition-local. */
+  def resize(media: Dataset[MediaRow], maxW: Int, maxH: Int,
+      decoder: Decoder = StubDecoder): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h) = decoder.decode(r.kind, r.payload)
+        val scale  = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+        // stub re-encode: payload length scales with area ratio
+        val nBytes = math.max(1, (r.payload.length * scale * scale).toInt)
+        ResizedMedia(r.media_id, r.kind, nw, nh, r.payload.take(nBytes))
+      }
+    }
+  }
+
+  /** Frame sampling: emit `n` evenly-spaced frames per video payload
+    * (stub: deterministic payload slices). One row per frame — the long,
+    * shuffle-friendly shape for downstream per-frame featurization. */
+  def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val len = r.payload.length
+      if (len == 0) Iterator.empty
+      else (0 until n).iterator.map { i =>
+        val start = (len.toLong * i / n).toInt
+        val end   = (len.toLong * (i + 1) / n).toInt
+        FrameRow(r.media_id, i, r.payload.slice(start, math.max(end, start + 1)))
+      }
+    }
+  }
+
   /** Wrap the documents table as fake media payloads (UTF-8 bytes) — the
     * plumbing demo used by tests and the harness query. */
   def documentsAsMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {

@@ -24,6 +24,35 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("resize clamps dimensions to the box and shrinks payload by area") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", Array.tabulate[Byte](1000)(_.toByte)),
+      Multimodal.MediaRow(2L, "image", Array[Byte](5))).toDS()
+    val out = Multimodal.resize(media, 64, 64).collect().map(r => r.media_id -> r).toMap
+    out.values.foreach { r =>
+      assert(r.width <= 64 && r.height <= 64 && r.width >= 1 && r.height >= 1)
+      assert(r.payload.length >= 1)
+    }
+    // determinism
+    val again = Multimodal.resize(media, 64, 64).collect().map(r => r.media_id -> r).toMap
+    assert(out.keys.forall(k => out(k).width == again(k).width &&
+      out(k).payload.length == again(k).payload.length))
+  }
+
+  test("frame sampling emits n contiguous non-overlapping slices per doc") {
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](100)(_.toByte)
+    val media = Seq(Multimodal.MediaRow(7L, "video", payload),
+      Multimodal.MediaRow(8L, "video", Array[Byte]())).toDS()
+    val frames = Multimodal.sampleFrames(media, 4).collect()
+    assert(frames.count(_.media_id == 7L) == 4)
+    assert(frames.count(_.media_id == 8L) == 0) // empty payload -> no frames
+    val back = frames.filter(_.media_id == 7L).sortBy(_.frame_idx)
+      .flatMap(_.payload)
+    assert(back.sameElements(payload)) // evenly-spaced slices cover exactly
+  }
+
   test("documents-as-media payload bytes equal utf-8 text length") {
     val sf = "/root/testdata/sf0.001"
     val feats = Multimodal.extractFeatures(
