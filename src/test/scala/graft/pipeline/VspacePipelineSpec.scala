@@ -49,6 +49,22 @@ class VspacePipelineSpec extends SparkSpec {
     assert(docs(2).getString(1).trim == "Spark.")
   }
 
+  test("compat MapType output round-trips the long-format counts") {
+    val corpus = CorpusSources.loadRawCorpus(spark, paths("corpus"))
+    val long   = Corpus.tokenCounts(corpus, maxNgrams = 2)
+    val mapped = Corpus.toTokenCountsMap(long).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getMap[String, Int](2))).toMap
+    // doc1 "data, data big" -> wc 3; unigrams data:2 big:1; bigrams
+    // "data data":1 "data big":1
+    val (wc1, m1) = mapped(1L)
+    assert(wc1 == 3)
+    assert(m1("data") == 2 && m1("big") == 1 &&
+      m1("data data") == 1 && m1("data big") == 1)
+    // map cardinality equals long-format row count per doc
+    val rows1 = long.filter(col("document_index") === 1).count()
+    assert(m1.size.toLong == rows1)
+  }
+
   test("vocabulary build: phrases+collections, underscores, dedup") {
     val vocab = Vocabulary.build(
       CorpusSources.loadPhrases(spark, paths("phrases")),
