@@ -65,6 +65,27 @@ class VspacePipelineSpec extends SparkSpec {
     assert(m1.size.toLong == rows1)
   }
 
+  test("sentinel tokens excluded; NFC unifies composed and decomposed forms") {
+    import spark.implicits._
+    // doc0 carries the reference's nferdoccount sentinel (base.py:378);
+    // doc1/doc2 write café composed (U+00E9) vs decomposed (e + U+0301)
+    val corpus = Seq(
+      (0L, "big nferdoccount_7 data"),
+      (1L, "café au lait"),
+      (2L, "café au lait")).toDF("document_index", "text")
+    val counts = Corpus.tokenCounts(corpus, maxNgrams = 1).collect()
+      .map(r => (r.getLong(0), r.getString(2)) -> r.getInt(3)).toMap
+    assert(!counts.keys.exists(_._2.contains("nferdoccount")))
+    assert(counts((0L, "big")) == 1 && counts((0L, "data")) == 1)
+    // both docs normalize to the same composed token
+    assert(counts((1L, "café")) == 1 && counts((2L, "café")) == 1)
+    // sentinel still counts toward wc (it is excluded from the gram
+    // stream, not the tokenization; reference filters inside ngram_counts)
+    val wc0 = Corpus.tokenCounts(corpus, 1).filter(col("document_index") === 0)
+      .select("wc").head().getInt(0)
+    assert(wc0 == 3)
+  }
+
   test("vocabulary build: phrases+collections, underscores, dedup") {
     val vocab = Vocabulary.build(
       CorpusSources.loadPhrases(spark, paths("phrases")),
