@@ -123,6 +123,25 @@ object AnalysisQueries {
             array_min(col("wins")).as("min_fp"))
           .orderBy(col("doc_id"))
       },
-      None)
+      None),
+
+    // --- Zipf profile: frequency-of-frequencies of the term distribution
+    //     (log2 buckets) — the shape check every corpus pipeline runs ---
+    Q("q54_zipf_profile",
+      (s, dir) => {
+        fanout(Tables(s, dir, "documents"))
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+          .select(floor(log2(col("tf"))).cast("long").as("log2_tf_bucket"))
+          .groupBy(col("log2_tf_bucket"))
+          .agg(count(lit(1)).as("n_terms"))
+          .orderBy(col("log2_tf_bucket"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split(text,' ')) AS token FROM documents),
+             |tf AS (SELECT token, count(*) AS tf FROM toks GROUP BY 1)
+             |SELECT floor(log2(tf))::BIGINT AS log2_tf_bucket,
+             |       count(*) AS n_terms
+             |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

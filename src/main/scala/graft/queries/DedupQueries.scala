@@ -158,6 +158,44 @@ object DedupQueries {
              |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
              |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)),
 
+    // --- the deduplicated corpus view: every doc outside any near-dup
+    //     pair, plus one representative (min id) per cluster — the actual
+    //     output a training-data pipeline materializes. ---
+    Q("q37_dedup_kept_docs",
+      (s, dir) => {
+        val docs  = Tables(s, dir, "documents").select(col("doc_id"))
+        val pairs = lshVerifiedPairs(Tables(s, dir, "documents"), 0.7)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        val clustered = graft.operators.Dedup.connectedComponents(pairs)
+        val reps    = clustered.filter(col("id") === col("cluster_id"))
+          .select(col("id").as("doc_id"))
+        val inPairs = clustered.select(col("id").as("doc_id"))
+        docs.join(inPairs, Seq("doc_id"), "left_anti")
+          .unionByName(reps)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE
+             |t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+             |        for i in range(1, len(toks)-1)]) AS sh FROM t),
+             |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+             |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |      WHERE len(list_intersect(a.sh,b.sh))::DOUBLE
+             |        / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.7),
+             |e AS (SELECT ida AS a, idb AS b FROM p
+             |      UNION SELECT idb, ida FROM p),
+             |reach(a, b) AS (
+             |  SELECT a, b FROM e
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+             |cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             |       FROM reach GROUP BY a)
+             |SELECT doc_id FROM documents
+             |WHERE doc_id NOT IN (SELECT doc_id FROM cc)
+             |UNION ALL
+             |SELECT doc_id FROM cc WHERE doc_id = cluster_id
+             |ORDER BY doc_id""".stripMargin)),
+
     // --- brute-force n-gram Jaccard on a bounded slice (oracle twin /
     //     correctness baseline for the LSH path) ---
     Q("q33_dedup_ngram_jaccard",

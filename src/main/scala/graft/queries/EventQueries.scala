@@ -164,6 +164,31 @@ object EventQueries {
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- conversion funnel: users who clicked, and users who purchased
+    //     AFTER their first click (event-order-sensitive per-user agg —
+    //     one shuffle on user_id) ---
+    Q("q67_funnel",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+            max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"))
+          .agg(
+            count(col("first_click")).as("n_clicked"),
+            count(when(col("last_purchase") > col("first_click"), 1))
+              .as("n_converted"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type='click' THEN ts END) AS first_click,
+             |    max(CASE WHEN event_type='purchase' THEN ts END) AS last_purchase
+             |  FROM events GROUP BY 1)
+             |SELECT count(first_click) AS n_clicked,
+             |       count(CASE WHEN last_purchase > first_click THEN 1 END)
+             |         AS n_converted
+             |FROM u""".stripMargin))
   )
 }
