@@ -15,15 +15,27 @@ import org.apache.spark.storage.StorageLevel
   * large-scale shape (what GraphFrames/Pregel do under the hood), safe at
   * any graph size because nothing is ever collected to the driver; the
   * driver only checks the "any label changed?" bit per round.
+  *
+  * Iteration hygiene (the part naive loops get wrong at scale): the edge
+  * set is persisted once up front — its lineage is often an expensive
+  * candidate-generation pipeline (MinHash→LSH→verification) that must not
+  * re-run per round — and the label frontier is localCheckpoint'ed every
+  * few rounds so the plan doesn't accrete one join per iteration (growing
+  * lineage blows up planning time and, on executor loss, recompute cost).
   */
 object Dedup {
 
+  /** How often to truncate the label lineage. */
+  private val CheckpointEvery = 3
+
   /** edges: undirected pairs in columns (a, b). Returns (id, cluster_id)
     * for every node that appears in an edge, cluster_id = min node id of
-    * its component. */
+    * its component. Warns on stderr if maxIter is hit before convergence
+    * (returned labels are then an upper bound, not final clusters). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -33,11 +45,15 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("id").as("b"), col("lbl").as("blbl")), Seq("b"))
         .groupBy(col("a")).agg(min(col("blbl")).as("nbl"))
-      val next = labels
+      val joined = labels
         .join(nbrMin.select(col("a").as("id"), col("nbl")), Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val next =
+        if (iter % CheckpointEvery == CheckpointEvery - 1)
+          joined.localCheckpoint(eager = true)
+        else
+          joined.persist(StorageLevel.MEMORY_AND_DISK)
       changed = next
         .join(labels.select(col("id"), col("lbl").as("old")), Seq("id"))
         .filter(col("lbl") < col("old"))
@@ -46,6 +62,17 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels.withColumnRenamed("lbl", "cluster_id")
+    if (changed)
+      System.err.println(
+        s"[graft] Dedup.connectedComponents: NOT converged after $maxIter " +
+          "iterations — labels are not final; raise maxIter (graph diameter " +
+          "exceeds it)")
+    // Truncate lineage before releasing the edge cache so the returned frame
+    // never re-derives the (possibly very expensive) pair pipeline.
+    val out = labels.localCheckpoint(eager = true)
+      .withColumnRenamed("lbl", "cluster_id")
+    labels.unpersist()
+    sym.unpersist()
+    out
   }
 }

@@ -221,25 +221,27 @@ object DedupQueries {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // --- SimHash near-dup pairs: 64-bit signature from seeded token
-    //     hashes; pair generation via 4x16-bit chunk pigeonhole (hamming
-    //     <= 3 => at least one chunk equal), verified by bit_count(xor).
+    //     hashes, computed ENTIRELY map-side — per doc, a fold over the
+    //     bit positions of a fold over the token-hash array (the same
+    //     shuffle-free transform/aggregate shape MinHash uses above; the
+    //     explode-to-(doc,bit,±1) alternative pushes 64x every token row
+    //     through an exchange, and at 100 TB that shuffle IS the job).
+    //     Pair generation via 4x16-bit chunk pigeonhole (hamming <= 3 =>
+    //     at least one chunk equal), verified by bit_count(xor).
     //     Hash family is engine-internal -> no SQL oracle (rows-only). ---
     Q("q34_dedup_simhash",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
-        val tok = fanout(docs).select(col("doc_id"),
-          explode(split(col("text"), " ")).as("token"))
-        val contrib = tok.select(col("doc_id"),
-          xxhash64_seeded(7L, col("token")).as("h"))
-          .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("bit"), col("h"))
-          .select(col("doc_id"), col("bit"),
-            expr("(shiftrightunsigned(h, bit) & 1L) * 2 - 1").as("sgn"))
-        val sims = contrib
-          .groupBy(col("doc_id"), col("bit"))
-          .agg(sum(col("sgn")).as("bitsum"))
-          .groupBy(col("doc_id"))
-          .agg(sum(when(col("bitsum") > 0,
-            expr("shiftleft(1L, bit)")).otherwise(lit(0L))).as("simhash"))
+        val sims = fanout(docs)
+          .select(col("doc_id"),
+            transform(split(col("text"), " "),
+              t => xxhash64_seeded(7L, t)).as("hs"))
+          .select(col("doc_id"), expr(
+            """aggregate(sequence(0, 63), 0L, (acc, bit) ->
+              |  acc + IF(aggregate(hs, 0L,
+              |             (a, h) -> a + ((shiftrightunsigned(h, bit) & 1L) * 2 - 1)
+              |           ) > 0,
+              |           shiftleft(1L, bit), 0L))""".stripMargin).as("simhash"))
         val chunks = sims.select(col("doc_id"), col("simhash"),
           explode(sequence(lit(0), lit(3))).as("c"))
           .select(col("doc_id"), col("simhash"), col("c"),
@@ -256,11 +258,14 @@ object DedupQueries {
       },
       None),
 
-    // --- embedding-cosine near-dup pairs (threshold on the rounded value
-    //     so both engines compare identical 4-dp numbers) ---
+    // --- embedding-cosine near-dup, exact bounded twin: all-pairs cosine
+    //     on an explicitly bounded id slice (like q33 for shingles) — the
+    //     correctness baseline for the bucketed scale path q38 below.
+    //     Never run unbounded: all-pairs over the full table is O(n²). ---
     Q("q35_dedup_embedding_cosine",
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 500)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         e.toDF("id_a", "va")
           .join(e.toDF("id_b", "vb"), col("id_a") < col("id_b"))
@@ -269,11 +274,38 @@ object DedupQueries {
           .filter(col("sim") >= 0.4)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |           FROM embeddings WHERE vec_id < 500)
              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |       round(list_cosine_similarity(a.v,b.v), 4) AS sim
              |FROM e a JOIN e b ON a.vec_id < b.vec_id
              |WHERE round(list_cosine_similarity(a.v,b.v), 4) >= 0.4
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // --- embedding-cosine near-dup, bucketed scale path: candidates are
+    //     pairs sharing a random-hyperplane signature bucket (the q42
+    //     family), verified by exact cosine — an equi-join on the bucket
+    //     key instead of an unbounded cartesian, so the only all-pairs
+    //     work happens inside a bucket. Recall trades off against bucket
+    //     count (more planes = smaller buckets, lower recall per table;
+    //     production runs several plane-sets and unions candidates).
+    //     Engine-internal hash family -> rows-only gate; q35 is the exact
+    //     twin on the bounded slice. ---
+    Q("q38_dedup_cosine_lsh",
+      (s, dir) => {
+        val e = fanout(Tables(s, dir, "embeddings"))
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("bucket", SimilarityQueries.lshSignature(col("v")))
+        e.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
+          .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket")),
+            Seq("bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(graft.functions.cosine_sim(col("va"), col("vb")), 4).as("sim"))
+          .filter(col("sim") >= 0.4)
+          .distinct()
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None)
   )
 }

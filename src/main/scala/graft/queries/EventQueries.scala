@@ -83,7 +83,7 @@ object EventQueries {
              |per_sess AS (
              |  SELECT user_id, session_id, count(*) AS n_events
              |  FROM sess GROUP BY 1,2)
-             |SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+             |SELECT user_id, count(*) AS n_sessions, sum(n_events)::BIGINT AS n_events,
              |       round(avg(n_events),4) AS avg_events_per_session
              |FROM per_sess GROUP BY 1 ORDER BY 1""".stripMargin)),
 

@@ -33,8 +33,9 @@ object SimilarityQueries {
 
   /** Deterministic pseudo-random hyperplanes: component d of plane p is
     * +-1 from the sign bit of xxhash64(seed=p, d). The dot-product sign
-    * bits concatenate into the bucket signature. */
-  private def lshSignature(v: Column): Column = {
+    * bits concatenate into the bucket signature. Shared with the bucketed
+    * embedding-cosine dedup path (DedupQueries q38). */
+  private[queries] def lshSignature(v: Column): Column = {
     val planeDots: Seq[Column] = (0 until NumPlanes).map { p =>
       val signedSum = aggregate(
         zip_with(v,

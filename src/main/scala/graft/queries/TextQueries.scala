@@ -75,7 +75,7 @@ object TextQueries {
               |  SELECT doc_id, token, count(*) AS tf, any_value(wc) AS wc
               |  FROM toks GROUP BY 1,2)
               |SELECT token, count(*) AS document_frequency,
-              |       sum(tf) AS term_frequency, sum(wc) AS tdsum
+              |       sum(tf)::BIGINT AS term_frequency, sum(wc)::BIGINT AS tdsum
               |FROM per_doc GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true),
 
@@ -89,7 +89,7 @@ object TextQueries {
               |  SELECT doc_id, token, source, count(*) AS tf, any_value(wc) AS wc
               |  FROM toks GROUP BY 1,2,3)
               |SELECT token, source, count(*) AS document_frequency,
-              |       sum(tf) AS term_frequency, sum(wc) AS tdsum
+              |       sum(tf)::BIGINT AS term_frequency, sum(wc)::BIGINT AS tdsum
               |FROM per_doc GROUP BY 1,2 ORDER BY 1,2""".stripMargin),
       bench = true),
 
@@ -171,7 +171,7 @@ object TextQueries {
               |  FROM toks GROUP BY 1,2),
               |stats AS (
               |  SELECT token, count(*) AS document_frequency,
-              |         sum(tf) AS term_frequency, sum(wc) AS tdsum
+              |         sum(tf)::BIGINT AS term_frequency, sum(wc)::BIGINT AS tdsum
               |  FROM per_doc GROUP BY 1)
               |SELECT * FROM stats WHERE token IN (
               |  SELECT DISTINCT unnest(string_split(text,' ')) FROM documents
@@ -195,7 +195,7 @@ object TextQueries {
               |  SELECT doc_id, token, source, count(*) AS tf
               |  FROM toks GROUP BY 1,2,3),
               |stats AS (
-              |  SELECT token, source, sum(tf) AS term_frequency
+              |  SELECT token, source, sum(tf)::BIGINT AS term_frequency
               |  FROM per_doc GROUP BY 1,2),
               |ranked AS (
               |  SELECT source, token, term_frequency,
@@ -250,7 +250,7 @@ object TextQueries {
              |  SELECT * FROM per_doc WHERE contains(token,' ')
              |    AND token IN (SELECT token FROM vocab))
              |SELECT token, count(*) AS document_frequency,
-             |       sum(tf) AS term_frequency, sum(wc) AS tdsum
+             |       sum(tf)::BIGINT AS term_frequency, sum(wc)::BIGINT AS tdsum
              |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true)
   )

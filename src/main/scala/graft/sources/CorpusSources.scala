@@ -70,25 +70,59 @@ object CorpusSources {
       .groupBy("subsource")
       .agg(collect_list("source").as("sources"))
 
-  /** T4: line file with control-char stripping (reference `try_decode`,
-    * `base.py:234-266`). Divergence, pinned in tests: the reference
-    * silently DROPS lines that fail utf-8 decode; Spark's text reader
-    * replaces malformed bytes with U+FFFD — we drop those lines to match
-    * the reference's filtering effect. */
-  def loadDecoded(spark: SparkSession, path: String): DataFrame =
-    spark.read.text(path)
-      .filter(!col("value").contains("�"))
-      .select(regexp_replace(col("value"), "[\\x00\\x01\\t]", "").as("value"))
+  /** T4: line file with control-char stripping and a configurable input
+    * encoding (reference `try_decode`, `base.py:234-266`, whose loaders all
+    * take an `encoding` parameter). Matches the reference's semantics
+    * exactly: lines whose bytes are not valid in the charset are DROPPED.
+    *
+    * UTF-8 uses Spark's native text source with an `is_valid_utf8` filter —
+    * Spark never decodes text-source bytes (UTF8String wraps them raw), so
+    * validity must be checked at the byte level; a replacement-char
+    * `contains` filter can never fire because U+FFFD only appears when the
+    * raw bytes are rendered at collect time. Other charsets read raw line
+    * bytes via the Hadoop line reader (splits on the byte '\n' — correct
+    * for the ASCII-superset encodings the reference passes, e.g. latin-1/
+    * windows-1252) and strict-decode per partition, dropping failures. */
+  def loadDecoded(spark: SparkSession, path: String,
+      encoding: String = "UTF-8"): DataFrame = {
+    val lines =
+      if (encoding.equalsIgnoreCase("UTF-8"))
+        spark.read.text(path)
+          .filter(is_valid_utf8(col("value")))
+      else {
+        import spark.implicits._
+        val enc = encoding // serialize the string, not `this`
+        spark.sparkContext
+          .hadoopFile(path, classOf[org.apache.hadoop.mapred.TextInputFormat],
+            classOf[org.apache.hadoop.io.LongWritable],
+            classOf[org.apache.hadoop.io.Text])
+          .mapPartitions { it =>
+            val decoder = java.nio.charset.Charset.forName(enc).newDecoder()
+            it.flatMap { case (_, t) =>
+              // strict decode (REPORT on malformed) = reference's try/except
+              try Some(decoder.decode(
+                java.nio.ByteBuffer.wrap(t.getBytes, 0, t.getLength)).toString)
+              catch {
+                case _: java.nio.charset.CharacterCodingException => None
+              }
+            }
+          }
+          .toDF("value")
+      }
+    lines.select(regexp_replace(col("value"), "[\\x00\\x01\\t]", "").as("value"))
+  }
 
   /** T5: phrases file — first space-separated field, underscores to
     * spaces (reference `base.py:278-289`). */
-  def loadPhrases(spark: SparkSession, path: String): DataFrame =
-    loadDecoded(spark, path)
+  def loadPhrases(spark: SparkSession, path: String,
+      encoding: String = "UTF-8"): DataFrame =
+    loadDecoded(spark, path, encoding)
       .select(translate(split(col("value"), " ").getItem(0), "_", " ").as("phrase"))
 
   /** T6: collections file — whole line, underscores to spaces
     * (reference `base.py:292-303`). */
-  def loadCollections(spark: SparkSession, path: String): DataFrame =
-    loadDecoded(spark, path)
+  def loadCollections(spark: SparkSession, path: String,
+      encoding: String = "UTF-8"): DataFrame =
+    loadDecoded(spark, path, encoding)
       .select(translate(col("value"), "_", " ").as("phrase"))
 }

@@ -95,6 +95,39 @@ class VspacePipelineSpec extends SparkSpec {
     assert(tokens == Set("big data", "ignored", "data big"))
   }
 
+  test("latin-1 phrases decode via the encoding parameter (T5, base.py:253-266)") {
+    val p = s"$dir/phrases_latin1.txt"
+    val content = "café_crème extra\nnaïve"
+    Files.write(java.nio.file.Paths.get(p),
+      content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val latin1 = CorpusSources.loadPhrases(spark, p, encoding = "ISO-8859-1")
+      .collect().map(_.getString(0)).toSet
+    assert(latin1 == Set("café crème", "naïve"))
+    // under the UTF-8 default those byte sequences are invalid and the
+    // lines are dropped (reference try_decode semantics, enforced at the
+    // byte level by is_valid_utf8 — T4)
+    val utf8 = CorpusSources.loadPhrases(spark, p)
+      .collect().map(_.getString(0)).toSet
+    assert(utf8.isEmpty)
+  }
+
+  test("W1 divergence pinned: vocabulary is written pre-filtered") {
+    import spark.implicits._
+    // The reference writes the vocabulary CSV UNFILTERED and drops
+    // null/empty tokens only while building the DAWG
+    // (/root/reference/vspace/lookups/dawg.py:101-102); graft filters
+    // BEFORE the write (Vocabulary.build), so on dirty input the written
+    // vocabulary lacks the empty/whitespace rows the reference's file
+    // would carry. Membership semantics are identical either way — the
+    // reference's DAWG never contains those rows — only the written
+    // artifact diverges. This fixture pins that choice.
+    val phrases     = Seq("good one", "", "   ", "good one").toDF("phrase")
+    val collections = Seq("other").toDF("phrase")
+    val tokens = Vocabulary.build(phrases, collections)
+      .select("token").collect().map(_.getString(0)).toSet
+    assert(tokens == Set("good one", "other"))
+  }
+
   test("token counts: normalized unigrams+bigrams, hand-checked") {
     val counts = Corpus.tokenCounts(
       CorpusSources.loadRawCorpus(spark, paths("corpus")), maxNgrams = 2)

@@ -57,7 +57,12 @@ for name in sorted(oracle):
     bad = []
     for c in a.columns:
         av, bv = a[c], b[c]
-        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+        # Driver strictness: its hasher types values, so int64 vs float64 (or
+        # DuckDB HUGEINT landing as float64) is a FAIL even when values match.
+        a_float, b_float = pd.api.types.is_float_dtype(av), pd.api.types.is_float_dtype(bv)
+        if a_float != b_float:
+            bad.append(f"{c} (dtype spark={av.dtype} oracle={bv.dtype})")
+        elif a_float and b_float:
             ok = np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True)
             if not ok:
                 d = np.nanmax(np.abs(av.astype(float) - bv.astype(float)))
