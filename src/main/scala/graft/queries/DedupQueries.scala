@@ -156,7 +156,8 @@ object DedupQueries {
              |  UNION
              |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
              |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-             |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)),
+             |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
+      bench = true),
 
     // --- the deduplicated corpus view: every doc outside any near-dup
     //     pair, plus one representative (min id) per cluster — the actual
@@ -306,6 +307,7 @@ object DedupQueries {
           .distinct()
           .orderBy(col("id_a"), col("id_b"))
       },
-      None)
+      None,
+      bench = true)
   )
 }
