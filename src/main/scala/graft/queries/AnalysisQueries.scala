@@ -12,6 +12,27 @@ import graft.functions.{rolling_hash, word_ngrams}
   */
 object AnalysisQueries {
 
+  /** Per-document quality metrics (shared by q51 scoring and the q55
+    * filter verdict): word count, lexical diversity, stopword ratio, mean
+    * token length, and the composite quality score — all map-side. */
+  private def qualityMetrics(docs: org.apache.spark.sql.DataFrame) = {
+    fanout(docs)
+      .select(col("doc_id"),
+        split(col("text"), " ").as("toks"),
+        length(regexp_replace(col("text"), " ", "")).as("letters"))
+      .select(col("doc_id"),
+        size(col("toks")).as("wc"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+          .as("diversity"),
+        (size(filter(col("toks"), t => t.isin("the", "a"))).cast("double")
+          / size(col("toks"))).as("stop_ratio"),
+        (col("letters").cast("double") / size(col("toks"))).as("mean_tok_len"))
+      .withColumn("quality",
+        least(col("wc") / 100.0, lit(1.0)) * 0.4
+          + col("diversity") * 0.4
+          + (lit(1.0) - col("stop_ratio")) * 0.2)
+  }
+
   val queries: Seq[Q] = Seq(
 
     // --- stopword-ratio language heuristic vs the labeled lang column.
@@ -51,24 +72,12 @@ object AnalysisQueries {
     //     mean token length -> one composite score per document ---
     Q("q51_quality_scores",
       (s, dir) => {
-        val d = fanout(Tables(s, dir, "documents"))
-          .select(col("doc_id"),
-            split(col("text"), " ").as("toks"),
-            length(regexp_replace(col("text"), " ", "")).as("letters"))
-          .select(col("doc_id"),
-            size(col("toks")).as("wc"),
-            (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
-              .as("diversity"),
-            (size(filter(col("toks"), t => t.isin("the", "a"))).cast("double")
-              / size(col("toks"))).as("stop_ratio"),
-            (col("letters").cast("double") / size(col("toks"))).as("mean_tok_len"))
-        d.select(col("doc_id"), col("wc"),
+        qualityMetrics(Tables(s, dir, "documents"))
+          .select(col("doc_id"), col("wc"),
             round(col("diversity"), 4).as("diversity"),
             round(col("stop_ratio"), 4).as("stop_ratio"),
             round(col("mean_tok_len"), 4).as("mean_tok_len"),
-            round(least(col("wc") / 100.0, lit(1.0)) * 0.4
-              + col("diversity") * 0.4
-              + (lit(1.0) - col("stop_ratio")) * 0.2, 4).as("quality"))
+            round(col("quality"), 4).as("quality"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH d AS (
@@ -142,6 +151,42 @@ object AnalysisQueries {
              |tf AS (SELECT token, count(*) AS tf FROM toks GROUP BY 1)
              |SELECT floor(log2(tf))::BIGINT AS log2_tf_bucket,
              |       count(*) AS n_terms
-             |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- the corpus-filter verdict: the keep/drop decision a training-data
+    //     pipeline actually materializes, with the FIRST failing rule as
+    //     the reject reason (length bounds -> quality floor -> diversity
+    //     floor). Pure map-side over the shared quality metrics; at 100 TB
+    //     this is the single-scan pass that writes the kept corpus. ---
+    Q("q55_corpus_filter",
+      (s, dir) => {
+        qualityMetrics(Tables(s, dir, "documents"))
+          .select(col("doc_id"), col("wc"),
+            round(col("quality"), 4).as("quality"),
+            when(col("wc") < 5 || col("wc") > 1000, "len")
+              .when(col("quality") < 0.5, "quality")
+              .when(col("diversity") < 0.2, "diversity")
+              .otherwise("keep").as("verdict"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |m AS (
+             |  SELECT doc_id, len(toks) AS wc,
+             |         len(list_distinct(toks))::DOUBLE / len(toks) AS diversity,
+             |         len(list_filter(toks, t -> t IN ('the','a')))::DOUBLE
+             |           / len(toks) AS stop_ratio
+             |  FROM d),
+             |q AS (
+             |  SELECT doc_id, wc, diversity,
+             |         least(wc/100.0, 1.0)*0.4 + diversity*0.4
+             |           + (1.0-stop_ratio)*0.2 AS quality
+             |  FROM m)
+             |SELECT doc_id, wc, round(quality,4) AS quality,
+             |       CASE WHEN wc < 5 OR wc > 1000 THEN 'len'
+             |            WHEN quality < 0.5 THEN 'quality'
+             |            WHEN diversity < 0.2 THEN 'diversity'
+             |            ELSE 'keep' END AS verdict
+             |FROM q ORDER BY doc_id""".stripMargin))
   )
 }

@@ -52,6 +52,31 @@ object DedupQueries {
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Multi-table random-hyperplane LSH over cosine similarity: 8
+    * independent plane-sets, each vector exploded to one (table, bucket)
+    * key per set map-side, candidates = pairs sharing any key (equi-join,
+    * never a cartesian), verified by exact cosine and deduped. More tables
+    * = higher recall at linear candidate cost — the cosine analogue of
+    * MinHash banding. `e` must carry (vec_id, v). */
+  private val CosineTables = 8
+
+  private def cosineBucketedPairs(e: DataFrame, threshold: Double): DataFrame = {
+    val keyed = e.select(col("vec_id"), col("v"),
+        explode(array((0 until CosineTables).map(t =>
+          struct(lit(t).as("t"),
+            SimilarityQueries.lshSignature(col("v"), t).as("bk"))): _*)).as("tb"))
+      .select(col("vec_id"), col("v"),
+        col("tb.t").as("t"), col("tb.bk").as("bk"))
+    keyed.select(col("vec_id").as("id_a"), col("v").as("va"), col("t"), col("bk"))
+      .join(keyed.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("t"), col("bk")), Seq("t", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.cosine_sim(col("va"), col("vb")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+      .distinct()
+  }
+
   /** LSH candidate pairs, exact-verified at `threshold` (shared by the
     * pair query q32 and the cluster query q36). */
   private def lshVerifiedPairs(docs: DataFrame, threshold: Double): DataFrame = {
@@ -284,30 +309,47 @@ object DedupQueries {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // --- embedding-cosine near-dup, bucketed scale path: candidates are
-    //     pairs sharing a random-hyperplane signature bucket (the q42
-    //     family), verified by exact cosine — an equi-join on the bucket
-    //     key instead of an unbounded cartesian, so the only all-pairs
-    //     work happens inside a bucket. Recall trades off against bucket
-    //     count (more planes = smaller buckets, lower recall per table;
-    //     production runs several plane-sets and unions candidates).
-    //     Engine-internal hash family -> rows-only gate; q35 is the exact
-    //     twin on the bounded slice. ---
+    //     pairs sharing any of 8 random-hyperplane signature buckets
+    //     (multi-table LSH — the q42 family with independent plane-sets
+    //     unioned for recall), verified by exact cosine. An equi-join on
+    //     (table, bucket) instead of an unbounded cartesian, so the only
+    //     all-pairs work happens inside a bucket. Engine-internal hash
+    //     family -> rows-only gate; q35 is the exact twin on the bounded
+    //     slice and q39 measures this path's recall against it. ---
     Q("q38_dedup_cosine_lsh",
       (s, dir) => {
         val e = fanout(Tables(s, dir, "embeddings"))
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .withColumn("bucket", SimilarityQueries.lshSignature(col("v")))
-        e.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
-          .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket")),
-            Seq("bucket"))
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"),
-            round(graft.functions.cosine_sim(col("va"), col("vb")), 4).as("sim"))
-          .filter(col("sim") >= 0.4)
-          .distinct()
+        cosineBucketedPairs(e, 0.4)
           .orderBy(col("id_a"), col("id_b"))
       },
       None,
-      bench = true)
+      bench = true),
+
+    // --- recall of the bucketed path (q38) against the exact all-pairs
+    //     twin (q35) on the same bounded slice — the honest quality number
+    //     for the hyperplane bucketing, mirroring what q43 does for ANN.
+    //     Depends on the engine-internal hash family -> rows-only gate. ---
+    Q("q39_cosine_lsh_recall",
+      (s, dir) => {
+        val e = fanout(Tables(s, dir, "embeddings"))
+          .filter(col("vec_id") < 500)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val exact = e.toDF("id_a", "va")
+          .join(e.toDF("id_b", "vb"), col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(graft.functions.cosine_sim(col("va"), col("vb")), 4).as("sim"))
+          .filter(col("sim") >= 0.4)
+          .select(col("id_a"), col("id_b"))
+        val bucketed = cosineBucketedPairs(e, 0.4)
+          .select(col("id_a"), col("id_b"))
+        exact
+          .join(bucketed.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0))).as("n_found"),
+            round(sum(coalesce(col("hit"), lit(0))) / count(lit(1)), 4)
+              .as("recall"))
+      },
+      None)
   )
 }

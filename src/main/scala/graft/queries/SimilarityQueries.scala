@@ -32,15 +32,19 @@ object SimilarityQueries {
         col("embedding").cast("array<double>").as("v"))
 
   /** Deterministic pseudo-random hyperplanes: component d of plane p is
-    * +-1 from the sign bit of xxhash64(seed=p, d). The dot-product sign
-    * bits concatenate into the bucket signature. Shared with the bucketed
-    * embedding-cosine dedup path (DedupQueries q38). */
-  private[queries] def lshSignature(v: Column): Column = {
+    * +-1 from the sign bit of xxhash64(seed, d). The dot-product sign
+    * bits concatenate into the bucket signature. `table` selects an
+    * independent plane-set (disjoint seed range) so callers can run
+    * multi-table LSH — candidates unioned across tables, the standard
+    * recall lever (used by the bucketed embedding-cosine dedup path,
+    * DedupQueries q38/q39). */
+  private[queries] def lshSignature(v: Column, table: Int = 0): Column = {
     val planeDots: Seq[Column] = (0 until NumPlanes).map { p =>
+      val seed = (table * NumPlanes + p).toLong
       val signedSum = aggregate(
         zip_with(v,
           transform(sequence(lit(0), lit(63)),
-            d => when(xxhash64_seeded(p.toLong, d) >= 0, lit(1.0)).otherwise(lit(-1.0))),
+            d => when(xxhash64_seeded(seed, d) >= 0, lit(1.0)).otherwise(lit(-1.0))),
           (x, s) => x * s),
         lit(0.0), (acc, x) => acc + x)
       when(signedSum > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
@@ -56,6 +60,35 @@ object SimilarityQueries {
       .orderBy(col("sim").desc, col("vec_id"))
     all.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine_sim(col("qv"), col("v")), 4).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Multi-table LSH ANN: each vector keyed by (table, bucket) for
+    * `NumTables` independent plane-sets (one map-side explode), each query
+    * scores the UNION of its buckets across tables — the recall lever that
+    * single-table bucketing lacks. Candidates deduped before scoring, so
+    * cost stays linear in distinct candidates per query. */
+  private val NumTables = 8
+
+  private def annLshTopK(s: SparkSession, dir: String,
+      nQueries: Int, k: Int): DataFrame = {
+    val keyed = vecs(s, dir).select(col("vec_id"), col("v"),
+        explode(array((0 until NumTables).map(t =>
+          struct(lit(t).as("t"), lshSignature(col("v"), t).as("bk"))): _*)).as("tb"))
+      .select(col("vec_id"), col("v"),
+        col("tb.t").as("t"), col("tb.bk").as("bk"))
+    val q = keyed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("t"), col("bk"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    keyed.join(broadcast(q), Seq("t", "bk"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qv"), col("v"))
+      .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("vec_id"),
         round(cosine_sim(col("qv"), col("v")), 4).as("sim"))
       .withColumn("rank", row_number().over(w))
@@ -100,25 +133,13 @@ object SimilarityQueries {
              |SELECT label, round(sum(c*c),4) AS sqnorm
              |FROM x GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // --- ANN via random-hyperplane LSH buckets: each query scores only
-    //     its bucket. Engine-internal hash family -> rows-only gate;
-    //     quality is measured against exact kNN by q43. ---
+    // --- ANN via multi-table random-hyperplane LSH: each query scores the
+    //     union of its 8 table-buckets (candidates deduped before scoring).
+    //     Engine-internal hash family -> rows-only gate; quality is
+    //     measured against exact kNN by q43. ---
     Q("q42_ann_lsh",
-      (s, dir) => {
-        val all = vecs(s, dir).withColumn("bucket", lshSignature(col("v")))
-        val q = all.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"),
-            col("bucket").as("qbucket"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("vec_id"))
-        all.join(broadcast(q), col("bucket") === col("qbucket") &&
-            col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id"),
-            round(cosine_sim(col("qv"), col("v")), 4).as("sim"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 10)
-          .orderBy(col("query_id"), col("rank"))
-      },
+      (s, dir) => annLshTopK(s, dir, nQueries = 5, k = 10)
+        .orderBy(col("query_id"), col("rank")),
       None),
 
     // --- recall@10 of the LSH path vs brute force (self-contained quality
@@ -127,18 +148,7 @@ object SimilarityQueries {
       (s, dir) => {
         val exact = knn(s, dir, nQueries = 5, k = 10)
           .select(col("query_id"), col("vec_id"))
-        val all = vecs(s, dir).withColumn("bucket", lshSignature(col("v")))
-        val q = all.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"),
-            col("bucket").as("qbucket"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("vec_id"))
-        val ann = all.join(broadcast(q), col("bucket") === col("qbucket") &&
-            col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id"),
-            round(cosine_sim(col("qv"), col("v")), 4).as("sim"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 10)
+        val ann = annLshTopK(s, dir, nQueries = 5, k = 10)
           .select(col("query_id"), col("vec_id"))
         exact.join(ann.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
           .groupBy(col("query_id"))
