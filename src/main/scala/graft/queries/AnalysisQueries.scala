@@ -187,6 +187,45 @@ object AnalysisQueries {
              |            WHEN quality < 0.5 THEN 'quality'
              |            WHEN diversity < 0.2 THEN 'diversity'
              |            ELSE 'keep' END AS verdict
-             |FROM q ORDER BY doc_id""".stripMargin))
+             |FROM q ORDER BY doc_id""".stripMargin)),
+
+    // --- repetition filter (the Gopher-style repeated-n-gram rules):
+    //     duplicate-bigram and duplicate-trigram fractions per document,
+    //     entirely map-side from the token array (no explode, no shuffle —
+    //     at 100 TB this is part of the single quality scan). Thresholds
+    //     flag ~1/5 of the synthetic corpus so both classes appear. ---
+    Q("q57_repetition_filter",
+      (s, dir) => {
+        fanout(Tables(s, dir, "documents"))
+          .select(col("doc_id"),
+            word_ngrams(split(col("text"), " "), 2).as("bg"),
+            word_ngrams(split(col("text"), " "), 3).as("tg"))
+          .select(col("doc_id"),
+            round(lit(1.0) - size(array_distinct(col("bg"))).cast("double")
+              / greatest(size(col("bg")), lit(1)), 4).as("dup_bigram_frac"),
+            round(lit(1.0) - size(array_distinct(col("tg"))).cast("double")
+              / greatest(size(col("tg")), lit(1)), 4).as("dup_trigram_frac"))
+          .withColumn("repetitive",
+            col("dup_bigram_frac") > 0.05 || col("dup_trigram_frac") > 0.02)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+             |           FROM documents),
+             |g AS (SELECT doc_id,
+             |        [array_to_string(toks[i:i+1],' ')
+             |         for i in range(1, len(toks))] AS bg,
+             |        [array_to_string(toks[i:i+2],' ')
+             |         for i in range(1, len(toks)-1)] AS tg
+             |      FROM t),
+             |m AS (SELECT doc_id,
+             |        round(1 - len(list_distinct(bg))::DOUBLE
+             |          / greatest(len(bg), 1), 4) AS dup_bigram_frac,
+             |        round(1 - len(list_distinct(tg))::DOUBLE
+             |          / greatest(len(tg), 1), 4) AS dup_trigram_frac
+             |      FROM g)
+             |SELECT doc_id, dup_bigram_frac, dup_trigram_frac,
+             |       (dup_bigram_frac > 0.05 OR dup_trigram_frac > 0.02)
+             |         AS repetitive
+             |FROM m ORDER BY doc_id""".stripMargin))
   )
 }

@@ -350,6 +350,40 @@ object DedupQueries {
             round(sum(coalesce(col("hit"), lit(0))) / count(lit(1)), 4)
               .as("recall"))
       },
-      None)
+      None),
+
+    // --- benchmark decontamination: flag training documents sharing any
+    //     8-gram with a held-out benchmark set (here: the lang='zh' slice
+    //     stands in for an eval suite). Scale shape: benchmark n-grams are
+    //     tiny next to the corpus -> distinct + BROADCAST; corpus grams
+    //     explode map-side into the broadcast join, then one partial-agg'd
+    //     count per doc — the corpus text itself never shuffles. ---
+    Q("q56_decontaminate",
+      (s, dir) => {
+        val docs = fanout(Tables(s, dir, "documents"))
+        val bench = docs.filter(col("lang") === "zh")
+          .select(explode(word_ngrams(split(col("text"), " "), 8)).as("g"))
+          .distinct()
+        docs.filter(col("lang") =!= "zh")
+          .select(col("doc_id"),
+            explode(word_ngrams(split(col("text"), " "), 8)).as("g"))
+          .join(broadcast(bench), Seq("g"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("g")).as("n_hits"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks
+             |           FROM documents),
+             |bg AS (SELECT DISTINCT
+             |         unnest([array_to_string(toks[i:i+7],' ')
+             |                 for i in range(1, len(toks)-6)]) AS g
+             |       FROM t WHERE lang='zh'),
+             |cg AS (SELECT doc_id,
+             |         unnest([array_to_string(toks[i:i+7],' ')
+             |                 for i in range(1, len(toks)-6)]) AS g
+             |       FROM t WHERE lang<>'zh')
+             |SELECT doc_id, count(DISTINCT cg.g)::BIGINT AS n_hits
+             |FROM cg JOIN bg USING (g)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

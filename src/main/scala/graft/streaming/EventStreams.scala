@@ -39,6 +39,19 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket"), col("token"), col("n"))
 
+  /** Streaming exact deduplication: drop repeats of `keyCols` with
+    * watermark-bounded dedup state (the streaming twin of the q30/q31
+    * exact-dedup path — e.g. key on a content digest column to dedup a
+    * document stream). `withWatermark` + `dropDuplicatesWithinWatermark`
+    * keeps the state store bounded: a key is only remembered until the
+    * watermark passes it, which is the only unbounded-state-safe shape for
+    * an infinite stream. */
+  def dedupStream(rows: DataFrame, eventTimeCol: String, watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    rows
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(nEvents: Long, start: Long, lastTs: Long)

@@ -55,6 +55,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(!emitted.exists { case (_, t, n) => t == "click" && n == 3L })
   }
 
+  test("streaming dedup drops in-watermark repeats and bounds state") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)]
+    val out = EventStreams.dedupStream(
+      input.toDF().toDF("ts", "digest"), "ts", "10 minutes", Seq("digest"))
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    // one micro-batch per addData so the watermark actually advances
+    input.addData((ts(0), "A"), (ts(1), "A"), (ts(2), "B")) // dup A dropped
+    q.processAllAvailable()
+    input.addData((ts(5), "A")) // still within watermark of first A: dropped
+    q.processAllAvailable()
+    input.addData((ts(40), "C")) // watermark jumps past A's expiry
+    q.processAllAvailable()
+    input.addData((ts(45), "A")) // A's dedup state evicted: emitted again
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("dedup").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1))).toSet
+    assert(emitted == Set(
+      ("2024-01-01 10:00:00.0", "A"),
+      ("2024-01-01 10:02:00.0", "B"),
+      ("2024-01-01 10:40:00.0", "C"),
+      ("2024-01-01 10:45:00.0", "A")))
+  }
+
   test("stateful sessionization emits per-user session aggregates") {
     implicit val sq = spark.sqlContext
     implicit val sp = spark
