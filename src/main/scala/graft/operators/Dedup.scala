@@ -36,30 +36,36 @@ object Dedup {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("a").as("id")).distinct()
+    // `cached` is the frame actually holding materialized data (persisted or
+    // checkpointed); `labels` is the (id, lbl) view over it. Tracked
+    // separately so unpersist() targets the exact cached plan.
+    var cached = sym.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels  = cached
     var iter    = 0
     var changed = true
     while (changed && iter < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("id").as("b"), col("lbl").as("blbl")), Seq("b"))
         .groupBy(col("a")).agg(min(col("blbl")).as("nbl"))
+      // carry the "did this node improve?" bit through the update itself so
+      // the convergence check is a count on the materialized frame, not a
+      // second labels join per round
       val joined = labels
         .join(nbrMin.select(col("a").as("id"), col("nbl")), Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"),
+          (col("nbl") < col("lbl")).as("improved"))
       val next =
         if (iter % CheckpointEvery == CheckpointEvery - 1)
           joined.localCheckpoint(eager = true)
         else
           joined.persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next
-        .join(labels.select(col("id"), col("lbl").as("old")), Seq("id"))
-        .filter(col("lbl") < col("old"))
-        .limit(1).count() > 0
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("improved")).limit(1).count() > 0
+      cached.unpersist()
+      cached = next
+      labels = next.drop("improved")
       iter += 1
     }
     if (changed)
@@ -71,7 +77,7 @@ object Dedup {
     // never re-derives the (possibly very expensive) pair pipeline.
     val out = labels.localCheckpoint(eager = true)
       .withColumnRenamed("lbl", "cluster_id")
-    labels.unpersist()
+    cached.unpersist()
     sym.unpersist()
     out
   }
