@@ -162,47 +162,76 @@ object SimilarityQueries {
     //     (map-side vs a broadcast of k centroids), and each query scores
     //     only its nprobe=3 closest cells. At cluster scale the index is
     //     written partitionBy(cell) so probes become partition-pruned
-    //     scans. Engine-internal cell ids -> rows-only gate. ---
+    //     scans (IvfIndexSpec demonstrates the pruning). Engine-internal
+    //     cell ids -> rows-only gate; recall measured by q45. ---
     Q("q44_ann_ivf",
+      (s, dir) => ivfTopK(s, dir, nQueries = 5, k = 10, nprobe = 3)
+        .orderBy(col("query_id"), col("rank")),
+      None),
+
+    // --- recall@10 of the IVF path vs brute force (the q43 twin for the
+    //     coarse-quantizer index; rows-only for the same reason) ---
+    Q("q45_ivf_recall",
       (s, dir) => {
-        val all = vecs(s, dir)
-        // centroids: elementwise mean per label (k = #labels cells)
-        val cents = all
-          .select(col("label").as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("c"))
-          .groupBy(col("cell"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-            e => e.getField("c")).as("cv"))
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cd").desc, col("cell"))
-        val assigned = all.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("v"), col("cell"),
-            cosine_sim(col("v"), col("cv")).as("cd"))
-          .withColumn("cr", row_number().over(wAssign))
-          .filter(col("cr") === 1)
-          .select(col("vec_id"), col("v"), col("cell"))
-        // queries probe their nprobe nearest cells
-        val nprobe = 3
-        val wProbe = Window.partitionBy(col("query_id"))
-          .orderBy(col("cd").desc, col("cell"))
-        val probes = all.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"))
-          .crossJoin(broadcast(cents))
-          .select(col("query_id"), col("qv"), col("cell"),
-            cosine_sim(col("qv"), col("cv")).as("cd"))
-          .withColumn("cr", row_number().over(wProbe))
-          .filter(col("cr") <= nprobe)
-          .select(col("query_id"), col("qv"), col("cell"))
-        val wTop = Window.partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("vec_id"))
-        assigned.join(broadcast(probes), Seq("cell"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id"),
-            round(cosine_sim(col("qv"), col("v")), 4).as("sim"))
-          .withColumn("rank", row_number().over(wTop))
-          .filter(col("rank") <= 10)
-          .orderBy(col("query_id"), col("rank"))
+        val exact = knn(s, dir, nQueries = 5, k = 10)
+          .select(col("query_id"), col("vec_id"))
+        val ann = ivfTopK(s, dir, nQueries = 5, k = 10, nprobe = 3)
+          .select(col("query_id"), col("vec_id"))
+        exact.join(ann.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"))
+          .agg((sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
+          .orderBy(col("query_id"))
       },
       None)
   )
+
+  /** Per-cell centroids (elementwise mean; cells = labels — a stand-in
+    * for a trained coarse quantizer). Shared by the IVF query path and the
+    * partitioned-index writer. */
+  private[queries] def ivfCentroids(all: DataFrame): DataFrame =
+    all
+      .select(col("label").as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("c"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        e => e.getField("c")).as("cv"))
+
+  /** Nearest-cell assignment for every vector (map-side vs broadcast
+    * centroids) — the IVF index body: (vec_id, v, cell). */
+  private[queries] def ivfAssign(all: DataFrame, cents: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cd").desc, col("cell"))
+    all.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cell"),
+        cosine_sim(col("v"), col("cv")).as("cd"))
+      .withColumn("cr", row_number().over(wAssign))
+      .filter(col("cr") === 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+  }
+
+  private def ivfTopK(s: SparkSession, dir: String,
+      nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    val all   = vecs(s, dir)
+    val cents = ivfCentroids(all)
+    val assigned = ivfAssign(all, cents)
+    // queries probe their nprobe nearest cells
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cd").desc, col("cell"))
+    val probes = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cell"),
+        cosine_sim(col("qv"), col("cv")).as("cd"))
+      .withColumn("cr", row_number().over(wProbe))
+      .filter(col("cr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine_sim(col("qv"), col("v")), 4).as("sim"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+  }
 }
