@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{word_ngrams, xxhash64_seeded}
+
+/** MinHash + LSH banding primitives, shared by the batch near-dup queries
+  * (`graft.queries.DedupQueries`) and the streaming near-dup flagger
+  * (`graft.streaming.EventStreams.nearDupFlags`) so both paths use the
+  * identical hash family and banding scheme.
+  *
+  * Everything here is map-side: shingling, the 64-hash signature
+  * (array_min over transform — no explode, no shuffle), and the band-key
+  * explosion (one (band, band-hash) row per band per document). The only
+  * shuffle in any consumer is the equi-join on (band, bh).
+  */
+object MinHash {
+
+  val NumHashes = 64
+  val BandRows  = 2 // 32 bands x 2 rows: P(miss | j>=0.8) ~ 6e-15
+  val NumBands: Int = NumHashes / BandRows
+
+  /** Distinct n-token shingles of a whitespace-tokenized text column. */
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(word_ngrams(split(text, " "), n))
+
+  /** The 64 MinHash signature values of a shingle-array column: for hash
+    * family i (seeded xxhash64), the min over the document's shingles. */
+  def signature(shingleCol: Column): Seq[Column] =
+    (0 until NumHashes).map { i =>
+      array_min(transform(shingleCol, s => xxhash64_seeded(i.toLong, s)))
+        .as(s"mh_$i")
+    }
+
+  /** One (band, bh) struct per band, hashing that band's signature rows. */
+  private def bandStructs: Seq[Column] =
+    (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64_seeded(1000L + b,
+          (0 until BandRows).map(r => col(s"mh_${b * BandRows + r}")): _*)
+          .as("bh"))
+    }
+
+  /** Band bucket keys for every row of `df`: `carryCols` + (band, bh),
+    * NumBands rows per input row. Rows with no shingles (< n tokens) are
+    * dropped, matching the batch pipeline. Works on streaming frames too —
+    * every step is a stateless projection. */
+  def bandKeys(df: DataFrame, textCol: String, carryCols: Seq[String]): DataFrame = {
+    val sigs = df
+      .withColumn("__sh", shingles(col(textCol)))
+      .filter(size(col("__sh")) > 0)
+      .select(carryCols.map(col) :+ col("__sh"): _*)
+      .select(carryCols.map(col) ++ signature(col("__sh")): _*)
+    sigs
+      .select(carryCols.map(col) :+ explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(carryCols.map(col) :+ col("bk.band").as("band") :+ col("bk.bh").as("bh"): _*)
+  }
+}

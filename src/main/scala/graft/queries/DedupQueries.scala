@@ -20,32 +20,11 @@ import graft.functions.{word_ngrams, xxhash64_seeded}
   */
 object DedupQueries {
 
-  private val NumHashes = 64
-  private val BandRows  = 2  // 32 bands x 2 rows: P(miss | j>=0.8) ~ 6e-15
-  private val NumBands  = NumHashes / BandRows
-
   /** doc_id + distinct 3-token shingles (fanned out first: shingling and
     * everything downstream is CPU-bound, not scan-bound). */
   private def shingled(docs: DataFrame): DataFrame =
     fanout(docs).select(col("doc_id"),
-      array_distinct(word_ngrams(split(col("text"), " "), 3)).as("shingles"))
-
-  /** MinHash signature: for hash family i (seeded xxhash64), the min over
-    * the doc's shingles — computed entirely map-side with
-    * array_min(transform(...)), so signature generation is a single
-    * shuffle-free scan (the explode + 64-way min-groupBy alternative moves
-    * every (doc, shingle) row through an exchange; at 100 TB that shuffle
-    * IS the job). Docs with no shingles (< 3 tokens) are dropped, matching
-    * the explode formulation which emits no rows for them. */
-  private def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sigCols: Seq[Column] = (0 until NumHashes).map { i =>
-      array_min(transform(col("shingles"), s => xxhash64_seeded(i.toLong, s)))
-        .as(s"mh_$i")
-    }
-    shingled(docs)
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id") +: sigCols: _*)
-  }
+      graft.operators.MinHash.shingles(col("text")).as("shingles"))
 
   /** Exact Jaccard between two pre-distinct shingle arrays (set semantics
     * on both engines: array_intersect/array_union vs list_intersect). */
@@ -78,18 +57,14 @@ object DedupQueries {
   }
 
   /** LSH candidate pairs, exact-verified at `threshold` (shared by the
-    * pair query q32 and the cluster query q36). */
+    * pair query q32 and the cluster query q36). Signature + banding math
+    * lives in operators.MinHash — map-side end to end (the explode +
+    * 64-way min-groupBy alternative moves every (doc, shingle) row through
+    * an exchange; at 100 TB that shuffle IS the job); the band equi-join
+    * below is the only shuffle of candidate generation. */
   private def lshVerifiedPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sigs = minhashSignatures(docs)
-    val bandCols = (0 until NumBands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64_seeded(1000L + b,
-          (0 until BandRows).map(r => col(s"mh_${b * BandRows + r}")): _*)
-          .as("bh"))
-    }
-    val buckets = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val buckets = graft.operators.MinHash.bandKeys(
+      fanout(docs).select(col("doc_id"), col("text")), "text", Seq("doc_id"))
     val cands = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

@@ -52,6 +52,31 @@ object EventStreams {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming near-dup candidate flagging: stream-static LEFT-SEMI join
+    * of the stream's MinHash band keys against a pre-built corpus band
+    * index — each incoming document is flagged iff it shares any LSH
+    * bucket with the reference corpus. This is the candidate stage only
+    * (band collision, no exact-Jaccard verification — that stays a batch
+    * join against the matched corpus docs); the identical hash family and
+    * banding as the batch q32 path via operators.MinHash, so a doc flagged
+    * here is exactly a doc the batch pipeline would have candidate-paired.
+    * Stream-static joins keep no state; the trailing dedup of band
+    * matches is watermark-bounded. */
+  def nearDupFlags(docs: DataFrame, corpusIndex: DataFrame,
+      eventTimeCol: String = "ts", watermark: String = "10 minutes"): DataFrame =
+    graft.operators.MinHash
+      .bandKeys(docs.withWatermark(eventTimeCol, watermark),
+        "text", Seq("doc_id", eventTimeCol))
+      .join(corpusIndex, Seq("band", "bh"), "left_semi")
+      .dropDuplicatesWithinWatermark("doc_id")
+
+  /** The static side for [[nearDupFlags]]: distinct (band, bh) bucket keys
+    * of a reference corpus (at scale: computed once, written to parquet,
+    * and re-read — it is ~32 small rows per corpus document). */
+  def corpusBandIndex(corpus: DataFrame): DataFrame =
+    graft.operators.MinHash.bandKeys(corpus, "text", Seq("doc_id"))
+      .select(col("band"), col("bh")).distinct()
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(nEvents: Long, start: Long, lastTs: Long)

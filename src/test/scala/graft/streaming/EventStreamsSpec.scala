@@ -82,6 +82,33 @@ class EventStreamsSpec extends SparkSpec {
       ("2024-01-01 10:45:00.0", "A")))
   }
 
+  test("stream-static near-dup flagging against a corpus band index") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "completely different reference material here today"))
+      .toDF("doc_id", "text")
+    val index = EventStreams.corpusBandIndex(corpus)
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = EventStreams.nearDupFlags(
+      input.toDF().toDF("ts", "doc_id", "text"), index)
+    val q = out.writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      // exact copy of corpus doc 100: identical signature, must flag
+      (ts(0), 1L, "the quick brown fox jumps over the lazy dog"),
+      // novel content: no shared shingles, must pass unflagged
+      (ts(1), 2L, "entirely novel words that match no corpus shingle set"))
+    q.processAllAvailable()
+    input.addData((ts(30), 3L, "advance the watermark past the first batch"))
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.table("neardup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L))
+  }
+
   test("stateful sessionization emits per-user session aggregates") {
     implicit val sq = spark.sqlContext
     implicit val sp = spark
