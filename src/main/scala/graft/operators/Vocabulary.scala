@@ -24,14 +24,23 @@ object Vocabulary {
 
   /** Union phrases + collections, dedup, assign ids
     * (reference `base.py:341-355`; ids via monotonically_increasing_id are
-    * non-contiguous there too and never consumed downstream). */
-  def build(phrases: DataFrame, collections: DataFrame): DataFrame =
-    phrases.toDF("token")
-      .union(collections.toDF("token"))
-      .na.drop()
-      .filter(length(trim(col("token"))) =!= 0)
-      .distinct()
-      .withColumn("tokenid", monotonically_increasing_id())
+    * non-contiguous there too and never consumed downstream).
+    *
+    * `preFilter = true` (default) drops null/blank tokens BEFORE the
+    * vocabulary is written — a pinned divergence: the reference writes the
+    * CSV unfiltered and only drops those rows inside the DAWG build
+    * (`dawg.py:101-102`), so membership semantics are identical either
+    * way. Pass `preFilter = false` for a byte-faithful reference artifact
+    * on dirty input. */
+  def build(phrases: DataFrame, collections: DataFrame,
+      preFilter: Boolean = true): DataFrame = {
+    val unioned = phrases.toDF("token").union(collections.toDF("token"))
+    val cleaned =
+      if (preFilter)
+        unioned.na.drop().filter(length(trim(col("token"))) =!= 0)
+      else unioned
+    cleaned.distinct().withColumn("tokenid", monotonically_increasing_id())
+  }
 
   sealed trait TokenFilter {
     /** Keep rows of `df` whose `tokenCol` passes the reference predicate:
