@@ -34,26 +34,34 @@ object DedupQueries {
   /** Multi-table random-hyperplane LSH over cosine similarity: 8
     * independent plane-sets, each vector exploded to one (table, bucket)
     * key per set map-side, candidates = pairs sharing any key (equi-join,
-    * never a cartesian), verified by exact cosine and deduped. More tables
-    * = higher recall at linear candidate cost — the cosine analogue of
-    * MinHash banding. `e` must carry (vec_id, v). */
+    * never a cartesian), verified by exact cosine. More tables = higher
+    * recall at linear candidate cost — the cosine analogue of MinHash
+    * banding. Same staging as lshVerifiedPairs: the bucket join moves only
+    * (id, table, bucket) — never the vectors — and candidate pairs are
+    * DISTINCT'd before verification, so each pair is scored once however
+    * many tables it collides in and vector payloads move only in the
+    * id-keyed verification joins, proportional to candidates.
+    * `e` must carry (vec_id, v). */
   private val CosineTables = 8
 
   private def cosineBucketedPairs(e: DataFrame, threshold: Double): DataFrame = {
-    val keyed = e.select(col("vec_id"), col("v"),
+    val keyed = e.select(col("vec_id"),
         explode(array((0 until CosineTables).map(t =>
           struct(lit(t).as("t"),
             SimilarityQueries.lshSignature(col("v"), t).as("bk"))): _*)).as("tb"))
-      .select(col("vec_id"), col("v"),
-        col("tb.t").as("t"), col("tb.bk").as("bk"))
-    keyed.select(col("vec_id").as("id_a"), col("v").as("va"), col("t"), col("bk"))
-      .join(keyed.select(col("vec_id").as("id_b"), col("v").as("vb"),
-        col("t"), col("bk")), Seq("t", "bk"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bk").as("bk"))
+    val cands = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cands
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(graft.functions.cosine_sim(col("va"), col("vb")), 4).as("sim"))
       .filter(col("sim") >= threshold)
-      .distinct()
   }
 
   /** LSH candidate pairs, exact-verified at `threshold` (shared by the
