@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{NormalizeText, RollingHash}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** SQL surface of the engine: registers graft's expression library with a
+  * session via `spark.sql.extensions=graft.GraftExtensions`, so every
+  * capability reachable from the Column API is equally reachable from
+  * `spark.sql(...)` / JDBC / notebooks — the reference exposes its text
+  * kernels only inside its own pipeline (`/root/reference/vspace/utils/
+  * text.py:5-17` is a Python closure invisible to SQL); here they are
+  * first-class Catalyst functions that stay inside WholeStageCodegen.
+  *
+  * Registered functions:
+  *   - `normalize_text(s)`       — NFC + lowercase + `\w+` re-join (F1)
+  *   - `rolling_hash(s)`         — 64-bit polynomial fingerprint hash
+  *   - `xxhash64_seeded(seed,…)` — seeded hash family (MinHash/SimHash)
+  *   - `cosine_sim(a, b)`        — cosine similarity of array<double>
+  *   - `word_ngrams(toks, n)`    — exact-n word n-grams, space-joined
+  *   - `everygrams(toks, lo, hi)`— all n-grams for n in [lo, hi]
+  *
+  * All six compose from built-ins or codegen'd unary expressions — no UDF
+  * registry entries, so SQL users get identical plans (and identical 100 TB
+  * scaling) to Column-API users.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  /** Adapt a Column-level combinator into a SQL function builder (the
+    * Column result is fully converted back to a Catalyst tree — lambda
+    * nodes and all — since the registry hands it straight to the analyzer). */
+  private def fromColumns(f: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)
+      : Seq[Expression] => Expression =
+    exprs => Bridge.toExpression(f(exprs.map(Bridge.column)))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("normalize_text"),
+      info("normalize_text", "normalize_text(str) - NFC + lowercase + word-char runs joined by spaces."),
+      (exprs: Seq[Expression]) => NormalizeText(exprs.head)))
+
+    ext.injectFunction((FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(str) - 64-bit polynomial hash over the 2^64 ring."),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+
+    ext.injectFunction((FunctionIdentifier("xxhash64_seeded"),
+      info("xxhash64_seeded", "xxhash64_seeded(seed, expr...) - xxhash64 under an explicit seed (independent hash families)."),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.XxHash64(
+          exprs.tail,
+          exprs.head.eval(null).asInstanceOf[Number].longValue())))
+
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two array<double> vectors."),
+      fromColumns { case Seq(a, b) => graft.functions.cosine_sim(a, b) }))
+
+    ext.injectFunction((FunctionIdentifier("word_ngrams"),
+      info("word_ngrams", "word_ngrams(tokens, n) - space-joined n-grams of exactly n tokens."),
+      fromColumns { case Seq(toks, n) => graft.functions.word_ngrams(toks, n) }))
+
+    ext.injectFunction((FunctionIdentifier("everygrams"),
+      info("everygrams", "everygrams(tokens, lo, hi) - all n-grams for n in [lo, hi], flattened."),
+      (exprs: Seq[Expression]) => {
+        val lo = exprs(1).eval(null).asInstanceOf[Number].intValue()
+        val hi = exprs(2).eval(null).asInstanceOf[Number].intValue()
+        Bridge.toExpression(
+          graft.functions.everygrams(Bridge.column(exprs.head), lo, hi))
+      }))
+  }
+}

@@ -226,6 +226,64 @@ object AnalysisQueries {
              |SELECT doc_id, dup_bigram_frac, dup_trigram_frac,
              |       (dup_bigram_frac > 0.05 OR dup_trigram_frac > 0.02)
              |         AS repetitive
-             |FROM m ORDER BY doc_id""".stripMargin))
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // --- sequence packing (concat-then-chunk): documents are concatenated
+    //     in doc_id order WITHIN EACH SOURCE and cut into 512-token bins —
+    //     the standard pretraining packing shape. Packing per source (not
+    //     globally) is the scale decision: a single global ordered cumsum
+    //     would funnel 100 TB through one partition; per-source windows
+    //     parallelize across sources while keeping each bin deterministic. ---
+    Q("q58_sequence_packing",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Long.MinValue, -1)
+        fanout(Tables(s, dir, "documents"))
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("wc"))
+          .withColumn("cum_before", coalesce(sum(col("wc")).over(w), lit(0L)))
+          .withColumn("bin_id", expr("cum_before div 512"))
+          .groupBy(col("source"), col("bin_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("wc")).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy(col("source"), col("bin_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, len(string_split(text,' '))::BIGINT AS wc
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, wc,
+             |    coalesce(sum(wc) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             |      AS cum_before
+             |  FROM d)
+             |SELECT source, cum_before // 512 AS bin_id, count(*) AS n_docs,
+             |       sum(wc)::BIGINT AS n_tokens,
+             |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM c GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // --- deterministic stratified sampling: keep a per-language fraction
+    //     chosen by an md5 threshold on doc_id (en downsampled to ~25%,
+    //     others kept at ~75%) — the rebalancing pass every multilingual
+    //     training mix runs. Hash-threshold sampling is reproducible across
+    //     runs/engines/cluster sizes and needs no shuffle or state, unlike
+    //     rand()-based sampling; the first two hex chars of md5 give 256
+    //     uniform buckets and hex strings compare lexicographically. ---
+    Q("q59_stratified_sample",
+      (s, dir) => {
+        fanout(Tables(s, dir, "documents"))
+          .select(col("doc_id"), col("lang"),
+            substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+              .as("h"))
+          .filter(col("h") < when(col("lang") === "en", "40").otherwise("c0"))
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang, substr(md5(doc_id::VARCHAR),1,2) AS h
+             |  FROM documents)
+             |WHERE h < CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -189,6 +189,36 @@ object EventQueries {
              |SELECT count(first_click) AS n_clicked,
              |       count(CASE WHEN last_purchase > first_click THEN 1 END)
              |         AS n_converted
-             |FROM u""".stripMargin))
+             |FROM u""".stripMargin)),
+
+    // --- interval-join attribution: every purchase paired with the same
+    //     user's views in the preceding 30 min (batch twin of the
+    //     stream-stream EventStreams.intervalJoin — identical semantics,
+    //     this one DuckDB-oracled). Scale shape: equi-join on user_id with
+    //     the time predicate as a post-join filter — one shuffle per side,
+    //     per-user fan-in bounded by the lag window; a pathological
+    //     single-user skew is AQE-split. ---
+    Q("q68_attribution",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("v_ts"),
+            col("event_id").as("view_id"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"))
+        purch.join(views, Seq("user_id"))
+          .filter(col("p_ts") > col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 1800 SECONDS"))
+          .groupBy(col("user_id"), col("purchase_id"))
+          .agg(count(lit(1)).as("n_views"), min(col("view_id")).as("first_view_id"))
+          .orderBy(col("user_id"), col("purchase_id"))
+      },
+      Some("""SELECT p.user_id, p.event_id AS purchase_id,
+             |       count(*) AS n_views, min(v.event_id) AS first_view_id
+             |FROM events p JOIN events v ON p.user_id = v.user_id
+             |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+             |  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1800 SECONDS
+             |GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
   )
 }

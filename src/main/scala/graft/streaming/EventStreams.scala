@@ -77,6 +77,31 @@ object EventStreams {
     graft.operators.MinHash.bandKeys(corpus, "text", Seq("doc_id"))
       .select(col("band"), col("bh")).distinct()
 
+  /** Stream-stream interval join: pair each `effectType` event with every
+    * `causeType` event by the same user in the preceding `maxLagSecs`
+    * (e.g. purchases attributed to recent views). Both sides carry
+    * watermarks and the join condition bounds event time on both ends,
+    * which is exactly what lets Spark evict join state — the only
+    * unbounded-state-safe shape for a stream-stream join. The batch twin
+    * (identical semantics, DuckDB-oracled) is q68_attribution. */
+  def intervalJoin(causes: DataFrame, effects: DataFrame,
+      maxLagSecs: Long = 1800, watermark: String = "10 minutes"): DataFrame = {
+    val c = causes
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("cause_id"))
+      .withWatermark("c_ts", watermark)
+    val e = effects
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("effect_id"))
+      .withWatermark("e_ts", watermark)
+    c.join(e,
+        col("c_user") === col("e_user") &&
+          col("e_ts") > col("c_ts") &&
+          col("e_ts") <= col("c_ts") + expr(s"INTERVAL $maxLagSecs SECONDS"))
+      .select(col("c_user").as("user_id"), col("cause_id"), col("effect_id"),
+        col("c_ts"), col("e_ts"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(nEvents: Long, start: Long, lastTs: Long)

@@ -13,4 +13,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column     = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Fully convert a Column (possibly built from `functions._` column
+    * nodes, lambdas included) into a Catalyst Expression tree. Unlike
+    * `expression`, which wraps non-expression nodes in an unevaluable
+    * `ColumnNodeExpression`, this runs the classic converter — required
+    * when the result is handed to Catalyst directly (e.g. a FunctionRegistry
+    * builder) rather than through a DataFrame API that converts lazily. */
+  def toExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** The SQL surface registered by [[GraftExtensions]]: every function must
+  * return exactly what its Column-API twin returns, from a plain
+  * `spark.sql(...)` string. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("normalize_text is callable from SQL and matches the Column API") {
+    val r = spark.sql("SELECT normalize_text('Hello, World!  CAFÉ') AS n").head()
+    assert(r.getString(0) == "hello world café")
+  }
+
+  test("rolling_hash from SQL agrees with the Column API") {
+    import spark.implicits._
+    val df = Seq("abc", "", "the quick brown fox").toDF("s")
+    df.createOrReplaceTempView("rh_in")
+    val viaSql = spark.sql("SELECT s, rolling_hash(s) AS h FROM rh_in")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaCol = df.select($"s", graft.functions.rolling_hash($"s").as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaCol)
+  }
+
+  test("xxhash64_seeded gives distinct families per seed, stable per seed") {
+    val rows = spark.sql(
+      """SELECT xxhash64_seeded(1, 'tok') AS a, xxhash64_seeded(2, 'tok') AS b,
+        |       xxhash64_seeded(1, 'tok') AS a2""".stripMargin).head()
+    assert(rows.getLong(0) != rows.getLong(1))
+    assert(rows.getLong(0) == rows.getLong(2))
+  }
+
+  test("cosine_sim from SQL: orthogonal -> 0, identical -> 1") {
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0d, 0.0d), array(0.0d, 2.0d)) AS o,
+        |       cosine_sim(array(1.0d, 2.0d), array(2.0d, 4.0d)) AS i""".stripMargin)
+      .head()
+    assert(math.abs(r.getDouble(0)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("word_ngrams and everygrams from SQL") {
+    val r = spark.sql(
+      """SELECT word_ngrams(array('a','b','c'), 2) AS bi,
+        |       everygrams(array('a','b','c'), 1, 3) AS ev""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("a b", "b c"))
+    assert(r.getSeq[String](1) ==
+      Seq("a", "b", "c", "a b", "b c", "a b c"))
+  }
+
+  test("SQL-registered normalize_text stays codegen'd (no UDF in the plan)") {
+    val plan = spark.sql("SELECT normalize_text('x') AS n")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+
+  test("a full stats query runs end-to-end in pure SQL") {
+    import spark.implicits._
+    Seq((0L, "The Cat! sat"), (1L, "the cat SAT down"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sql_docs")
+    val out = spark.sql(
+      """SELECT token, count(DISTINCT doc_id) AS document_frequency,
+        |       count(*) AS term_frequency
+        |FROM (SELECT doc_id, explode(split(normalize_text(text), ' ')) AS token
+        |      FROM sql_docs)
+        |GROUP BY token ORDER BY token""".stripMargin).collect()
+    assert(out.toSeq == Seq(
+      Row("cat", 2L, 2L), Row("down", 1L, 1L), Row("sat", 2L, 2L),
+      Row("the", 2L, 2L)))
+  }
+}

@@ -109,6 +109,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(flagged == Set(1L))
   }
 
+  test("stream-stream interval join attributes purchases to recent views") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val views     = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val out = EventStreams.intervalJoin(
+      views.toDF().toDF("event_id", "ts", "user_id"),
+      purchases.toDF().toDF("event_id", "ts", "user_id"),
+      maxLagSecs = 1800)
+    val q = out.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    views.addData((1L, ts(0), 100L), (2L, ts(5), 200L), (3L, ts(5), 300L))
+    purchases.addData(
+      (10L, ts(20), 100L), // 20 min after view 1: attributed
+      (11L, ts(50), 100L), // 50 min after view 1: outside the lag window
+      (12L, ts(10), 200L), //  5 min after view 2: attributed
+      (13L, ts(0), 300L))  // before view 3: never attributed
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("attrib")
+      .select("user_id", "cause_id", "effect_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((100L, 1L, 10L), (200L, 2L, 12L)))
+  }
+
   test("stateful sessionization emits per-user session aggregates") {
     implicit val sq = spark.sqlContext
     implicit val sp = spark
