@@ -55,6 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           exprs.tail,
           exprs.head.eval(null).asInstanceOf[Number].longValue())))
 
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two array<double> vectors (codegen'd kernel)."),
+      (exprs: Seq[Expression]) => graft.functions.VecDot(exprs(0), exprs(1))))
+
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two array<double> vectors."),
       fromColumns { case Seq(a, b) => graft.functions.cosine_sim(a, b) }))

@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Catalyst-native text normalizer (Unicode NFC + lowercase + `\w+` re-join).
@@ -44,4 +45,66 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
     copy(child = newChild)
+}
+
+/** Codegen'd dot product of two array<double> vectors — the hot kernel of
+  * every similarity/dedup path (cosine verification, kNN scoring, centroid
+  * assignment). Spark's own `aggregate`/`zip_with` formulation is correct
+  * but NEVER enters WholeStageCodegen (higher-order functions are
+  * interpreted, with a lambda-variable box per element); this expression
+  * is one fused primitive loop. Accumulation order is the same sequential
+  * left fold, so results are bit-identical to the HOF form (and to
+  * DuckDB's list fold, which the q35 oracle depends on).
+  *
+  * Null semantics match `aggregate(zip_with(a, b, _*_), 0.0, _+_)`:
+  * null if either input, any element, or — via zip_with's null padding —
+  * the length parity is off (mismatched lengths yield null).
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
 }

@@ -58,8 +58,11 @@ package object functions {
 
   // ---- vector math over array<double> (embedding columns) ----
 
+  /** Dot product via the codegen'd [[VecDot]] kernel (bit-identical to the
+    * `aggregate(zip_with(...))` fold, but it stays in WholeStageCodegen —
+    * HOF lambdas never do). */
   def vec_dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    Bridge.column(VecDot(ex(a), ex(b)))
 
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
 

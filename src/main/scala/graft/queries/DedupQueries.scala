@@ -50,6 +50,14 @@ object DedupQueries {
           struct(lit(t).as("t"),
             SimilarityQueries.lshSignature(col("v"), t).as("bk"))): _*)).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bk").as("bk"))
+      // The (t, bk) keyed rows are tiny, so AQE coalesces the join shuffle
+      // to a handful of partitions — but the work AFTER the shuffle is the
+      // quadratic in-bucket pair expansion, which that coalescing
+      // serializes. An explicit user repartition on the join keys is
+      // exempt from AQE coalescing and both self-join sides reuse the one
+      // exchange, so the expansion keeps full parallelism.
+      .repartition(e.sparkSession.sparkContext.defaultParallelism,
+        col("t"), col("bk"))
     val cands = keyed.as("a")
       .join(keyed.as("b"),
         col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&

@@ -41,12 +41,18 @@ object SimilarityQueries {
   private[queries] def lshSignature(v: Column, table: Int = 0): Column = {
     val planeDots: Seq[Column] = (0 until NumPlanes).map { p =>
       val seed = (table * NumPlanes + p).toLong
-      val signedSum = aggregate(
-        zip_with(v,
-          transform(sequence(lit(0), lit(63)),
-            d => when(xxhash64_seeded(seed, d) >= 0, lit(1.0)).otherwise(lit(-1.0))),
-          (x, s) => x * s),
-        lit(0.0), (acc, x) => acc + x)
+      // The plane is a constant — but Catalyst never constant-folds inside
+      // higher-order-function lambdas, so writing it as
+      // transform(sequence(0,63), d -> xxhash64(seed, d)...) re-hashes 64
+      // ints PER ROW (x planes x tables). Evaluate the identical hash once
+      // here and ship the +-1 components as a literal array.
+      val signs: Seq[Double] = (0 until 64).map { d =>
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(org.apache.spark.sql.catalyst.expressions.Literal(d)), seed)
+          .eval(null).asInstanceOf[Long]
+        if (h >= 0) 1.0 else -1.0
+      }
+      val signedSum = graft.functions.vec_dot(v, typedLit(signs))
       when(signedSum > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     planeDots.reduce(_ + _)

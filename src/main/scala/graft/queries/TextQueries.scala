@@ -252,6 +252,42 @@ object TextQueries {
              |SELECT token, count(*) AS document_frequency,
              |       sum(tf)::BIGINT AS term_frequency, sum(wc)::BIGINT AS tdsum
              |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // --- corpus encoding through the id-keyed vocabulary (reference
+    //     `dawg.py:60-65` `has_index=True` — defined but never enabled at
+    //     `base.py:366`; first-class here). Ids are assigned by rank over
+    //     token order so the encoding is deterministic and oracle-able; the
+    //     rank's single-partition window is over the DISTINCT vocabulary
+    //     (≪ corpus, fits one partition even when the corpus is 100 TB),
+    //     never over the corpus itself. OOV tokens (vocab drawn from zh
+    //     docs only) keep a null id — the trainer's UNK path. ---
+    Q("q29_vocab_encode",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val vocab = tokens(docs.filter(col("lang") === "zh"))
+          .select(col("token")).distinct()
+          .withColumn("tokenid",
+            row_number().over(Window.orderBy(col("token"))).cast("long"))
+        val toks = fanout(docs.filter(col("doc_id") < 50))
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+          .withColumn("pos", col("pos").cast("long"))
+        Vocabulary.resolveIds(toks, "token", vocab)
+          .select(col("doc_id"), col("pos"), col("token"), col("tokenid"))
+          .orderBy(col("doc_id"), col("pos"))
+      },
+      Some("""WITH vocab AS (
+             |  SELECT token, row_number() OVER (ORDER BY token) AS tokenid
+             |  FROM (SELECT DISTINCT unnest(string_split(text,' ')) AS token
+             |        FROM documents WHERE lang = 'zh')),
+             |toks AS (
+             |  SELECT doc_id,
+             |         unnest(string_split(text,' ')) AS token,
+             |         unnest(range(len(string_split(text,' ')))) AS pos
+             |  FROM documents WHERE doc_id < 50)
+             |SELECT t.doc_id, t.pos, t.token, v.tokenid
+             |FROM toks t LEFT JOIN vocab v USING (token)
+             |ORDER BY doc_id, pos""".stripMargin))
   )
 }
