@@ -47,6 +47,80 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-document n-gram histogram, computed in-row: all word n-grams for
+  * n in [1, maxN] of a token array, with their within-document counts, as
+  * `array<struct<token, tf>>`.
+  *
+  * This replaces `explode(everygrams(...))` + `groupBy(doc, token).count()`
+  * for PER-DOCUMENT counting. A document's tokens all live in its own row,
+  * so its histogram needs no cross-partition data — yet the explode+groupBy
+  * formulation routes every n-gram instance (~6x the token count at
+  * maxN=6) through a hash-aggregation exchange just to re-establish that
+  * locality. At corpus scale that exchange is the single largest shuffle
+  * in the vspace pipeline; this kernel computes the same histogram in one
+  * pass and leaves (token)-keyed aggregation as the pipeline's only
+  * remaining shuffle. (The reference counts per-doc in-process too —
+  * `base.py:165-188`'s Python Counter — this is the Catalyst-native form.)
+  */
+case class NGramCounts(child: Expression, maxN: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("token", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf", org.apache.spark.sql.types.IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "ngram_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    NGramKernel.counts(input.asInstanceOf[ArrayData], maxN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NGramKernel.counts($c, $maxN)")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramCounts =
+    copy(child = newChild)
+}
+
+object NGramKernel {
+  private val Space = UTF8String.fromString(" ")
+
+  /** One-pass n-gram counting over a token array; insertion-ordered output
+    * (first occurrence first — deterministic, though consumers aggregate or
+    * sort anyway). Called from both interpreted eval and generated code. */
+  def counts(arr: ArrayData, maxN: Int): ArrayData = {
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Int]]()
+    var len = 1
+    while (len <= maxN) {
+      var start = 0
+      while (start + len <= n) {
+        val gram =
+          if (len == 1) toks(start)
+          else UTF8String.concatWs(Space,
+            java.util.Arrays.copyOfRange(toks, start, start + len): _*)
+        val c = m.get(gram)
+        if (c == null) m.put(gram, Array(1)) else c(0) += 1
+        start += 1
+      }
+      len += 1
+    }
+    val out = new Array[Any](m.size())
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue()(0))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Codegen'd dot product of two array<double> vectors — the hot kernel of
   * every similarity/dedup path (cosine verification, kNN scoring, centroid
   * assignment). Spark's own `aggregate`/`zip_with` formulation is correct

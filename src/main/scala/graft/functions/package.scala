@@ -56,6 +56,13 @@ package object functions {
   def everygrams(tokens: Column, minN: Int, maxN: Int): Column =
     flatten(transform(sequence(lit(minN), lit(maxN)), n => word_ngrams(tokens, n)))
 
+  /** Per-document n-gram histogram (all n in [1, maxN]) computed in-row by
+    * the codegen'd [[NGramCounts]] kernel: `array<struct<token, tf>>`.
+    * Replaces explode+groupBy for per-doc counting — see the expression's
+    * doc for why that shuffle is pure waste. */
+  def ngram_counts(tokens: Column, maxN: Int): Column =
+    Bridge.column(NGramCounts(ex(tokens), maxN))
+
   // ---- vector math over array<double> (embedding columns) ----
 
   /** Dot product via the codegen'd [[VecDot]] kernel (bit-identical to the

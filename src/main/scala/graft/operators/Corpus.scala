@@ -35,17 +35,24 @@ object Corpus {
 
   /** (document_index, text) -> (document_index, wc, token, tf) where token
     * ranges over 1..maxN word n-grams of the normalized text. `wc` is the
-    * unigram count of the normalized doc (reference `base.py:142`). */
+    * unigram count of the normalized doc (reference `base.py:142`).
+    *
+    * Counting is IN-ROW via the codegen'd ngram_counts kernel — a doc's
+    * histogram needs only its own row, so the old explode+groupBy shape
+    * paid the pipeline's largest exchange (every n-gram instance, ~maxN x
+    * the token count) to recreate locality the data already had. This plan
+    * has no shuffle at all; (token)-keyed stats downstream become the
+    * pipeline's only exchange. */
   def tokenCounts(corpus: DataFrame, maxNgrams: Int,
       compatOffByOne: Boolean = false): DataFrame = {
     val maxN = maxDepth(maxNgrams, compatOffByOne)
     corpus
       .select(col("document_index"), norm_tokens(col("text")).as("tokens"))
       .select(col("document_index"), size(col("tokens")).as("wc"),
-        explode(everygrams(col("tokens"), 1, maxN)).as("token"))
+        explode(graft.functions.ngram_counts(col("tokens"), maxN)).as("e"))
+      .select(col("document_index"), col("wc"),
+        col("e.token").as("token"), col("e.tf").as("tf"))
       .filter(!col("token").rlike(DocIdPattern))
-      .groupBy(col("document_index"), col("wc"), col("token"))
-      .agg(count(lit(1)).cast("int").as("tf"))
   }
 
   /** Reference-shape output: one row per doc with a token_counts map

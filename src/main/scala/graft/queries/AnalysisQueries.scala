@@ -284,6 +284,65 @@ object AnalysisQueries {
              |  SELECT doc_id, lang, substr(md5(doc_id::VARCHAR),1,2) AS h
              |  FROM documents)
              |WHERE h < CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // --- PII scrubbing: redact emails / IPv4s / phone numbers and count
+    //     redactions per doc — the compliance pass every training corpus
+    //     runs before release. Map-side regex only (single scan, stays in
+    //     codegen). The synthetic corpus carries no PII, so each doc is
+    //     salted with deterministic doc_id-derived PII on both engines —
+    //     the fixture makes the redaction counts nonzero and the
+    //     Java-vs-RE2 regex agreement gate-checkable. ---
+    Q("q72_pii_scrub",
+      (s, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+        val salted = fanout(Tables(s, dir, "documents"))
+          .select(col("doc_id"),
+            concat(col("text"),
+              lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com from 10.0."),
+              (col("doc_id") % 256).cast("string"),
+              lit(".1 tel 555-010-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("raw"))
+        salted
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("raw"), lit(email), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(col("raw"), lit(ip), lit(0)))
+              .cast("long").as("n_ips"),
+            size(regexp_extract_all(col("raw"), lit(phone), lit(0)))
+              .cast("long").as("n_phones"),
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("raw"), email, "<EMAIL>"),
+                ip, "<IP>"),
+              phone, "<PHONE>").as("scrubbed"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH salted AS (
+             |  SELECT doc_id,
+             |         text || ' contact user' || doc_id::VARCHAR ||
+             |         '@example.com from 10.0.' || (doc_id % 256)::VARCHAR ||
+             |         '.1 tel 555-010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             |           AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(raw,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+             |    AS n_emails,
+             |  len(regexp_extract_all(raw,
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+             |  len(regexp_extract_all(raw,
+             |    '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phones,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      regexp_replace(raw,
+             |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |        '<EMAIL>', 'g'),
+             |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+             |FROM salted ORDER BY doc_id""".stripMargin))
   )
 }

@@ -47,4 +47,25 @@ class NGramsSpec extends SparkSpec {
     assert(Corpus.maxDepth(3, compatOffByOne = false) == 3)
     assert(Corpus.maxDepth(3, compatOffByOne = true) == 4)
   }
+
+  test("in-row ngram_counts equals explode+groupBy on the same tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat sat on the mat the cat"),
+      (1L, "a"),
+      (2L, ""),
+      (3L, "x y x y x")).toDF("doc_id", "text")
+      .select(col("doc_id"), ws_tokens(col("text")).as("toks"))
+    val viaKernel = docs
+      .select(col("doc_id"),
+        explode(graft.functions.ngram_counts(col("toks"), 3)).as("e"))
+      .select(col("doc_id"), col("e.token"), col("e.tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val viaShuffle = docs
+      .select(col("doc_id"), explode(everygrams(col("toks"), 1, 3)).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).cast("int").as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(viaKernel == viaShuffle)
+    assert(viaKernel.exists(_ == ((0L, "the cat", 2))))
+  }
 }
