@@ -67,6 +67,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("word_ngrams", "word_ngrams(tokens, n) - space-joined n-grams of exactly n tokens."),
       fromColumns { case Seq(toks, n) => graft.functions.word_ngrams(toks, n) }))
 
+    ext.injectFunction((FunctionIdentifier("ngram_counts"),
+      info("ngram_counts", "ngram_counts(tokens, maxN) - in-row per-document n-gram histogram as array<struct<token,tf>>."),
+      (exprs: Seq[Expression]) => graft.functions.NGramCounts(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+
     ext.injectFunction((FunctionIdentifier("everygrams"),
       info("everygrams", "everygrams(tokens, lo, hi) - all n-grams for n in [lo, hi], flattened."),
       (exprs: Seq[Expression]) => {

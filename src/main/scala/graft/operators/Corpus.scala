@@ -55,6 +55,26 @@ object Corpus {
       .filter(!col("token").rlike(DocIdPattern))
   }
 
+  /** [[tokenCounts]] over text that is ALREADY normalized (single-space
+    * separated) — tokenization is a plain whitespace split, skipping the
+    * NFC+regex normalizer. The pipeline uses this to normalize the corpus
+    * exactly once (the reference does the same: `rdd1 = map(normalize)` is
+    * persisted and feeds both the normalized-corpus write and the counts,
+    * `base.py:181-189,392-394`); normalize is idempotent (property-tested),
+    * so the results are identical to tokenCounts on raw text. */
+  def tokenCountsFromNormalized(normalized: DataFrame, maxNgrams: Int,
+      compatOffByOne: Boolean = false): DataFrame = {
+    val maxN = maxDepth(maxNgrams, compatOffByOne)
+    normalized
+      .select(col("document_index"),
+        graft.functions.ws_tokens(col("text")).as("tokens"))
+      .select(col("document_index"), size(col("tokens")).as("wc"),
+        explode(graft.functions.ngram_counts(col("tokens"), maxN)).as("e"))
+      .select(col("document_index"), col("wc"),
+        col("e.token").as("token"), col("e.tf").as("tf"))
+      .filter(!col("token").rlike(DocIdPattern))
+  }
+
   /** Reference-shape output: one row per doc with a token_counts map
     * (`base.py:165-188`). Only for compat surfaces — prefer long format. */
   def toTokenCountsMap(tokenCounts: DataFrame): DataFrame =

@@ -99,9 +99,16 @@ object VspacePipeline {
     // --- corpus job (reference base.py:373-397) ---
     stage("corpus")
     val raw = CorpusSources.loadRawCorpus(spark, cfg.corpus)
-    Sinks.writeNormalizedCorpus(Corpus.normalized(raw), s"$out/normalized_corpus")
+    // Normalize ONCE and persist, like the reference's rdd1 (base.py:181,
+    // persisted and feeding both the corpus write and the counts) — raw is
+    // otherwise scanned + zipWithIndex'd + NFC-normalized twice. At cluster
+    // scale the persist spills to local disk; that's still cheaper than a
+    // second normalize pass over the full corpus.
+    val norm = Corpus.normalized(raw).persist(StorageLevel.MEMORY_AND_DISK)
+    Sinks.writeNormalizedCorpus(norm, s"$out/normalized_corpus")
     val counts = tokenFilter(
-      Corpus.tokenCounts(raw, cfg.maxNgrams, cfg.compatOffByOne), "token")
+      Corpus.tokenCountsFromNormalized(norm, cfg.maxNgrams, cfg.compatOffByOne),
+        "token")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // --- stats job (reference base.py:399-439) ---
@@ -115,6 +122,7 @@ object VspacePipeline {
       Stats.computeStats(counts, Seq("token")), s"$out/stats_global")
 
     counts.unpersist()
+    norm.unpersist()
     vocabulary.unpersist()
   }
 

@@ -40,6 +40,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("ngram_counts from SQL computes the in-row histogram") {
+    val r = spark.sql(
+      "SELECT ngram_counts(array('a','b','a'), 2) AS h").head()
+    val entries = r.getSeq[Row](0)
+      .map(e => e.getString(0) -> e.getInt(1)).toMap
+    assert(entries == Map("a" -> 2, "b" -> 1, "a b" -> 1, "b a" -> 1))
+  }
+
   test("word_ngrams and everygrams from SQL") {
     val r = spark.sql(
       """SELECT word_ngrams(array('a','b','c'), 2) AS bi,
