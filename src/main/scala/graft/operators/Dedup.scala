@@ -33,8 +33,13 @@ object Dedup {
     * its component. Warns on stderr if maxIter is hit before convergence
     * (returned labels are then an upper bound, not final clusters). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Pre-partition the symmetric edge set on the join key BEFORE caching:
+    // every iteration joins sym on `b`, and a cached frame keeps its
+    // physical partitioning, so the per-round plan reuses this one shuffle
+    // instead of re-exchanging the (potentially huge) edge set every round.
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // `cached` is the frame actually holding materialized data (persisted or
     // checkpointed); `labels` is the (id, lbl) view over it. Tracked

@@ -343,6 +343,63 @@ object AnalysisQueries {
              |        '<EMAIL>', 'g'),
              |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
              |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
-             |FROM salted ORDER BY doc_id""".stripMargin))
+             |FROM salted ORDER BY doc_id""".stripMargin)),
+
+    // --- quality tiers: ntile(4) per LANGUAGE over the composite quality
+    //     score (curriculum/mix binning — assign every doc a quartile, then
+    //     summarize each bin). Tiling per language keeps the window
+    //     partitioned (a global ntile would serialize the sort on one
+    //     partition at 100 TB); ordering by (rounded score, doc_id) makes
+    //     tie-breaks deterministic on both engines. ---
+    Q("q73_quality_tiers",
+      (s, dir) => {
+        val docs = fanout(Tables(s, dir, "documents"))
+        val scored = docs
+          .select(col("doc_id"), col("lang"),
+            split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("lang"),
+            size(col("toks")).as("wc"),
+            (size(array_distinct(col("toks"))).cast("double")
+              / size(col("toks"))).as("diversity"),
+            (size(filter(col("toks"), t => t.isin("the", "a"))).cast("double")
+              / size(col("toks"))).as("stop_ratio"))
+          .select(col("doc_id"), col("lang"),
+            round(least(col("wc") / 100.0, lit(1.0)) * 0.4
+              + col("diversity") * 0.4
+              + (lit(1.0) - col("stop_ratio")) * 0.2, 4).as("q"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("q"), col("doc_id"))
+        scored
+          .withColumn("tier", ntile(4).over(w))
+          .groupBy(col("lang"), col("tier"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(min(col("q")), 4).as("min_q"),
+            round(max(col("q")), 4).as("max_q"),
+            round(avg(col("q")), 4).as("avg_q"))
+          .orderBy(col("lang"), col("tier"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang, string_split(text,' ') AS toks
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id, lang, len(toks) AS wc,
+             |         len(list_distinct(toks))::DOUBLE / len(toks) AS diversity,
+             |         len(list_filter(toks, t -> t IN ('the','a')))::DOUBLE
+             |           / len(toks) AS stop_ratio
+             |  FROM d),
+             |s AS (
+             |  SELECT doc_id, lang,
+             |         round(least(wc/100.0, 1.0)*0.4 + diversity*0.4
+             |               + (1.0-stop_ratio)*0.2, 4) AS q
+             |  FROM m),
+             |t AS (
+             |  SELECT lang, q,
+             |         ntile(4) OVER (PARTITION BY lang ORDER BY q, doc_id)
+             |           AS tier
+             |  FROM s)
+             |SELECT lang, tier, count(*) AS n_docs,
+             |       round(min(q),4) AS min_q, round(max(q),4) AS max_q,
+             |       round(avg(q),4) AS avg_q
+             |FROM t GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
   )
 }

@@ -219,6 +219,33 @@ object EventQueries {
              |FROM events p JOIN events v ON p.user_id = v.user_id
              |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
              |  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1800 SECONDS
-             |GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
+             |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // --- lag/lead inter-event gaps (the §2.5 offset-window pair not yet
+    //     demonstrated elsewhere): per user, the seconds since the previous
+    //     and until the next event. One shuffle on user_id; bounded output
+    //     via the user_id < 50 slice. ---
+    Q("q69_lag_lead",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables(s, dir, "events")
+          .filter(col("user_id") < 50)
+          .withColumn("prev_gap_s",
+            col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long"))
+          .withColumn("next_gap_s",
+            lead(col("ts"), 1).over(byUser).cast("long") - col("ts").cast("long"))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("prev_gap_s"), col("next_gap_s"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, event_type,
+             |  (epoch_us(ts) // 1000000) - (epoch_us(lag(ts, 1) OVER w) // 1000000)
+             |    AS prev_gap_s,
+             |  (epoch_us(lead(ts, 1) OVER w) // 1000000) - (epoch_us(ts) // 1000000)
+             |    AS next_gap_s
+             |FROM events WHERE user_id < 50
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, event_id""".stripMargin))
   )
 }
