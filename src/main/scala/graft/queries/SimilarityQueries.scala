@@ -175,6 +175,36 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank")),
       None),
 
+    // --- trained coarse quantizer: distributed Lloyd iterations
+    //     (operators.KMeans — map-side assignment against broadcast
+    //     centroids, one (cluster, dim) hash agg per round, only k x d
+    //     doubles ever reach the driver). The trained upgrade of q44's
+    //     label-cell stand-in. Float-mean accumulation order is
+    //     partition-dependent -> rows-only gate; the operator's contract
+    //     (blob recovery, inertia descent, determinism) is pinned by
+    //     KMeansSpec. ---
+    Q("q46_kmeans_clusters",
+      (s, dir) => {
+        val all = vecs(s, dir)
+        val cents = graft.operators.KMeans.fit(all, "v", "vec_id",
+          k = 8, iters = 3)
+        val byCluster = cents.zipWithIndex.map { case (c, i) =>
+          struct(
+            (lit(c.map(x => x * x).sum) -
+              lit(2.0) * graft.functions.vec_dot(col("v"), typedLit(c.toSeq)) +
+              graft.functions.vec_dot(col("v"), col("v"))).as("d2"),
+            lit(i).as("i"))
+        }
+        all
+          .select(array_min(array(byCluster: _*)).as("m"))
+          .select(col("m.i").as("cluster"), col("m.d2").as("d2"))
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_vecs"),
+            round(avg(col("d2")), 2).as("avg_sq_dist"))
+          .orderBy(col("cluster"))
+      },
+      None),
+
     // --- recall@10 of the IVF path vs brute force (the q43 twin for the
     //     coarse-quantizer index; rows-only for the same reason) ---
     Q("q45_ivf_recall",
