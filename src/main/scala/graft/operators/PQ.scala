@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization: compress each `array<double>` vector into m
+  * one-byte codes (one per contiguous subvector, each quantized by its own
+  * k-centroid codebook trained with [[KMeans]]), and score queries against
+  * CODES ONLY via asymmetric distance computation (ADC) — per query, a
+  * m×k table of subvector distances is computed once driver-side and
+  * shipped as literals, so scoring a candidate is m array lookups + adds
+  * instead of a d-dimensional dot product.
+  *
+  * This is the memory-side half of an IVF-PQ index: at 100 TB the corpus's
+  * embeddings (d×8 bytes each) don't fit hot storage, but m bytes of codes
+  * do — scan cost drops by ~d·8/m and the scoring loop never touches the
+  * original vectors. Recall loss is measured in-engine (q48) against exact
+  * kNN, the same honesty contract as the LSH (q43) and IVF (q45) paths.
+  */
+object PQ {
+
+  /** m codebooks of k centroids, each over d/m dimensions. */
+  final case class Model(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def dsub: Int = codebooks(0)(0).length
+  }
+
+  /** Train m independent KMeans codebooks on the subvector slices —
+    * deterministic for a fixed `idCol` ordering, like KMeans.fit. */
+  def fit(vecs: DataFrame, vecCol: String, idCol: String,
+      m: Int, k: Int, iters: Int): Model = {
+    val d = vecs.select(size(col(vecCol))).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dsub = d / m
+    Model((0 until m).map { s =>
+      KMeans.fit(
+        vecs.select(col(idCol), slice(col(vecCol), s * dsub + 1, dsub).as("v")),
+        "v", idCol, k, iters)
+    }.toArray)
+  }
+
+  /** Code column: the vector's m nearest-codebook-centroid indices (all
+    * map-side — m × k codegen'd dot products per row, once at index-build
+    * time). */
+  def encode(v: Column, model: Model): Column = {
+    val dsub = model.dsub
+    array(model.codebooks.zipWithIndex.map { case (cb, s) =>
+      KMeans.nearestCentroid(slice(v, s * dsub + 1, dsub), cb)
+    }: _*)
+  }
+
+  /** ADC approximate squared distance from a DRIVER-SIDE query vector to a
+    * codes column: the per-subvector distance tables are evaluated here
+    * (m×k doubles) and shipped as literals; per candidate it's m
+    * element_at lookups. */
+  def adcDistance(codes: Column, model: Model, query: Array[Double]): Column = {
+    val dsub = model.dsub
+    val tables: Array[Seq[Double]] = model.codebooks.zipWithIndex.map {
+      case (cb, s) =>
+        val qs = query.slice(s * dsub, (s + 1) * dsub)
+        cb.toSeq.map { c =>
+          var d2 = 0.0
+          var i = 0
+          while (i < dsub) { val t = qs(i) - c(i); d2 += t * t; i += 1 }
+          d2
+        }
+    }
+    tables.zipWithIndex.map { case (t, s) =>
+      element_at(typedLit(t), codes.getItem(s) + 1)
+    }.reduce(_ + _)
+  }
+}
