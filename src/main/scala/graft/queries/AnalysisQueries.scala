@@ -400,6 +400,32 @@ object AnalysisQueries {
              |SELECT lang, tier, count(*) AS n_docs,
              |       round(min(q),4) AS min_q, round(max(q),4) AS max_q,
              |       round(avg(q),4) AS avg_q
-             |FROM t GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
+             |FROM t GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // --- exact interpolated length deciles per language (§2.4 percentile
+    //     coverage): Spark's `percentile` and DuckDB's `quantile_cont` use
+    //     the same linear-interpolation definition, so this is hash-gated
+    //     exact, not a sketch. One hash agg per language; the per-group
+    //     sort lives inside the aggregate. (The approx_percentile sketch
+    //     twin for 100 TB single-pass use is q19b's territory.) ---
+    Q("q75_length_deciles",
+      (s, dir) => {
+        fanout(Tables(s, dir, "documents"))
+          .select(col("lang"),
+            size(split(col("text"), " ")).cast("long").as("wc"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(expr("percentile(wc, 0.1)"), 2).as("p10"),
+            round(expr("percentile(wc, 0.5)"), 2).as("p50"),
+            round(expr("percentile(wc, 0.9)"), 2).as("p90"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  round(quantile_cont(wc, 0.1), 2) AS p10,
+             |  round(quantile_cont(wc, 0.5), 2) AS p50,
+             |  round(quantile_cont(wc, 0.9), 2) AS p90
+             |FROM (SELECT lang, len(string_split(text,' '))::BIGINT AS wc
+             |      FROM documents)
+             |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -246,6 +246,33 @@ object EventQueries {
              |    AS next_gap_s
              |FROM events WHERE user_id < 50
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-             |ORDER BY user_id, event_id""".stripMargin))
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // --- CDC-style upsert / keep-latest merge: treat the first half of the
+    //     event log as the snapshot and the second half as a late-arriving
+    //     delta; merge to one row per user carrying the latest state. The
+    //     standard warehouse MERGE expressed as union + row_number over
+    //     (key ORDER BY ts DESC) — one shuffle on the key, no driver
+    //     state, works identically on a 100 TB snapshot + any delta. ---
+    Q("q74_upsert_latest",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val mid = 5000L
+        val snapshot = ev.filter(col("event_id") < mid)
+        val delta    = ev.filter(col("event_id") >= mid)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        snapshot.unionByName(delta)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("latest_event_id"),
+            col("ts").as("latest_ts"), col("event_type").as("latest_type"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_id AS latest_event_id, ts AS latest_ts,
+             |       event_type AS latest_type
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin))
   )
 }
