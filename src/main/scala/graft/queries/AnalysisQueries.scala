@@ -343,7 +343,8 @@ object AnalysisQueries {
              |        '<EMAIL>', 'g'),
              |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
              |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
-             |FROM salted ORDER BY doc_id""".stripMargin)),
+             |FROM salted ORDER BY doc_id""".stripMargin),
+      bench = true),
 
     // --- quality tiers: ntile(4) per LANGUAGE over the composite quality
     //     score (curriculum/mix binning — assign every doc a quartile, then

@@ -34,12 +34,22 @@ object TextQueries {
 
   /** Reference A2 (`base.py:192-208`): per-doc token counts, then
     * DF = docs containing token, TF = total occurrences,
-    * tdsum = sum of doc lengths over docs containing token. */
+    * tdsum = sum of doc lengths over docs containing token.
+    *
+    * The per-doc histogram is computed IN-ROW by the codegen'd
+    * ngram_counts kernel (a doc's counts need only its own row), so the
+    * old (doc_id, token) exchange — every token instance shuffled just to
+    * rebuild per-doc locality — is gone; the (token[, source]) stats
+    * aggregation below is the plan's only shuffle. */
   private def termStats(docs: DataFrame, perSource: Boolean): DataFrame = {
-    val grp  = if (perSource) Seq("token", "source") else Seq("token")
-    val perDoc = tokens(docs)
-      .groupBy(col("doc_id") +: grp.map(col): _*)
-      .agg(count(lit(1)).as("tf"), first(col("wc")).as("wc"))
+    val grp = if (perSource) Seq("token", "source") else Seq("token")
+    val perDoc = fanout(docs)
+      .select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("source"), size(col("toks")).as("wc"),
+        explode(graft.functions.ngram_counts(col("toks"), 1)).as("e"))
+      .select(col("doc_id"), col("source"), col("wc"),
+        col("e.token").as("token"), col("e.tf").as("tf"))
     perDoc
       .groupBy(grp.map(col): _*)
       .agg(count(lit(1)).as("document_frequency"),
