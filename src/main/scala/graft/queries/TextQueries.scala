@@ -298,6 +298,59 @@ object TextQueries {
              |  FROM documents WHERE doc_id < 50)
              |SELECT t.doc_id, t.pos, t.token, v.tokenid
              |FROM toks t LEFT JOIN vocab v USING (token)
-             |ORDER BY doc_id, pos""".stripMargin))
+             |ORDER BY doc_id, pos""".stripMargin)),
+
+    // --- fuzzy vocabulary pairs (typo detection / fuzzy joins): distinct
+    //     token pairs at edit distance exactly 1, found by SymSpell-style
+    //     deletion-neighborhood banding — each token is keyed by itself
+    //     plus every single-character deletion; any distance<=1 pair
+    //     shares a key (substitution: same position deleted on both;
+    //     ins/del: the shorter IS a deletion of the longer), so candidate
+    //     generation is an equi-join on the deletion key, never an
+    //     all-pairs levenshtein. Verification is exact levenshtein on
+    //     candidates only. The oracle is the brute-force quadratic join —
+    //     tractable for DuckDB on the bounded vocab, and identical iff the
+    //     banding has perfect recall at distance 1 (it provably does). ---
+    Q("q76_fuzzy_token_pairs",
+      (s, dir) => {
+        val base = tokens(Tables(s, dir, "documents"))
+          .select(col("token")).distinct()
+          .filter(length(col("token")).between(4, 20))
+        // the synthetic vocabulary has no natural distance-1 pairs, so an
+        // md5-selected eighth of it gets a deterministic typo twin (first
+        // char -> 'x') on both engines — the fixture that makes the
+        // banding's recall observable
+        val typos = base
+          .filter(substring(md5(col("token").cast("binary")), 1, 1) === "0")
+          .select(concat(lit("x"), expr("substr(token, 2)")).as("token"))
+        val vocab = base.union(typos).distinct()
+        val keyed = vocab.select(col("token"),
+            explode(array_union(
+              array(col("token")),
+              expr("""transform(sequence(1, length(token)),
+                     |  i -> concat(substr(token, 1, i - 1),
+                     |              substr(token, i + 1, length(token))))"""
+                .stripMargin))).as("del"))
+        keyed.as("a")
+          .join(keyed.as("b"),
+            col("a.del") === col("b.del") && col("a.token") < col("b.token"))
+          .select(col("a.token").as("tok_a"), col("b.token").as("tok_b"))
+          .distinct()
+          .filter(levenshtein(col("tok_a"), col("tok_b")) === 1)
+          .orderBy(col("tok_a"), col("tok_b"))
+      },
+      Some("""WITH vocab AS (
+             |  SELECT DISTINCT unnest(string_split(text,' ')) AS token
+             |  FROM documents),
+             |base AS (SELECT token FROM vocab WHERE len(token) BETWEEN 4 AND 20),
+             |typos AS (
+             |  SELECT 'x' || substr(token, 2) AS token FROM base
+             |  WHERE substr(md5(token), 1, 1) = '0'),
+             |v AS (SELECT DISTINCT token FROM (
+             |  SELECT token FROM base UNION ALL SELECT token FROM typos))
+             |SELECT a.token AS tok_a, b.token AS tok_b
+             |FROM v a JOIN v b ON a.token < b.token
+             |WHERE levenshtein(a.token, b.token) = 1
+             |ORDER BY tok_a, tok_b""".stripMargin))
   )
 }
