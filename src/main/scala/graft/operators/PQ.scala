@@ -49,24 +49,52 @@ object PQ {
     }: _*)
   }
 
+  /** The query's ADC distance tables, flattened: entry `s*k + j` is the
+    * squared distance from query subvector `s` to centroid `j` of codebook
+    * `s`. Computed driver-side (m×k doubles per query); ship it either as
+    * a literal ([[adcDistance]]) or — the scalable path — as a COLUMN of a
+    * broadcast query frame, so thousands of queries are rows, not plan
+    * branches ([[adcLookup]]). */
+  def adcTable(model: Model, query: Array[Double]): Array[Double] = {
+    val dsub = model.dsub
+    val k    = model.codebooks(0).length
+    val out  = new Array[Double](model.m * k)
+    var s = 0
+    while (s < model.m) {
+      val cb = model.codebooks(s)
+      var j = 0
+      while (j < k) {
+        val c = cb(j)
+        var d2 = 0.0
+        var i = 0
+        while (i < dsub) {
+          val t = query(s * dsub + i) - c(i); d2 += t * t; i += 1
+        }
+        out(s * k + j) = d2
+        j += 1
+      }
+      s += 1
+    }
+    out
+  }
+
+  /** ADC distance of a codes column against a flattened [[adcTable]]
+    * carried as an `array<double>` COLUMN (one table per query row in a
+    * broadcast frame). Plan size is constant in the number of queries —
+    * this is what lets IVF-PQ scale past the handful-of-literal-queries
+    * contract. Summation order matches [[adcDistance]] (s ascending). */
+  def adcLookup(codes: Column, table: Column, k: Int, m: Int): Column =
+    (0 until m).map { s =>
+      element_at(table, codes.getItem(s) + lit(s * k) + 1)
+    }.reduce(_ + _)
+
   /** ADC approximate squared distance from a DRIVER-SIDE query vector to a
     * codes column: the per-subvector distance tables are evaluated here
     * (m×k doubles) and shipped as literals; per candidate it's m
-    * element_at lookups. */
+    * element_at lookups. For many queries prefer [[adcTable]]+[[adcLookup]]
+    * (tables as broadcast rows, one plan). */
   def adcDistance(codes: Column, model: Model, query: Array[Double]): Column = {
-    val dsub = model.dsub
-    val tables: Array[Seq[Double]] = model.codebooks.zipWithIndex.map {
-      case (cb, s) =>
-        val qs = query.slice(s * dsub, (s + 1) * dsub)
-        cb.toSeq.map { c =>
-          var d2 = 0.0
-          var i = 0
-          while (i < dsub) { val t = qs(i) - c(i); d2 += t * t; i += 1 }
-          d2
-        }
-    }
-    tables.zipWithIndex.map { case (t, s) =>
-      element_at(typedLit(t), codes.getItem(s) + 1)
-    }.reduce(_ + _)
+    val k = model.codebooks(0).length
+    adcLookup(codes, typedLit(adcTable(model, query).toSeq), k, model.m)
   }
 }
