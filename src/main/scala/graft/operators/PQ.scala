@@ -82,11 +82,29 @@ object PQ {
     * carried as an `array<double>` COLUMN (one table per query row in a
     * broadcast frame). Plan size is constant in the number of queries —
     * this is what lets IVF-PQ scale past the handful-of-literal-queries
-    * contract. Summation order matches [[adcDistance]] (s ascending). */
-  def adcLookup(codes: Column, table: Column, k: Int, m: Int): Column =
-    (0 until m).map { s =>
+    * contract. Summation order matches [[adcDistance]] (s ascending).
+    *
+    * `k`/`m` MUST match the encode-time model (tables from a mismatched
+    * `k` would mis-offset every lookup); a table whose size != m*k raises
+    * at runtime rather than returning NULL distances — NULL sorts FIRST
+    * under the ascending orderBy every ANN ranking uses, so a silent NULL
+    * would win the ranking instead of erroring. Prefer the [[Model]]
+    * overload, which can't disagree with encode. */
+  def adcLookup(codes: Column, table: Column, k: Int, m: Int): Column = {
+    require(k > 0 && m > 0, s"k=$k and m=$m must be positive")
+    val sum = (0 until m).map { s =>
       element_at(table, codes.getItem(s) + lit(s * k) + 1)
     }.reduce(_ + _)
+    when(size(table) === m * k, sum)
+      .otherwise(raise_error(
+        concat(lit(s"adc_table size must be m*k = ${m * k}, got "),
+          size(table).cast("string"))))
+  }
+
+  /** [[adcLookup]] with k/m taken from the model that produced the codes —
+    * the overload that can't silently mis-offset. */
+  def adcLookup(codes: Column, table: Column, model: Model): Column =
+    adcLookup(codes, table, model.codebooks(0).length, model.m)
 
   /** ADC approximate squared distance from a DRIVER-SIDE query vector to a
     * codes column: the per-subvector distance tables are evaluated here

@@ -31,6 +31,14 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
 
+  /** Unit-normalized vectors: on the unit sphere L2 order == cosine order,
+    * so the L2-trained quantizers (KMeans coarse cells, PQ codebooks) rank
+    * the same neighborhoods the cosine baseline does. All index paths
+    * (IVF, PQ, IVF-PQ) build over this view. */
+  private def unitVecs(s: SparkSession, dir: String): DataFrame =
+    vecs(s, dir).select(col("vec_id"), col("label"),
+      transform(col("v"), x => x / graft.functions.vec_norm(col("v"))).as("v"))
+
   /** Deterministic pseudo-random hyperplanes: component d of plane p is
     * +-1 from the sign bit of xxhash64(seed, d). The dot-product sign
     * bits concatenate into the bucket signature. `table` selects an
@@ -72,34 +80,43 @@ object SimilarityQueries {
       .filter(col("rank") <= k)
   }
 
-  /** PQ ANN: one codebook training pass, one map-side encode, then each
-    * query ranks the whole corpus by ADC lookups over the codes column —
-    * exact kNN's scan shape but over 8-byte codes instead of 512-byte
-    * vectors. Queries are collected driver-side (they're the tiny side by
-    * contract) so their distance tables ship as plan literals. */
-  private def pqTopK(s: SparkSession, dir: String,
-      nQueries: Int, k: Int): DataFrame = {
-    // L2-normalize first: the exact baseline ranks by COSINE, and on unit
-    // vectors L2 order == cosine order, so the ADC tables rank the same
-    // neighborhood the baseline does (unnormalized, the two metrics
-    // disagree and recall craters — measured 0.2-0.5 vs ~1.0).
-    val all = vecs(s, dir).select(col("vec_id"),
-      transform(col("v"), x => x / graft.functions.vec_norm(col("v"))).as("v"))
-    val model = graft.operators.PQ.fit(all, "v", "vec_id",
-      m = 16, k = 16, iters = 3)
-    val coded = all.select(col("vec_id"),
-      graft.operators.PQ.encode(col("v"), model).as("codes"))
-    val queries = all.filter(col("vec_id") < nQueries)
+  private val PqM = 16
+  private val PqK = 16
+
+  /** Collected (query_id, unit vector) pairs — the tiny side by contract. */
+  private def collectQueries(all: DataFrame, nQueries: Int): Array[(Long, Array[Double])] =
+    all.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("v")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+
+  /** PQ ANN: one codebook training pass, one map-side encode, then each
+    * query ranks the whole corpus by ADC lookups over the codes column —
+    * exact kNN's scan shape but over 16-byte codes instead of 512-byte
+    * vectors. The per-query m×k distance tables are computed driver-side
+    * ([[graft.operators.PQ.adcTable]]) and shipped as an `array<double>`
+    * COLUMN of a broadcast query frame scored by
+    * [[graft.operators.PQ.adcLookup]] — ONE plan branch regardless of
+    * query count (the literal-per-query `adcDistance` path grows the plan
+    * linearly; it remains the single-query convenience, pinned by PQSpec). */
+  private def pqTopK(s: SparkSession, dir: String,
+      nQueries: Int, k: Int): DataFrame = {
+    import s.implicits._
+    val all = unitVecs(s, dir)
+    val model = graft.operators.PQ.fit(all, "v", "vec_id",
+      m = PqM, k = PqK, iters = 3)
+    val coded = all.select(col("vec_id"),
+      graft.operators.PQ.encode(col("v"), model).as("codes"))
+    val tables = collectQueries(all, nQueries).toSeq
+      .map { case (qid, qv) =>
+        (qid, graft.operators.PQ.adcTable(model, qv).toSeq) }
+      .toDF("query_id", "adc_table")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("vec_id"))
-    queries.map { case (qid, qv) =>
-      coded
-        .filter(col("vec_id") =!= qid)
-        .select(lit(qid).as("query_id"), col("vec_id"),
-          graft.operators.PQ.adcDistance(col("codes"), model, qv).as("adc"))
-    }.reduce(_ unionAll _)
+    coded.crossJoin(broadcast(tables))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.operators.PQ.adcLookup(col("codes"), col("adc_table"), model)
+          .as("adc"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("rank"))
@@ -196,9 +213,10 @@ object SimilarityQueries {
       },
       None),
 
-    // --- IVF-style ANN: per-label mean vectors act as the coarse
-    //     quantizer's cells; every vector is assigned to its NEAREST cell
-    //     (map-side vs a broadcast of k centroids), and each query scores
+    // --- IVF ANN with the TRAINED coarse quantizer (operators.KMeans over
+    //     the unit-normalized corpus): every vector is assigned to its
+    //     nearest cell entirely map-side (struct-argmin against the k x d
+    //     centroid literals — no join, no window), and each query scores
     //     only its nprobe=3 closest cells. At cluster scale the index is
     //     written partitionBy(cell) so probes become partition-pruned
     //     scans (IvfIndexSpec demonstrates the pruning). Engine-internal
@@ -270,6 +288,33 @@ object SimilarityQueries {
       },
       None),
 
+    // --- IVF-PQ: the composed index (trained coarse cells for pruning +
+    //     PQ codes for scoring) — the shape a 100 TB ANN deployment
+    //     actually runs. ADC tables travel as COLUMNS of the broadcast
+    //     probe frame (PQ.adcLookup), so the plan is one branch for any
+    //     number of queries. Engine-internal model -> rows-only gate;
+    //     recall vs exact measured by q49b. ---
+    Q("q49_ann_ivfpq",
+      (s, dir) => ivfPqTopK(s, dir, nQueries = 5, k = 10, nprobe = 3)
+        .orderBy(col("query_id"), col("rank")),
+      None),
+
+    // --- recall@10 of the composed IVF-PQ path vs brute force: the
+    //     product of the cell-pruning loss (q45) and the code-compression
+    //     loss (q48), measured in-engine like its siblings ---
+    Q("q49b_ivfpq_recall",
+      (s, dir) => {
+        val exact = knn(s, dir, nQueries = 5, k = 10)
+          .select(col("query_id"), col("vec_id"))
+        val ann = ivfPqTopK(s, dir, nQueries = 5, k = 10, nprobe = 3)
+          .select(col("query_id"), col("vec_id"))
+        exact.join(ann.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"))
+          .agg((sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
+          .orderBy(col("query_id"))
+      },
+      None),
+
     // --- recall@10 of the IVF path vs brute force (the q43 twin for the
     //     coarse-quantizer index; rows-only for the same reason) ---
     Q("q45_ivf_recall",
@@ -286,46 +331,54 @@ object SimilarityQueries {
       None)
   )
 
-  /** Per-cell centroids (elementwise mean; cells = labels — a stand-in
-    * for a trained coarse quantizer). Shared by the IVF query path and the
-    * partitioned-index writer. */
-  private[queries] def ivfCentroids(all: DataFrame): DataFrame =
-    all
-      .select(col("label").as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("c"))
-      .groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        e => e.getField("c")).as("cv"))
+  private val NumCells    = 8
+  private val CoarseIters = 3
 
-  /** Nearest-cell assignment for every vector (map-side vs broadcast
-    * centroids) — the IVF index body: (vec_id, v, cell). */
-  private[queries] def ivfAssign(all: DataFrame, cents: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cd").desc, col("cell"))
-    all.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cell"),
-        cosine_sim(col("v"), col("cv")).as("cd"))
-      .withColumn("cr", row_number().over(wAssign))
-      .filter(col("cr") === 1)
-      .select(col("vec_id"), col("v"), col("cell"))
+  /** Trained coarse quantizer for the IVF index: distributed Lloyd
+    * iterations over the unit-normalized corpus (operators.KMeans — only
+    * k×d doubles ever reach the driver). Replaces round 3's per-label mean
+    * stand-in. */
+  private[queries] def ivfCentroids(all: DataFrame): Array[Array[Double]] =
+    graft.operators.KMeans.fit(all, "v", "vec_id",
+      k = NumCells, iters = CoarseIters)
+
+  /** Nearest-cell assignment for every vector — the IVF index body
+    * (vec_id, v, cell). Entirely map-side: the k×d centroid model rides
+    * the plan as literals and the per-row argmin is the codegen'd
+    * struct-argmin kernel ([[graft.operators.KMeans.nearestCentroid]]).
+    * No join, no window, no exchange — the round-3 crossJoin +
+    * row_number() version pushed a k× expansion of the corpus through a
+    * full shuffle just to keep one row per vector. */
+  private[queries] def ivfAssign(all: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    all.select(col("vec_id"), col("v"),
+      graft.operators.KMeans.nearestCentroid(col("v"), cents)
+        .cast("long").as("cell"))
+
+  /** Each query's `nprobe` nearest cells, also map-side: the k scored
+    * cells form an in-row struct array that is sorted and sliced — no
+    * window over an expanded frame. (|qv|² is dropped: constant per row.) */
+  private def probeCells(queries: DataFrame,
+      cents: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val d = lit(c.map(x => x * x).sum) -
+        lit(2.0) * graft.functions.vec_dot(col("qv"), typedLit(c.toSeq))
+      struct(d.as("d"), lit(i.toLong).as("cell"))
+    }
+    queries.select(col("query_id"), col("qv"),
+        explode(slice(array_sort(array(scored: _*)), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
   }
 
   private def ivfTopK(s: SparkSession, dir: String,
       nQueries: Int, k: Int, nprobe: Int): DataFrame = {
-    val all   = vecs(s, dir)
+    val all   = unitVecs(s, dir)
     val cents = ivfCentroids(all)
     val assigned = ivfAssign(all, cents)
-    // queries probe their nprobe nearest cells
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cd").desc, col("cell"))
-    val probes = all.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      .crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qv"), col("cell"),
-        cosine_sim(col("qv"), col("cv")).as("cd"))
-      .withColumn("cr", row_number().over(wProbe))
-      .filter(col("cr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
+    val probes = probeCells(
+      all.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")),
+      cents, nprobe)
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("cell"))
@@ -334,5 +387,47 @@ object SimilarityQueries {
         round(cosine_sim(col("qv"), col("v")), 4).as("sim"))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
+  }
+
+  /** IVF-PQ — the composed 100 TB ANN shape: the trained coarse quantizer
+    * prunes the search to `nprobe` cells AND the pruned candidates are
+    * scored against PQ codes only. Per (query, probed cell) the broadcast
+    * probe frame carries the query's flattened ADC table as an
+    * `array<double>` column, so the whole fan-out is ONE plan branch
+    * ([[graft.operators.PQ.adcLookup]]) — thousands of queries are rows,
+    * not unioned subplans. At cluster scale `coded` is the parquet index
+    * written partitionBy(cell) (IvfIndexSpec proves the probe prunes to
+    * the probed cells' files) and each probe reads ~nprobe/k of the codes —
+    * neither the vectors nor the codes of unprobed cells are touched. */
+  private def ivfPqTopK(s: SparkSession, dir: String,
+      nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    import s.implicits._
+    val all   = unitVecs(s, dir)
+    val cents = ivfCentroids(all)
+    val pq    = graft.operators.PQ.fit(all, "v", "vec_id",
+      m = PqM, k = PqK, iters = 3)
+    val coded = ivfAssign(all, cents).select(col("vec_id"), col("cell"),
+      graft.operators.PQ.encode(col("v"), pq).as("codes"))
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+    val probes = collectQueries(all, nQueries).toSeq.flatMap { case (qid, qv) =>
+      val table = graft.operators.PQ.adcTable(pq, qv).toSeq
+      cents.zipWithIndex.map { case (c, i) => (d2(qv, c), i.toLong) }
+        .sorted.take(nprobe)
+        .map { case (_, cell) => (qid, cell, table) }
+    }.toDF("query_id", "cell", "adc_table")
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    coded.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.operators.PQ.adcLookup(col("codes"), col("adc_table"), pq)
+          .as("adc"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank"))
   }
 }

@@ -49,4 +49,41 @@ class PQSpec extends SparkSpec {
       PQ.fit(blobs, "v", "vec_id", m = 3, k = 4, iters = 1)
     }
   }
+
+  test("adcLookup over a COLUMN table matches the adcDistance literal path") {
+    import spark.implicits._
+    val model = PQ.fit(blobs, "v", "vec_id", m = 4, k = 4, iters = 3)
+    val coded = blobs.select(col("vec_id"), PQ.encode(col("v"), model).as("codes"))
+    // two query vectors, their ADC tables carried as an array<double> column
+    // of a (broadcast) query frame — the scalable IVF-PQ shape
+    val qs = Seq(Array.fill(8)(5.1), Array.fill(8)(0.2))
+    val frame = qs.zipWithIndex
+      .map { case (q, i) => (i.toLong, PQ.adcTable(model, q).toSeq) }
+      .toDF("query_id", "adc_table")
+    val viaColumn = coded.crossJoin(broadcast(frame))
+      .select(col("query_id"), col("vec_id"),
+        PQ.adcLookup(col("codes"), col("adc_table"), model).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaLiteral = qs.zipWithIndex.flatMap { case (q, i) =>
+      coded.select(col("vec_id"), PQ.adcDistance(col("codes"), model, q).as("d"))
+        .collect().map(r => (i.toLong, r.getLong(0)) -> r.getDouble(1))
+    }.toMap
+    assert(viaColumn == viaLiteral)
+  }
+
+  test("adcLookup raises on a table whose size disagrees with m*k") {
+    import spark.implicits._
+    val model = PQ.fit(blobs, "v", "vec_id", m = 4, k = 4, iters = 1)
+    val coded = blobs.select(col("vec_id"), PQ.encode(col("v"), model).as("codes"))
+    val bad = Seq((0L, Seq.fill(12)(1.0))).toDF("query_id", "adc_table")
+    val ex = intercept[Exception] {
+      coded.crossJoin(broadcast(bad))
+        .select(PQ.adcLookup(col("codes"), col("adc_table"), model).as("d"))
+        .collect()
+    }
+    val messages = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(messages.contains("adc_table size"),
+      s"expected the size guard to fire, got: $messages")
+  }
 }

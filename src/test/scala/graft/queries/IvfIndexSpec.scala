@@ -17,6 +17,9 @@ class IvfIndexSpec extends SparkSpec {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
     val assigned = SimilarityQueries.ivfAssign(all, SimilarityQueries.ivfCentroids(all))
+    // the assignment itself must be shuffle-free: model-as-literals argmin
+    assert(!assigned.queryExecution.executedPlan.toString.contains("Exchange"),
+      "IVF cell assignment must not shuffle")
 
     val idxDir = java.nio.file.Files.createTempDirectory("ivf_index").toString
     assigned.write.mode("overwrite").partitionBy("cell").parquet(idxDir)
