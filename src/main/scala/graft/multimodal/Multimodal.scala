@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, processed in partition-sized
-  * batches. The decode kernels are STUBBED (no codec libraries in this
-  * environment) behind `Decoder`; everything Spark-side — schema, batch
-  * iteration via mapPartitions on a typed Dataset, partition sizing,
-  * deterministic feature extraction — is real and tested.
+  * batches behind the `Decoder` seam. Image dimensions are decoded FOR
+  * REAL via the JDK's `javax.imageio` ([[ImageIoDecoder]] — header-only,
+  * PNG/JPEG/GIF/BMP, zero external deps); audio/video and non-image
+  * payloads fall back to [[StubDecoder]], a clearly-labeled deterministic
+  * fake (those codecs aren't in this environment). Everything Spark-side —
+  * schema, batch iteration via mapPartitions on a typed Dataset, partition
+  * sizing, feature extraction — is real and tested either way.
   *
   * Scale posture: payloads never pass through a shuffle (features are
   * extracted map-side and the binary column dropped before any wide
@@ -32,6 +35,29 @@ object Multimodal {
       // deterministic fake dimensions derived from content
       val h = payload.foldLeft(17L)((a, b) => a * 31 + (b & 0xff))
       (((h & 0x3ff) + 16).toInt, (((h >>> 10) & 0x3ff) + 16).toInt)
+    }
+  }
+
+  /** REAL image decode via the JDK's `javax.imageio`: reads only the
+    * image header (width/height come from the format metadata — no pixel
+    * decode, no buffer allocation proportional to the image), so cost per
+    * payload is O(header) regardless of image size. Executor-side safe:
+    * ImageIO is headless-clean and the readers are per-call (disposed),
+    * never shared across threads. */
+  object ImageIoDecoder extends Decoder {
+    override def decode(kind: String, payload: Array[Byte]): (Int, Int) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext,
+          s"no JDK image reader recognizes this payload (kind=$kind)")
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          (r.getWidth(0), r.getHeight(0))
+        } finally r.dispose()
+      } finally iis.close()
     }
   }
 
@@ -98,5 +124,28 @@ object Multimodal {
         lit("text").as("kind"),
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
+  }
+
+  /** Synthesize a REAL PNG per document (dimensions a pure function of
+    * doc_id: w = 16 + id%32, h = 16 + id%17; one pixel carries id bits) —
+    * encoded map-side with `javax.imageio`, so [[ImageIoDecoder]] is
+    * exercised end-to-end against an oracle-expressible dimension formula
+    * (q77). Both encode and decode stay partition-local. */
+  def documentsAsPngMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (16 + id % 32).toInt
+          val h = (16 + id % 17).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          img.setRGB(0, 0, (id & 0xffffffL).toInt)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRow(id, "image/png", bos.toByteArray)
+        }
+      }
   }
 }

@@ -30,6 +30,26 @@ object MultimodalQueries {
           .toDF()
           .orderBy(col("media_id"))
       },
-      None)
+      None),
+
+    // --- REAL codec path: a deterministic PNG is encoded per document
+    //     (dims = pure function of doc_id) and decoded back via the JDK's
+    //     javax.imageio header reader — the round trip is oracled on the
+    //     dimension formula, so a broken encoder OR decoder fails the
+    //     hash gate. ---
+    Q("q77_media_decode",
+      (s, dir) => {
+        Multimodal.extractFeatures(
+            Multimodal.documentsAsPngMedia(s, dir), Multimodal.ImageIoDecoder)
+          .toDF()
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |16 + doc_id % 32 AS width,
+             |16 + doc_id % 17 AS height
+             |FROM documents ORDER BY media_id""".stripMargin))
   )
 }

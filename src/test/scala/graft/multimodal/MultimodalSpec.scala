@@ -53,6 +53,38 @@ class MultimodalSpec extends SparkSpec {
     assert(back.sameElements(payload)) // evenly-spaced slices cover exactly
   }
 
+  test("ImageIoDecoder reads real PNG and JPEG dimensions without pixel decode") {
+    def encoded(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0x123456)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    assert(Multimodal.ImageIoDecoder.decode("image/png", encoded("png", 37, 19)) == (37, 19))
+    assert(Multimodal.ImageIoDecoder.decode("image/jpeg", encoded("jpg", 128, 64)) == (128, 64))
+    // garbage payloads error loudly instead of returning fake dims
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoDecoder.decode("image/png", Array[Byte](1, 2, 3))
+    }
+  }
+
+  test("PNG synthesis round-trips through the real decoder distributed") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val feats = Multimodal.extractFeatures(
+        Multimodal.documentsAsPngMedia(spark, sf), Multimodal.ImageIoDecoder)
+      .toDF()
+    // decoded dims must equal the synthesis formula for every document
+    val bad = feats.filter(
+      col("width") =!= (lit(16) + col("media_id") % 32).cast("int") ||
+      col("height") =!= (lit(16) + col("media_id") % 17).cast("int"))
+    assert(bad.count() == 0)
+    assert(feats.count() ==
+      graft.Tables(spark, sf, "documents").count())
+  }
+
   test("documents-as-media payload bytes equal utf-8 text length") {
     val sf = "/root/testdata/sf0.001"
     val feats = Multimodal.extractFeatures(
