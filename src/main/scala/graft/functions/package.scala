@@ -63,6 +63,22 @@ package object functions {
   def ngram_counts(tokens: Column, maxN: Int): Column =
     Bridge.column(NGramCounts(ex(tokens), maxN))
 
+  /** Bounded-heap top-k aggregate (public Catalyst `CollectTopK`): keeps
+    * the k greatest — or, with `smallest = true`, the k least — values of
+    * `e` per group in a k-element priority queue and returns them sorted
+    * best-first. Unlike `row_number()`-over-window ranking it PARTIALLY
+    * AGGREGATES: every map task reduces each group to <= k values before
+    * the shuffle, so ranking n candidates ships k rows per (map partition,
+    * key) instead of all n through a skewed per-key sort — the difference
+    * between a window and an aggregate is the whole story for ANN top-k,
+    * where a handful of query keys would otherwise each sort their entire
+    * candidate set on one task. Mixed-direction rankings (score desc, id
+    * asc) order by a struct whose leading field is sign-flipped. */
+  def top_k(e: Column, k: Int, smallest: Boolean = false): Column =
+    Bridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
+        ex(e), k, smallest, 0, 0).toAggregateExpression())
+
   // ---- vector math over array<double> (embedding columns) ----
 
   /** Dot product via the codegen'd [[VecDot]] kernel (bit-identical to the

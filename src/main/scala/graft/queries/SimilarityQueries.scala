@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -66,18 +65,46 @@ object SimilarityQueries {
     planeDots.reduce(_ + _)
   }
 
+  /** (query_id, vec_id, sim, rank): top-k per query by (sim desc, vec_id
+    * asc) via the bounded-heap [[graft.functions.top_k]] aggregate. The
+    * window formulation this replaced shuffled EVERY scored candidate to
+    * its query's single sort task — with a handful of query keys that is
+    * maximal skew on the biggest intermediate of the whole ANN family.
+    * The aggregate partially reduces each query to k rows per map
+    * partition, so the shuffle carries k×partitions rows per query and no
+    * task ever sorts more than the merged heaps. Negating `sim` turns the
+    * mixed-direction ordering into the struct's natural ascending order
+    * (exact for all non-NaN doubles). */
+  private def rankBySimDesc(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.top_k(
+        struct((-col("sim")).as("ns"), col("vec_id").as("vec_id")), k,
+        smallest = true).as("t"))
+      .select(col("query_id"), posexplode(col("t")).as(Seq("r0", "e")))
+      .select(col("query_id"), col("e.vec_id").as("vec_id"),
+        (-col("e.ns")).as("sim"), (col("r0") + 1).cast("int").as("rank"))
+
+  /** The ADC twin: top-k per query by (adc asc, vec_id asc), adc dropped
+    * from the output like the window version it replaces. */
+  private def rankByAdcAsc(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.top_k(
+        struct(col("adc").as("adc"), col("vec_id").as("vec_id")), k,
+        smallest = true).as("t"))
+      .select(col("query_id"), posexplode(col("t")).as(Seq("r0", "e")))
+      .select(col("query_id"), col("e.vec_id").as("vec_id"),
+        (col("r0") + 1).cast("int").as("rank"))
+
   private def knn(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
     val all = vecs(s, dir)
     val q   = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    all.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(cosine_sim(col("qv"), col("v")), 4).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankBySimDesc(
+      all.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(cosine_sim(col("qv"), col("v")), 4).as("sim")),
+      k)
   }
 
   private val PqM = 16
@@ -110,16 +137,13 @@ object SimilarityQueries {
       .map { case (qid, qv) =>
         (qid, graft.operators.PQ.adcTable(model, qv).toSeq) }
       .toDF("query_id", "adc_table")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc"), col("vec_id"))
-    coded.crossJoin(broadcast(tables))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        graft.operators.PQ.adcLookup(col("codes"), col("adc_table"), model)
-          .as("adc"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("rank"))
+    rankByAdcAsc(
+      coded.crossJoin(broadcast(tables))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          graft.operators.PQ.adcLookup(col("codes"), col("adc_table"), model)
+            .as("adc")),
+      k)
   }
 
   /** Multi-table LSH ANN: each vector keyed by (table, bucket) for
@@ -139,16 +163,14 @@ object SimilarityQueries {
     val q = keyed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("t"), col("bk"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    keyed.join(broadcast(q), Seq("t", "bk"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("qv"), col("v"))
-      .dropDuplicates("query_id", "vec_id")
-      .select(col("query_id"), col("vec_id"),
-        round(cosine_sim(col("qv"), col("v")), 4).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankBySimDesc(
+      keyed.join(broadcast(q), Seq("t", "bk"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("qv"), col("v"))
+        .dropDuplicates("query_id", "vec_id")
+        .select(col("query_id"), col("vec_id"),
+          round(cosine_sim(col("qv"), col("v")), 4).as("sim")),
+      k)
   }
 
   val queries: Seq[Q] = Seq(
@@ -379,14 +401,12 @@ object SimilarityQueries {
       all.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv")),
       cents, nprobe)
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(cosine_sim(col("qv"), col("v")), 4).as("sim"))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= k)
+    rankBySimDesc(
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(cosine_sim(col("qv"), col("v")), 4).as("sim")),
+      k)
   }
 
   /** IVF-PQ — the composed 100 TB ANN shape: the trained coarse quantizer
@@ -419,15 +439,12 @@ object SimilarityQueries {
         .sorted.take(nprobe)
         .map { case (_, cell) => (qid, cell, table) }
     }.toDF("query_id", "cell", "adc_table")
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc"), col("vec_id"))
-    coded.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        graft.operators.PQ.adcLookup(col("codes"), col("adc_table"), pq)
-          .as("adc"))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("rank"))
+    rankByAdcAsc(
+      coded.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          graft.operators.PQ.adcLookup(col("codes"), col("adc_table"), pq)
+            .as("adc")),
+      k)
   }
 }

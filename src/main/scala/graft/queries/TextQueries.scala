@@ -192,12 +192,19 @@ object TextQueries {
     //     natural consumer of W3's per-source files, SURVEY §2.5) ---
     Q("q27_topk_terms_per_source",
       (s, dir) => {
-        val w = Window.partitionBy(col("source"))
-          .orderBy(col("term_frequency").desc, col("token"))
+        // top-5 per source via the bounded-heap top_k aggregate (oracled —
+        // DuckDB's window formulation must hash-match the heap's output):
+        // map-side partial reduction to 5 rows per (partition, source)
+        // instead of sorting every source's full term list on one task
         termStats(Tables(s, dir, "documents"), perSource = true)
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("source"), col("token"), col("term_frequency"), col("rank"))
+          .groupBy(col("source"))
+          .agg(graft.functions.top_k(
+            struct((-col("term_frequency")).as("ntf"), col("token").as("token")),
+            5, smallest = true).as("t"))
+          .select(col("source"), posexplode(col("t")).as(Seq("r0", "e")))
+          .select(col("source"), col("e.token").as("token"),
+            (-col("e.ntf")).as("term_frequency"),
+            (col("r0") + 1).cast("int").as("rank"))
           .orderBy(col("source"), col("rank"))
       },
       Some(s"""WITH $oracleToks,
