@@ -13,9 +13,10 @@ import graft.functions.{cosine_sim, xxhash64_seeded}
   *
   * Scale posture (100 TB): brute-force is a broadcast nested-loop of a tiny
   * query set against the full corpus — embarrassingly parallel, no shuffle
-  * of the big side; top-k per query is a window over (query, candidate)
-  * scores partitioned by query. The LSH variant buckets the corpus by a
-  * 16-bit hyperplane signature so each query only scores its bucket; at
+  * of the big side; every top-k per query goes through the bounded-heap
+  * `top_k` aggregate (map-side partial reduction to k rows per partition —
+  * no skewed per-query window sort). The LSH variant buckets the corpus by
+  * a 16-bit hyperplane signature so each query only scores its bucket; at
   * cluster scale the buckets are the unit of partition pruning (write the
   * index `partitionBy(bucket)`).
   */
