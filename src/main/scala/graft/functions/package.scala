@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
 
@@ -78,6 +78,49 @@ package object functions {
     Bridge.column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
         ex(e), k, smallest, 0, 0).toAggregateExpression())
+
+  // ---- Bloom-filter semi-join pre-filtering ----
+
+  /** Seed shared by build and probe — the two hash the same way or the
+    * filter is garbage. */
+  private val BloomSeed = 42L
+
+  /** Build a Bloom filter over `xxhash64(e)` across all rows of `df` and
+    * return its serialized bytes. This is Spark's own runtime-filter
+    * machinery (public Catalyst `BloomFilterAggregate`) exposed for
+    * EXPLICIT pre-filtering: the aggregate is partial+final, so each map
+    * task builds a local filter and only filter-sized blobs are merged —
+    * the keys themselves never move. The result is model-sized (like a
+    * KMeans centroid set); ship it back into plans as a literal via
+    * [[bloom_might_contain]]. For very large builds raise
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `maxNumBits`
+    * (defaults 4M items / 64M bits ≈ 8 MB). */
+  def bloom_build(df: DataFrame, e: Column, expectedItems: Long,
+      fpp: Double = 0.03): Array[Byte] = {
+    require(expectedItems > 0, s"expectedItems=$expectedItems must be positive")
+    require(fpp > 0 && fpp < 1, s"fpp=$fpp must be in (0, 1)")
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val agg = Bridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        XxHash64(Seq(ex(e)), BloomSeed),
+        Literal(expectedItems), Literal(numBits), 0, 0).toAggregateExpression())
+    df.select(agg.as("bf")).head().getAs[Array[Byte]](0)
+  }
+
+  /** Membership probe against a [[bloom_build]] filter: true for every
+    * inserted value, false with probability ~(1 - fpp) for others — NEVER
+    * a false negative, which is what makes it sound as a PRE-filter whose
+    * survivors still flow through the exact semi-join (q78's contract:
+    * the pre-filtered plan hash-matches the unfiltered oracle). Codegen'd
+    * predicate, evaluated map-side against the literal filter bytes. */
+  def bloom_might_contain(bloomBytes: Array[Byte], e: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    Bridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      XxHash64(Seq(ex(e)), BloomSeed)))
+  }
 
   // ---- vector math over array<double> (embedding columns) ----
 

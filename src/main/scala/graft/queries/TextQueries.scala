@@ -41,7 +41,8 @@ object TextQueries {
     * old (doc_id, token) exchange — every token instance shuffled just to
     * rebuild per-doc locality — is gone; the (token[, source]) stats
     * aggregation below is the plan's only shuffle. */
-  private def termStats(docs: DataFrame, perSource: Boolean): DataFrame = {
+  private def termStats(docs: DataFrame, perSource: Boolean,
+      tokenPredicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val grp = if (perSource) Seq("token", "source") else Seq("token")
     val perDoc = fanout(docs)
       .select(col("doc_id"), col("source"),
@@ -50,7 +51,10 @@ object TextQueries {
         explode(graft.functions.ngram_counts(col("toks"), 1)).as("e"))
       .select(col("doc_id"), col("source"), col("wc"),
         col("e.token").as("token"), col("e.tf").as("tf"))
-    perDoc
+    // an optional map-side pre-filter (e.g. a Bloom probe, q78): applied
+    // BEFORE the stats shuffle, so non-candidate tokens never leave the
+    // scan stage
+    tokenPredicate.fold(perDoc)(perDoc.filter)
       .groupBy(grp.map(col): _*)
       .agg(count(lit(1)).as("document_frequency"),
         sum(col("tf")).as("term_frequency"),
@@ -172,6 +176,39 @@ object TextQueries {
         val vocab = tokens(docs.filter(col("lang") === "zh"))
           .select(col("token")).distinct()
         termStats(docs, perSource = false)
+          .join(vocab, Seq("token"), "left_semi")
+          .orderBy(col("token"))
+      },
+      Some(s"""WITH $oracleToks,
+              |per_doc AS (
+              |  SELECT doc_id, token, count(*) AS tf, any_value(wc) AS wc
+              |  FROM toks GROUP BY 1,2),
+              |stats AS (
+              |  SELECT token, count(*) AS document_frequency,
+              |         sum(tf)::BIGINT AS term_frequency, sum(wc)::BIGINT AS tdsum
+              |  FROM per_doc GROUP BY 1)
+              |SELECT * FROM stats WHERE token IN (
+              |  SELECT DISTINCT unnest(string_split(text,' ')) FROM documents
+              |  WHERE lang = 'zh')
+              |ORDER BY token""".stripMargin)),
+
+    // --- the vocabulary semi-join at 100 TB: a Bloom filter built over
+    //     the vocabulary (one partial+final aggregate — keys never move)
+    //     pre-filters the token stream MAP-SIDE before the stats shuffle,
+    //     so only might-be-vocabulary tokens are aggregated and joined;
+    //     the exact left-semi join then removes the ~fpp false positives.
+    //     No false negatives -> identical result, hash-gated against the
+    //     SAME oracle as the unfiltered q26. ---
+    Q("q78_bloom_vocab_prefilter",
+      (s, dir) => {
+        val docs  = Tables(s, dir, "documents")
+        val vocab = tokens(docs.filter(col("lang") === "zh"))
+          .select(col("token")).distinct()
+        val bloom = graft.functions.bloom_build(vocab, col("token"),
+          expectedItems = 1L << 17)
+        termStats(docs, perSource = false,
+            tokenPredicate =
+              Some(graft.functions.bloom_might_contain(bloom, col("token"))))
           .join(vocab, Seq("token"), "left_semi")
           .orderBy(col("token"))
       },
