@@ -121,6 +121,91 @@ object NGramKernel {
   }
 }
 
+/** Z-order (Morton) key: bit-interleave of n non-negative long columns
+  * into one long — the multi-dimensional clustering key for data LAYOUT.
+  * Sorting/range-partitioning a table by `zorder_key(x, y, ...)` before
+  * writing gives every dimension comparable file-level locality, so range
+  * predicates on ANY of the interleaved dimensions touch a bounded subset
+  * of files (a linear sort by (x, y) is perfect on x and useless on y).
+  * At 100 TB this is what turns "filter on a non-partition column" from a
+  * full scan into a stats-pruned read — parquet min/max row-group stats
+  * and file pruning both feed on the clustering this key creates
+  * (ZOrderSpec measures the effect directly).
+  *
+  * Inputs are truncated to the low floor(63/n) bits each (callers
+  * normalize to rank-like non-negative ints first — e.g. ntile or a
+  * bounded modulus); nulls propagate. Codegen'd, loop-free per row.
+  */
+case class ZOrderKey(children: Seq[Expression])
+    extends Expression with ExpectsInputTypes {
+
+  require(children.nonEmpty, "zorder_key needs at least one column")
+
+  override def inputTypes: Seq[DataType] =
+    children.map(_ => org.apache.spark.sql.types.LongType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "zorder_key"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = new Array[Long](children.length)
+    var i = 0
+    while (i < vals.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      vals(i) = v.asInstanceOf[Long]
+      i += 1
+    }
+    ZOrderKernel.interleave(vals)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("zvals")
+    val childEval = evals.map(_.code.toString).mkString("\n")
+    val nullCheck = evals.map(_.isNull.toString).mkString(" || ")
+    val fill = evals.zipWithIndex
+      .map { case (e, i) => s"$arr[$i] = ${e.value};" }.mkString("\n")
+    ev.copy(code =
+      code"""
+        $childEval
+        boolean ${ev.isNull} = $nullCheck;
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          long[] $arr = new long[${children.length}];
+          $fill
+          ${ev.value} = graft.functions.ZOrderKernel.interleave($arr);
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZOrderKey =
+    copy(children = newChildren)
+}
+
+object ZOrderKernel {
+  /** Interleave the low floor(63/n) bits of each value: output bit
+    * `b*n + c` = bit `b` of value `c`. Shared by interpreted eval and
+    * generated code. */
+  def interleave(vals: Array[Long]): Long = {
+    val n = vals.length
+    val bitsPer = 63 / n
+    var out = 0L
+    var b = 0
+    while (b < bitsPer) {
+      var c = 0
+      while (c < n) {
+        out |= ((vals(c) >>> b) & 1L) << (b * n + c)
+        c += 1
+      }
+      b += 1
+    }
+    out
+  }
+}
+
 /** Codegen'd dot product of two array<double> vectors — the hot kernel of
   * every similarity/dedup path (cosine verification, kNN scoring, centroid
   * assignment). Spark's own `aggregate`/`zip_with` formulation is correct

@@ -66,18 +66,32 @@ package object functions {
   /** Bounded-heap top-k aggregate (public Catalyst `CollectTopK`): keeps
     * the k greatest — or, with `smallest = true`, the k least — values of
     * `e` per group in a k-element priority queue and returns them sorted
-    * best-first. Unlike `row_number()`-over-window ranking it PARTIALLY
-    * AGGREGATES: every map task reduces each group to <= k values before
-    * the shuffle, so ranking n candidates ships k rows per (map partition,
-    * key) instead of all n through a skewed per-key sort — the difference
-    * between a window and an aggregate is the whole story for ANN top-k,
-    * where a handful of query keys would otherwise each sort their entire
-    * candidate set on one task. Mixed-direction rankings (score desc, id
-    * asc) order by a struct whose leading field is sign-flipped. */
+    * best-first.
+    *
+    * Honest comparison with the `row_number()<=k` window idiom: Spark
+    * 3.5+ already mitigates that shape (`InferWindowGroupLimit` inserts a
+    * partial WindowGroupLimit before the shuffle), so shuffle VOLUME is
+    * comparable. What the aggregate still wins: the window path must SORT
+    * every map partition by (key, order) to feed its group-limit
+    * (O(n log n) over all candidates) and sort again per key after the
+    * shuffle, while the heap is O(n log k) map-side and the final merge
+    * touches only k rows per partition-key with no sort of the candidate
+    * set; and as an aggregate it composes (one operator, no
+    * Sort+GroupLimit+Sort+Window+Filter chain). Mixed-direction rankings
+    * (score desc, id asc) order by a struct whose leading field is
+    * sign-flipped. */
   def top_k(e: Column, k: Int, smallest: Boolean = false): Column =
     Bridge.column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
         ex(e), k, smallest, 0, 0).toAggregateExpression())
+
+  /** Z-order (Morton) clustering key over n non-negative dimension
+    * columns (ints cast to long; callers normalize to rank-like values
+    * first). Sort or range-partition by this before writing so range
+    * predicates on ANY dimension prune files/row-groups — see
+    * [[ZOrderKey]]. */
+  def zorder_key(cols: Column*): Column =
+    Bridge.column(ZOrderKey(cols.map(c => ex(c.cast("long")))))
 
   // ---- Bloom-filter semi-join pre-filtering ----
 

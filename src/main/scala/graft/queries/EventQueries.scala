@@ -273,6 +273,30 @@ object EventQueries {
              |       event_type AS latest_type
              |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
              |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
-             |WHERE rn = 1 ORDER BY user_id""".stripMargin))
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // --- Z-order clustering key (the codegen'd ZOrderKey kernel,
+    //     hash-gated against a bit-by-bit DuckDB reconstruction): the
+    //     multi-dim layout key — sort/range-partition by it before
+    //     writing and range predicates on ANY interleaved dimension
+    //     touch a bounded subset of files (ZOrderSpec measures the
+    //     file-pruning effect against a linear sort). ---
+    Q("q80_zorder_key",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .select(col("event_id"),
+            graft.functions.zorder_key(
+              col("user_id") % 1024, col("event_id") % 1024).as("zkey"))
+          .orderBy(col("event_id"))
+      },
+      Some {
+        val zBits = (0 until 10).map(b =>
+          s"(((x >> $b) & 1) << ${2 * b}) | (((y >> $b) & 1) << ${2 * b + 1})")
+          .mkString(" | ")
+        s"""WITH d AS (SELECT event_id, user_id % 1024 AS x,
+           |                  event_id % 1024 AS y FROM events)
+           |SELECT event_id, ($zBits)::BIGINT AS zkey
+           |FROM d ORDER BY event_id""".stripMargin
+      })
   )
 }

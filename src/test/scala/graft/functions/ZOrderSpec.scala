@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.zorder_key
+
+/** The Z-order key's two contracts: the bit interleave itself (vs an
+  * independent bit-by-bit reference), and the LAYOUT property it exists
+  * for — clustering by the key bounds how many files a range predicate on
+  * ANY interleaved dimension touches, where a linear sort is perfect on
+  * its leading column and useless on the others. */
+class ZOrderSpec extends SparkSpec {
+
+  private def refInterleave2(x: Long, y: Long): Long = {
+    var out = 0L
+    (0 until 31).foreach { b =>
+      out |= ((x >>> b) & 1L) << (2 * b)
+      out |= ((y >>> b) & 1L) << (2 * b + 1)
+    }
+    out
+  }
+
+  test("interleave matches a bit-by-bit reference, kernel and column paths") {
+    import spark.implicits._
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (7L, 3L),
+      (63L, 63L), (1023L, 511L), ((1L << 31) - 1, 12345L))
+    samples.foreach { case (x, y) =>
+      assert(ZOrderKernel.interleave(Array(x, y)) == refInterleave2(x, y), s"($x,$y)")
+    }
+    val viaColumn = samples.toDF("x", "y")
+      .select(zorder_key(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(viaColumn.sameElements(samples.map { case (x, y) => refInterleave2(x, y) }))
+  }
+
+  test("three-dimension interleave places bit b of column c at position b*3+c") {
+    // x=1 -> bit 0, y=1 -> bit 1, w=1 -> bit 2; second bit of each shifts by 3
+    assert(ZOrderKernel.interleave(Array(1L, 0L, 0L)) == 1L)
+    assert(ZOrderKernel.interleave(Array(0L, 1L, 0L)) == 2L)
+    assert(ZOrderKernel.interleave(Array(0L, 0L, 1L)) == 4L)
+    assert(ZOrderKernel.interleave(Array(2L, 0L, 0L)) == 8L)
+  }
+
+  test("nulls propagate") {
+    import spark.implicits._
+    val out = Seq((Some(1L), None: Option[Long])).toDF("x", "y")
+      .select(zorder_key(col("x"), col("y")).as("z")).collect()
+    assert(out.head.isNullAt(0))
+  }
+
+  test("z-order layout bounds files touched across BOTH dimensions; linear does not") {
+    // 64x64 grid, 8 files per layout
+    val grid = spark.range(4096)
+      .select(shiftright(col("id"), 6).as("x"), (col("id") % 64).as("y"))
+    val zdir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val ldir = java.nio.file.Files.createTempDirectory("linear").toString
+    grid.withColumn("z", zorder_key(col("x"), col("y")))
+      .repartitionByRange(8, col("z")).sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(zdir)
+    grid.repartitionByRange(8, col("x"), col("y"))
+      .sortWithinPartitions(col("x"), col("y"))
+      .write.mode("overwrite").parquet(ldir)
+
+    def filesTouched(dir: String, cond: Column): Long =
+      spark.read.parquet(dir).filter(cond)
+        .select(input_file_name()).distinct().count()
+
+    // a thin slice in each single dimension
+    val zWorst = math.max(filesTouched(zdir, col("x") === 7),
+      filesTouched(zdir, col("y") === 7))
+    val lWorst = math.max(filesTouched(ldir, col("x") === 7),
+      filesTouched(ldir, col("y") === 7))
+    // linear is perfect on x (1 file) but touches every file for the y
+    // slice; z-order keeps BOTH bounded well below the file count
+    assert(lWorst == 8L, s"expected the linear layout to touch all 8 files, got $lWorst")
+    assert(zWorst <= 4L, s"z-order worst-case touched $zWorst of 8 files")
+  }
+}
