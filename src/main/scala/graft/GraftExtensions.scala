@@ -22,8 +22,10 @@ import org.apache.spark.sql.graftbridge.Bridge
   *   - `cosine_sim(a, b)`        — cosine similarity of array<double>
   *   - `word_ngrams(toks, n)`    — exact-n word n-grams, space-joined
   *   - `everygrams(toks, lo, hi)`— all n-grams for n in [lo, hi]
+  *   - `zorder_key(c1, c2, …)`   — Morton bit-interleave layout key
+  *   - `top_k(e, k[, smallest])` — bounded-heap per-group top-k aggregate
   *
-  * All six compose from built-ins or codegen'd unary expressions — no UDF
+  * All of these compose from built-ins or codegen'd expressions — no UDF
   * registry entries, so SQL users get identical plans (and identical 100 TB
   * scaling) to Column-API users.
   */
@@ -79,6 +81,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val hi = exprs(2).eval(null).asInstanceOf[Number].intValue()
         Bridge.toExpression(
           graft.functions.everygrams(Bridge.column(exprs.head), lo, hi))
+      }))
+
+    ext.injectFunction((FunctionIdentifier("zorder_key"),
+      info("zorder_key", "zorder_key(c1, c2, ...) - Z-order (Morton) bit-interleave of non-negative long dimension columns; sort by it before writing for multi-dimensional file clustering."),
+      (exprs: Seq[Expression]) => graft.functions.ZOrderKey(exprs)))
+
+    ext.injectFunction((FunctionIdentifier("top_k"),
+      info("top_k", "top_k(expr, k[, smallest]) - the k greatest (or least) values per group, sorted best-first; bounded-heap aggregate with map-side partial reduction."),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(1).eval(null).asInstanceOf[Number].intValue()
+        val smallest = exprs.length > 2 &&
+          exprs(2).eval(null).asInstanceOf[Boolean]
+        new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
+          exprs.head, k, smallest, 0, 0)
       }))
   }
 }

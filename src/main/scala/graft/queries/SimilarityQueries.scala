@@ -67,15 +67,14 @@ object SimilarityQueries {
   }
 
   /** (query_id, vec_id, sim, rank): top-k per query by (sim desc, vec_id
-    * asc) via the bounded-heap [[graft.functions.top_k]] aggregate. The
-    * window formulation this replaced shuffled EVERY scored candidate to
-    * its query's single sort task — with a handful of query keys that is
-    * maximal skew on the biggest intermediate of the whole ANN family.
-    * The aggregate partially reduces each query to k rows per map
-    * partition, so the shuffle carries k×partitions rows per query and no
-    * task ever sorts more than the merged heaps. Negating `sim` turns the
-    * mixed-direction ordering into the struct's natural ascending order
-    * (exact for all non-NaN doubles). */
+    * asc) via the bounded-heap [[graft.functions.top_k]] aggregate —
+    * O(n log k) heaps map-side, k rows per (map partition, query) through
+    * the shuffle, and no sort of the candidate set anywhere. The window
+    * formulation it replaces needs a full sort of every map partition to
+    * feed its group-limit plus a per-key sort after the shuffle (see
+    * top_k's scaladoc for the honest InferWindowGroupLimit comparison).
+    * Negating `sim` turns the mixed-direction ordering into the struct's
+    * natural ascending order (exact for all non-NaN doubles). */
   private def rankBySimDesc(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))
       .agg(graft.functions.top_k(

@@ -225,6 +225,39 @@ object TextQueries {
               |  WHERE lang = 'zh')
               |ORDER BY token""".stripMargin)),
 
+    // --- heavy hitters via Spark 4's approx_top_k sketch aggregate:
+    //     fixed-size frequency sketch per map task, sketch merge — the
+    //     no-exact-counts-needed shape for "what are the dominant tokens
+    //     in 100 TB". Sketch output -> rows-only gate; accuracy measured
+    //     in-engine by q79b (the q43/q45 honesty pattern). ---
+    Q("q79_heavy_hitters",
+      (s, dir) => {
+        tokens(Tables(s, dir, "documents"))
+          .agg(expr("approx_top_k(token, 20)").as("top"))
+          .select(posexplode(col("top")).as(Seq("r0", "e")))
+          .select((col("r0") + 1).cast("int").as("rank"),
+            col("e.item").as("token"), col("e.count").as("cnt"))
+      },
+      None),
+
+    // --- precision@20 of the sketch vs exact global counts (exact side =
+    //     one hash agg + TakeOrderedAndProject, no full sort) ---
+    Q("q79b_heavy_hitters_precision",
+      (s, dir) => {
+        val toks = tokens(Tables(s, dir, "documents"))
+        val exact = toks.groupBy(col("token"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token")).limit(20)
+          .select(col("token"))
+        val approx = toks
+          .agg(expr("approx_top_k(token, 20)").as("top"))
+          .select(explode(col("top")).as("e"))
+          .select(col("e.item").as("token"), lit(1).as("hit"))
+        exact.join(approx, Seq("token"), "left")
+          .agg((sum(coalesce(col("hit"), lit(0))) / 20.0).as("precision_at_20"))
+      },
+      None),
+
     // --- top-k terms per source (window over the stats output — the
     //     natural consumer of W3's per-source files, SURVEY §2.5) ---
     Q("q27_topk_terms_per_source",

@@ -63,6 +63,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
   }
 
+  test("zorder_key from SQL matches the Column API and the bit definition") {
+    val r = spark.sql("SELECT zorder_key(7L, 3L) AS z").head()
+    // bit b of col c lands at position b*2+c: 7=(111), 3=(011)
+    // -> z = 0b011111 = 31
+    assert(r.getLong(0) == 31L)
+  }
+
+  test("top_k from SQL is the bounded-heap aggregate, greatest and least") {
+    import spark.implicits._
+    Seq(("a", 5), ("a", 9), ("a", 1), ("b", 2), ("b", 8))
+      .toDF("g", "x").createOrReplaceTempView("tk_in")
+    val rows = spark.sql(
+      """SELECT g, top_k(x, 2) AS hi, top_k(x, 2, true) AS lo
+        |FROM tk_in GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(rows(0).getSeq[Int](1) == Seq(9, 5) && rows(0).getSeq[Int](2) == Seq(1, 5))
+    assert(rows(1).getSeq[Int](1) == Seq(8, 2) && rows(1).getSeq[Int](2) == Seq(2, 8))
+  }
+
   test("a full stats query runs end-to-end in pure SQL") {
     import spark.implicits._
     Seq((0L, "The Cat! sat"), (1L, "the cat SAT down"))
