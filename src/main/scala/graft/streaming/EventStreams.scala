@@ -139,6 +139,49 @@ object EventStreams {
       }
   }
 
+  /** One CDC merge step: reduce new rows to the latest state per user and
+    * merge them over the current state table — the q74 keep-latest logic
+    * (DuckDB-oracled there) applied incrementally. The merge input is
+    * |keys in batch| + |table|, never the full history. Plain parquet has
+    * no atomic MERGE, so the new table is written next to the old one and
+    * swapped; on a table format (Delta/Iceberg) this step IS `MERGE INTO`
+    * and the swap disappears. */
+  def upsertBatch(batch: DataFrame, tableDir: String): Unit = {
+    val spark = batch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("latest_ts").desc, col("latest_event_id").desc)
+    val incoming = batch.select(col("user_id"),
+      col("event_id").as("latest_event_id"), col("ts").as("latest_ts"),
+      col("event_type").as("latest_type"))
+    val path = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current =
+      if (fs.exists(path)) spark.read.parquet(tableDir) else incoming.limit(0)
+    val merged = incoming.unionByName(current)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val tmp = new org.apache.hadoop.fs.Path(tableDir + "__tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    fs.rename(tmp, path)
+  }
+
+  /** Streaming CDC keep-latest upsert: each micro-batch flows through
+    * [[upsertBatch]] via foreachBatch — the standard stream-to-warehouse
+    * MERGE shape (arbitrary batch logic per trigger, exactly-once via the
+    * checkpoint's batch-id dedup as long as the merge is idempotent,
+    * which keep-latest is). The streaming twin of batch q74. */
+  def upsertLatestStream(events: DataFrame, tableDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(batch, tableDir)
+      }
+      .start()
+
   /** Convenience: stream the testdata events parquet as a file source. */
   def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

