@@ -411,33 +411,47 @@ object SimilarityQueries {
 
   /** IVF-PQ — the composed 100 TB ANN shape: the trained coarse quantizer
     * prunes the search to `nprobe` cells AND the pruned candidates are
-    * scored against PQ codes only. Per (query, probed cell) the broadcast
-    * probe frame carries the query's flattened ADC table as an
-    * `array<double>` column, so the whole fan-out is ONE plan branch
-    * ([[graft.operators.PQ.adcLookup]]) — thousands of queries are rows,
-    * not unioned subplans. At cluster scale `coded` is the parquet index
-    * written partitionBy(cell) (IvfIndexSpec proves the probe prunes to
-    * the probed cells' files) and each probe reads ~nprobe/k of the codes —
-    * neither the vectors nor the codes of unprobed cells are touched. */
+    * scored against PQ codes only. The PQ codebooks are trained on and
+    * encode RESIDUALS (v − centroid(cell)) — textbook IVF-ADC: residuals
+    * concentrate near the origin, so the same 16-byte budget quantizes a
+    * much smaller ball than raw vectors. The asymmetry lands on the probe
+    * side for free: each (query, probed cell) row of the broadcast frame
+    * carries the ADC table of THAT cell's residual query (qv − centroid),
+    * still an `array<double>` column scored by one
+    * [[graft.operators.PQ.adcLookup]] plan branch — thousands of queries
+    * are rows, not unioned subplans. At cluster scale `coded` is the
+    * parquet index written partitionBy(cell) (IvfIndexSpec proves the
+    * probe prunes to the probed cells' files) and each probe reads
+    * ~nprobe/k of the codes — neither the vectors nor the codes of
+    * unprobed cells are touched. */
   private def ivfPqTopK(s: SparkSession, dir: String,
       nQueries: Int, k: Int, nprobe: Int): DataFrame = {
     import s.implicits._
     val all   = unitVecs(s, dir)
     val cents = ivfCentroids(all)
-    val pq    = graft.operators.PQ.fit(all, "v", "vec_id",
+    // residual view: v − centroid(cell), the per-row centroid fetched from
+    // the k×d model literal by cell index — all map-side
+    val centLit  = typedLit(cents.map(_.toSeq).toSeq)
+    val assigned = ivfAssign(all, cents)
+    val residuals = assigned.select(col("vec_id"), col("cell"),
+      zip_with(col("v"), element_at(centLit, col("cell").cast("int") + 1),
+        (x, c) => x - c).as("rv"))
+    val pq = graft.operators.PQ.fit(residuals, "rv", "vec_id",
       m = PqM, k = PqK, iters = 3)
-    val coded = ivfAssign(all, cents).select(col("vec_id"), col("cell"),
-      graft.operators.PQ.encode(col("v"), pq).as("codes"))
+    val coded = residuals.select(col("vec_id"), col("cell"),
+      graft.operators.PQ.encode(col("rv"), pq).as("codes"))
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
       acc
     }
     val probes = collectQueries(all, nQueries).toSeq.flatMap { case (qid, qv) =>
-      val table = graft.operators.PQ.adcTable(pq, qv).toSeq
-      cents.zipWithIndex.map { case (c, i) => (d2(qv, c), i.toLong) }
-        .sorted.take(nprobe)
-        .map { case (_, cell) => (qid, cell, table) }
+      cents.zipWithIndex.map { case (c, i) => (d2(qv, c), i.toLong, c) }
+        .sortBy(t => (t._1, t._2)).take(nprobe)
+        .map { case (_, cell, c) =>
+          val rq = qv.indices.map(i => qv(i) - c(i)).toArray
+          (qid, cell, graft.operators.PQ.adcTable(pq, rq).toSeq)
+        }
     }.toDF("query_id", "cell", "adc_table")
     rankByAdcAsc(
       coded.join(broadcast(probes), Seq("cell"))
