@@ -46,10 +46,20 @@ object MinHash {
     * NumBands rows per input row. Rows with no shingles (< n tokens) are
     * dropped, matching the batch pipeline. Works on streaming frames too —
     * every step is a stateless projection. */
-  def bandKeys(df: DataFrame, textCol: String, carryCols: Seq[String]): DataFrame = {
+  def bandKeys(df: DataFrame, textCol: String, carryCols: Seq[String],
+      n: Int = 3): DataFrame = {
     val sigs = df
-      .withColumn("__sh", shingles(col(textCol)))
-      .filter(size(col("__sh")) > 0)
+      // Exactly `size(shingles) > 0`, but stated over the raw token count:
+      // a doc has >= 1 n-shingle iff it has >= n whitespace tokens. The
+      // distinction matters physically — Catalyst pushes this filter below
+      // any downstream repartition into the scan stage, and there a
+      // predicate over the shingle ARRAY would evaluate the whole
+      // array_distinct(transform(...)) shingle pipeline once per row inside
+      // the (often single-split) scan task, then recompute it again after
+      // the exchange. The token-count form keeps the pushed-down predicate
+      // a cheap split+size.
+      .filter(size(split(col(textCol), " ")) >= n)
+      .withColumn("__sh", shingles(col(textCol), n))
       .select(carryCols.map(col) :+ col("__sh"): _*)
       .select(carryCols.map(col) ++ signature(col("__sh")): _*)
     sigs

@@ -79,8 +79,16 @@ object DedupQueries {
     * an exchange; at 100 TB that shuffle IS the job); the band equi-join
     * below is the only shuffle of candidate generation. */
   private def lshVerifiedPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // localCheckpoint so the 64-hash signature pipeline runs ONCE: the
+    // self-join below references the bucket subtree twice and Catalyst has
+    // no cross-branch common-subexpression reuse, so without materializing,
+    // shingling + 64 minhashes re-run per side. The banded keys are ~32
+    // short rows per doc — far smaller than the text they derive from, so
+    // at 100 TB materializing them is the cheap side of the trade (and it
+    // truncates lineage, so retries never re-derive the scan).
     val buckets = graft.operators.MinHash.bandKeys(
-      fanout(docs).select(col("doc_id"), col("text")), "text", Seq("doc_id"))
+        fanout(docs).select(col("doc_id"), col("text")), "text", Seq("doc_id"))
+      .localCheckpoint()
     val cands = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
