@@ -31,8 +31,17 @@ object Dedup {
   /** edges: undirected pairs in columns (a, b). Returns (id, cluster_id)
     * for every node that appears in an edge, cluster_id = min node id of
     * its component. Warns on stderr if maxIter is hit before convergence
-    * (returned labels are then an upper bound, not final clusters). */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    * (returned labels are then an upper bound, not final clusters).
+    *
+    * `pathDoubling` adds a pointer-jump step per round (follow the
+    * propagated label one more hop through the label table itself), which
+    * makes the reach of a round double — O(log diameter) rounds instead of
+    * O(diameter). Off by default: near-dup cluster graphs are dense and
+    * low-diameter, so the extra node-sized join per round costs more than
+    * the rounds it saves; turn it on for chain-like graphs (e.g. edges
+    * from sliding-window or as-of relations) where diameter is unbounded. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      pathDoubling: Boolean = false): DataFrame = {
     // Pre-partition the symmetric edge set on the join key BEFORE caching:
     // every iteration joins sym on `b`, and a cached frame keeps its
     // physical partitioning, so the per-round plan reuses this one shuffle
@@ -54,14 +63,30 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("id").as("b"), col("lbl").as("blbl")), Seq("b"))
         .groupBy(col("a")).agg(min(col("blbl")).as("nbl"))
-      // carry the "did this node improve?" bit through the update itself so
+      // Carry the "did this node improve?" bit through the update itself so
       // the convergence check is a count on the materialized frame, not a
-      // second labels join per round
-      val joined = labels
+      // second labels join per round.
+      val prop = labels
         .join(nbrMin.select(col("a").as("id"), col("nbl")), Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"),
-          (col("nbl") < col("lbl")).as("improved"))
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("plbl"))
+      val joined =
+        if (!pathDoubling)
+          prop.select(col("id"), col("plbl").as("lbl"),
+            (col("plbl") < col("lbl")).as("improved"))
+        else {
+          // A label is always the id of a node in the same component, so
+          // label[label[v]] is too — following one extra hop through the
+          // propagated table keeps every invariant and doubles the reach.
+          prop
+            .join(prop.select(col("id").as("plbl"), col("plbl").as("qlbl"))
+              .withColumnRenamed("plbl", "__p"),
+              col("plbl") === col("__p"), "left")
+            .select(col("id"),
+              least(col("plbl"), coalesce(col("qlbl"), col("plbl"))).as("lbl"),
+              (least(col("plbl"), coalesce(col("qlbl"), col("plbl")))
+                < col("lbl")).as("improved"))
+        }
       val next =
         if (iter % CheckpointEvery == CheckpointEvery - 1)
           joined.localCheckpoint(eager = true)
