@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -427,6 +428,128 @@ object AnalysisQueries {
              |  round(quantile_cont(wc, 0.9), 2) AS p90
              |FROM (SELECT lang, len(string_split(text,' '))::BIGINT AS wc
              |      FROM documents)
-             |GROUP BY lang ORDER BY lang""".stripMargin))
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // --- the 100 TB twin of q75: single-pass mergeable decile sketch
+    //     (approx_percentile) with an in-engine error gate against the
+    //     exact per-group percentiles. The exact path sorts every group
+    //     inside its aggregate — at scale the sketch is the only one-pass
+    //     option, and this query MEASURES the accuracy it trades: max
+    //     relative error across all langs and deciles. Rows-only by
+    //     design (the sketch is engine-specific); the within_5pct verdict
+    //     is the verification. ---
+    Q("q75b_decile_sketch_error",
+      (s, dir) => {
+        val wc = fanout(Tables(s, dir, "documents"))
+          .select(col("lang"),
+            size(split(col("text"), " ")).cast("long").as("wc"))
+        wc.groupBy(col("lang"))
+          .agg(expr("percentile(wc, array(0.1, 0.5, 0.9))").as("exact"),
+            expr("approx_percentile(wc, array(0.1, 0.5, 0.9), 2500)")
+              .as("approx"))
+          .select(explode(arrays_zip(col("exact"), col("approx"))).as("z"))
+          .select((abs(col("z.exact") - col("z.approx")) / col("z.exact"))
+            .as("rel_err"))
+          .agg(round(max(col("rel_err")), 6).as("max_rel_err"),
+            (max(col("rel_err")) <= 0.05).as("within_5pct"))
+      },
+      None),
+
+    // --- RAG/context-window chunking: fixed 200-char windows on a
+    //     150-char stride (50-char overlap), start offset carried for
+    //     provenance. One Generate per document, zero shuffles before the
+    //     output sort — at 100 TB a pure map stage whose output
+    //     partitions by doc range for writing. ---
+    Q("q81_doc_chunking",
+      (s, dir) => {
+        fanout(Tables(s, dir, "documents"))
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0),
+              greatest(length(col("text")) - 1, lit(0)), lit(150)))
+              .as("cs"))
+          .select(col("doc_id"), col("cs").cast("long").as("chunk_start"),
+            col("text").substr(col("cs") + 1, lit(200)).as("chunk"))
+          .withColumn("chunk_len", length(col("chunk")).cast("long"))
+          .orderBy(col("doc_id"), col("chunk_start"))
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id, text,
+             |         unnest(generate_series(0, greatest(len(text)-1, 0),
+             |                                150)) AS cs
+             |  FROM documents)
+             |SELECT doc_id, cs::BIGINT AS chunk_start,
+             |       substr(text, cs::INT + 1, 200) AS chunk,
+             |       len(substr(text, cs::INT + 1, 200))::BIGINT AS chunk_len
+             |FROM c ORDER BY doc_id, chunk_start""".stripMargin),
+      bench = true),
+
+    // --- bigram language-model scoring: train P(w2|w1) = c(w1 w2)/c(w1 .)
+    //     on the corpus itself (the KenLM-style quality signal used to
+    //     filter pretraining data), then score each document by its
+    //     per-bigram negative log-likelihood. The model is a term-level
+    //     aggregate (vocabulary-sized, NOT corpus-sized) so at 100 TB it
+    //     is the small side; documents join against it on the bigram key.
+    //     No smoothing needed: the model trains on the same corpus it
+    //     scores, so every observed bigram has mass. ---
+    Q("q82_bigram_lm_nll",
+      (s, dir) => {
+        val bi = fanout(Tables(s, dir, "documents"))
+          .select(col("doc_id"),
+            explode(word_ngrams(split(col("text"), " "), 2)).as("bg"))
+        val model = bi.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+          .withColumn("logp",
+            log(col("c12") / sum(col("c12")).over(
+              Window.partitionBy(substring_index(col("bg"), " ", 1)))))
+          .select(col("bg"), col("logp"))
+        bi.join(model, "bg")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(-avg(col("logp")), 4).as("nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+             |            FROM documents),
+             |b AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1],' ')
+             |        for i in range(1, len(toks))]) AS bg FROM t),
+             |c AS (SELECT bg, count(*) AS c12 FROM b GROUP BY bg),
+             |p AS (SELECT bg, ln(c12::DOUBLE / sum(c12) OVER (
+             |        PARTITION BY string_split(bg,' ')[1])) AS logp FROM c)
+             |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+             |       round(-avg(logp), 4) AS nll
+             |FROM b JOIN p USING (bg)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // --- domain-mixture resampling: downsample every source to the
+    //     smallest source's size (uniform mixture), deterministically via
+    //     a Knuth multiplicative hash of doc_id — integer-exact on both
+    //     engines, reproducible across runs, and one broadcast join (the
+    //     per-source counts are K rows) + one scan. The per-source keep
+    //     ratio generalizes to any target mixture vector. ---
+    Q("q83_domain_mixture",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val counts = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("n_min", min(col("n_docs")).over(Window.partitionBy()))
+        docs.select(col("doc_id"), col("source"),
+            ((col("doc_id") * 2654435761L) % 65536).as("h"))
+          .join(broadcast(counts), "source")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("h") * col("n_docs") < col("n_min") * 65536, 1L)
+              .otherwise(0L)).as("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH c AS (SELECT source, count(*) AS n_docs FROM documents
+             |           GROUP BY source),
+             |m AS (SELECT min(n_docs) AS n_min FROM c),
+             |d AS (SELECT doc_id, source,
+             |             (doc_id * 2654435761) % 65536 AS h
+             |      FROM documents)
+             |SELECT d.source, count(*) AS n_docs,
+             |       sum(CASE WHEN h * c.n_docs < m.n_min * 65536
+             |                THEN 1 ELSE 0 END)::BIGINT AS n_kept
+             |FROM d JOIN c USING (source) CROSS JOIN m
+             |GROUP BY d.source ORDER BY d.source""".stripMargin))
   )
 }
