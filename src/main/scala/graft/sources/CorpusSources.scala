@@ -49,6 +49,26 @@ object CorpusSources {
       .toDF("document_index", "text")
   }
 
+  /** T1 via the native DSV2 connector ([[graft.sources.v2.CorpusDataSource]]):
+    * same (document_index, text) contract as [[loadRawCorpus]], but the scan
+    * plans explicit byte-range splits (`chunkBytes`) per file — the shape
+    * for corpora whose individual files are far larger than a default split.
+    * Ids are contiguous in (file, byte offset) order: the connector emits
+    * partitions in that order, so the same zipWithIndex applies with no
+    * global sort. */
+  def loadRawCorpusV2(spark: SparkSession, path: String,
+      recordDelimiter: String = RecordDelimiter,
+      chunkBytes: Long = graft.sources.v2.CorpusV2.DefaultChunkBytes): DataFrame = {
+    import spark.implicits._
+    spark.read.format("vspace-corpus")
+      .option("delimiter", recordDelimiter)
+      .option("chunkBytes", chunkBytes.toString)
+      .load(path)
+      .select("text").rdd.map(_.getString(0)).zipWithIndex()
+      .map { case (text, idx) => (idx, text) }
+      .toDF("document_index", "text")
+  }
+
   /** T2: tab-separated index file with the fixed 10-col schema. */
   def loadIndex(spark: SparkSession, path: String,
       delimiter: String = "\t", schema: StructType = IndexSchema): DataFrame =

@@ -1,0 +1,294 @@
+package graft.sources.v2
+
+import java.io.BufferedInputStream
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for the vspace corpus format: documents separated
+  * by a multi-byte record delimiter (reference `base.py:36,56-73`, where the
+  * same format is read through `newAPIHadoopFile` with
+  * `textinputformat.record.delimiter`). The built-in `lineSep` text source
+  * covers the simple path (`CorpusSources.loadRawCorpus`); this connector is
+  * the scale path — it plans explicit byte-range splits per file (so a
+  * single 1 TB corpus file fans out across a cluster without relying on
+  * codec splittability heuristics), prunes columns at the source, and
+  * exposes each record's byte offset so downstream id assignment is
+  * deterministic without a global sort.
+  *
+  * Split ownership (TextInputFormat semantics, adapted for a multi-byte
+  * delimiter): a record belongs to the split containing its first byte. A
+  * non-initial split starts scanning `delimLen - 1` bytes BEFORE its range
+  * so a delimiter straddling the boundary is still visible — a delimiter
+  * wholly inside the previous range can never match there (it would have to
+  * end past the boundary), so every record is owned by exactly one split.
+  * Each split reads records whose start offset is <= its end, following the
+  * last one past the boundary if needed.
+  *
+  * Usage: `spark.read.format("vspace-corpus").option("delimiter", d)
+  * .option("chunkBytes", n).load(path)` → (path string, pos long, text
+  * string), `pos` = record start byte offset in its file.
+  */
+class CorpusDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "vspace-corpus"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CorpusV2.FullSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    require(schema == CorpusV2.FullSchema,
+      s"vspace-corpus has a fixed schema ${CorpusV2.FullSchema.simpleString}; " +
+        "project columns instead of overriding the schema")
+    new CorpusTable(new CaseInsensitiveStringMap(properties))
+  }
+}
+
+object CorpusV2 {
+  val FullSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  val DefaultChunkBytes: Long = 128L * 1024 * 1024
+}
+
+final class CorpusTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"vspace_corpus(${options.get("path")})"
+  override def schema(): StructType = CorpusV2.FullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    // merge table properties (from load(path)) with read options
+    val merged = new java.util.HashMap[String, String]()
+    merged.putAll(options.asCaseSensitiveMap())
+    merged.putAll(caseInsensitiveOptions.asCaseSensitiveMap())
+    new CorpusScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+}
+
+final class CorpusScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = CorpusV2.FullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // empty pruning (e.g. count(*)) still needs row cardinality; keep the
+    // cheap offset column as the carrier
+    required =
+      if (requiredSchema.isEmpty) StructType(CorpusV2.FullSchema.filter(_.name == "pos"))
+      else requiredSchema
+
+  override def build(): Scan = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("vspace-corpus: no path specified"))
+    val delim = Option(options.get("delimiter"))
+      .getOrElse(graft.sources.CorpusSources.RecordDelimiter)
+    require(delim.nonEmpty, "vspace-corpus: delimiter must be non-empty")
+    val chunk = Option(options.get("chunkBytes")).map(_.toLong)
+      .getOrElse(CorpusV2.DefaultChunkBytes)
+    require(chunk > 0, "vspace-corpus: chunkBytes must be positive")
+    // ship the driver's filesystem conf entries so executors resolve the
+    // same fs implementations (local/HDFS/object stores)
+    val hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+    val fsConf = hadoopConf.iterator().asScala
+      .map(e => e.getKey -> e.getValue)
+      .filter(_._1.startsWith("fs.")).toMap
+    new CorpusScan(path, delim.getBytes(StandardCharsets.UTF_8), chunk,
+      required, fsConf)
+  }
+}
+
+final case class CorpusInputPartition(file: String, start: Long, end: Long)
+    extends InputPartition
+
+final class CorpusScan(path: String, delim: Array[Byte], chunkBytes: Long,
+    required: StructType, fsConf: Map[String, String]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"vspace-corpus $path (chunk=$chunkBytes, delim=${delim.length}B, " +
+      s"columns=${required.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = CorpusReaderFactory.buildConf(fsConf)
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filter(f => f.isFile && {
+            val n = f.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
+          })
+      else Seq(st)
+    }.sortBy(_.getPath.toString)
+    files.flatMap { st =>
+      val len = st.getLen
+      val uri = st.getPath.toString
+      if (len == 0) Seq.empty
+      else (0L until len by chunkBytes).map { s =>
+        CorpusInputPartition(uri, s, math.min(s + chunkBytes, len))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CorpusReaderFactory(delim, required.fieldNames, fsConf)
+}
+
+object CorpusReaderFactory {
+  def buildConf(fsConf: Map[String, String]): Configuration = {
+    val c = new Configuration()
+    fsConf.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+}
+
+final class CorpusReaderFactory(delim: Array[Byte], columns: Array[String],
+    fsConf: Map[String, String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new CorpusPartitionReader(partition.asInstanceOf[CorpusInputPartition],
+      delim, columns, fsConf)
+}
+
+/** Knuth–Morris–Pratt matcher fed one byte at a time; linear even on the
+  * highly self-repetitive corpus delimiter ("nferstopword " x15, where
+  * naive backtracking degrades). Matches leftmost non-overlapping
+  * occurrences, like Hadoop's delimited line reader. */
+private[v2] final class DelimiterMatcher(delim: Array[Byte]) {
+  val length: Int = delim.length
+  private val fail: Array[Int] = {
+    val f = new Array[Int](delim.length)
+    var k = 0
+    var i = 1
+    while (i < delim.length) {
+      while (k > 0 && delim(i) != delim(k)) k = f(k - 1)
+      if (delim(i) == delim(k)) k += 1
+      f(i) = k
+      i += 1
+    }
+    f
+  }
+  private var state = 0
+  def reset(): Unit = state = 0
+  /** Feed one byte; true iff a full delimiter just completed. */
+  def advance(b: Byte): Boolean = {
+    while (state > 0 && b != delim(state)) state = fail(state - 1)
+    if (b == delim(state)) state += 1
+    if (state == delim.length) { state = 0; true } else false
+  }
+}
+
+final class CorpusPartitionReader(p: CorpusInputPartition, delim: Array[Byte],
+    columns: Array[String], fsConf: Map[String, String])
+    extends PartitionReader[InternalRow] {
+
+  private val matcher = new DelimiterMatcher(delim)
+  private val fsPath = new Path(p.file)
+  private val stream = {
+    val fs = fsPath.getFileSystem(CorpusReaderFactory.buildConf(fsConf))
+    fs.open(fsPath)
+  }
+  private val pathUtf8 = UTF8String.fromString(p.file)
+
+  /** Absolute offset of the next unread byte. */
+  private var pos: Long = _
+  /** Absolute offset where the next record starts. */
+  private var recordStart: Long = _
+  private var done = false
+  private var row: InternalRow = _
+
+  private val in: BufferedInputStream = {
+    // non-initial splits look back delimLen-1 bytes so a boundary-straddling
+    // delimiter is visible (see class doc of CorpusDataSource)
+    val scanFrom = if (p.start == 0) 0L
+      else math.max(0L, p.start - (delim.length - 1))
+    stream.seek(scanFrom)
+    pos = scanFrom
+    new BufferedInputStream(stream, 64 * 1024)
+  }
+
+  // A non-initial split owns records starting in (start, end]. Skip to the
+  // first delimiter that ends strictly after `start` (or EOF): a delimiter
+  // ending at <= start terminates a record the previous split owns — that
+  // can only match here when the lookback clamped to 0 (start < delimLen),
+  // where the scan legitimately sees the whole file prefix.
+  if (p.start == 0) recordStart = 0L
+  else {
+    matcher.reset()
+    var found = false
+    var b = in.read()
+    while (!found && b >= 0) {
+      pos += 1
+      if (matcher.advance(b.toByte) && pos > p.start) found = true
+      else b = in.read()
+    }
+    if (found) recordStart = pos else done = true
+  }
+
+  private val buf = new ByteArrayOutputStream(1 << 16)
+
+  override def next(): Boolean = {
+    if (done || recordStart > p.end) return false
+    buf.reset()
+    matcher.reset()
+    var terminated = false
+    var eof = false
+    while (!terminated && !eof) {
+      val b = in.read()
+      if (b < 0) eof = true
+      else {
+        pos += 1
+        buf.write(b)
+        if (matcher.advance(b.toByte)) terminated = true
+      }
+    }
+    if (terminated) {
+      val all = buf.toByteArray
+      row = makeRow(all, all.length - delim.length, recordStart)
+      recordStart = pos
+      true
+    } else {
+      // EOF: the final unterminated segment is a record only if non-empty
+      // (a trailing delimiter produces nothing), matching the line reader
+      done = true
+      val all = buf.toByteArray
+      if (all.isEmpty) false
+      else { row = makeRow(all, all.length, recordStart); true }
+    }
+  }
+
+  private def makeRow(bytes: Array[Byte], textLen: Int, start: Long): InternalRow = {
+    val vals = new Array[Any](columns.length)
+    var i = 0
+    while (i < columns.length) {
+      vals(i) = columns(i) match {
+        case "path" => pathUtf8
+        case "pos"  => start
+        case "text" => UTF8String.fromBytes(bytes, 0, textLen)
+        case other  => throw new IllegalArgumentException(s"unknown column $other")
+      }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = stream.close()
+}
