@@ -297,6 +297,39 @@ object EventQueries {
            |                  event_id % 1024 AS y FROM events)
            |SELECT event_id, ($zBits)::BIGINT AS zkey
            |FROM d ORDER BY event_id""".stripMargin
-      })
+      }),
+
+    // --- join-key skew profile: the diagnostic a pipeline runs BEFORE
+    //     choosing salting/AQE-skew-join for a key (§2.6 posture). One
+    //     groupBy on the key, then constant-size aggregates: skew factor
+    //     (max key count / mean key count) and the share of rows held by
+    //     the 10 hottest keys. The per-key frame is keys-sized, the
+    //     ranking window runs on that reduced frame, and the output is
+    //     one row regardless of input scale. ---
+    Q("q85_join_skew_profile",
+      (s, dir) => {
+        val byKey = Tables(s, dir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        byKey
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("c").desc, col("user_id"))))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(col("c")).as("n_rows"),
+            max(col("c")).as("max_key_rows"),
+            round(max(col("c")) * count(lit(1)) / sum(col("c")).cast("double"), 4)
+              .as("skew_factor"),
+            round(sum(when(col("rn") <= 10, col("c")).otherwise(0L))
+              / sum(col("c")).cast("double"), 4).as("top10_share"))
+      },
+      Some("""WITH k AS (SELECT user_id, count(*) AS c FROM events
+             |           GROUP BY user_id),
+             |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, user_id)
+             |        AS rn FROM k)
+             |SELECT count(*) AS n_keys, sum(c)::BIGINT AS n_rows,
+             |  max(c)::BIGINT AS max_key_rows,
+             |  round(max(c) * count(*) / sum(c)::DOUBLE, 4) AS skew_factor,
+             |  round(sum(CASE WHEN rn <= 10 THEN c ELSE 0 END)
+             |    / sum(c)::DOUBLE, 4) AS top10_share
+             |FROM r""".stripMargin))
   )
 }

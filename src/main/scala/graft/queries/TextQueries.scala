@@ -428,6 +428,55 @@ object TextQueries {
              |SELECT a.token AS tok_a, b.token AS tok_b
              |FROM v a JOIN v b ON a.token < b.token
              |WHERE levenshtein(a.token, b.token) = 1
-             |ORDER BY tok_a, tok_b""".stripMargin))
+             |ORDER BY tok_a, tok_b""".stripMargin)),
+
+    // --- Okapi BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed term
+    //     set — the classical sparse-retrieval companion to the dense ANN
+    //     family (q40-q49). Everything derives from one token explode:
+    //     doc lengths aggregate from it, the query-term tf filters it
+    //     BEFORE the (doc, term) aggregate (the isin pushes into the
+    //     generate side, so only query-term rows survive the explode
+    //     stage), and the df/N/avgdl model frames are term- or
+    //     scalar-sized broadcasts. At 100 TB: one scan, one key shuffle
+    //     on the filtered (doc, term) pairs. ---
+    Q("q84_bm25",
+      (s, dir) => {
+        val terms = Seq("spark", "join", "filter")
+        val toks = fanout(Tables(s, dir, "documents"))
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+        val tf = toks.filter(col("tok").isin(terms: _*))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        // df and stats are term-/scalar-sized: always broadcast. dl is
+        // doc-sized — leave it to the planner (a shuffle join at scale).
+        tf.join(broadcast(df), "tok")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+              * col("tf") * lit(1.2 + 1)
+              / (col("tf")
+                + lit(1.2) * (lit(1 - 0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+              .as("score"))
+          .groupBy(col("doc_id"))
+          .agg(round(sum(col("score")), 4).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+             |              FROM documents),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+             |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+             |       WHERE tok IN ('spark','join','filter')
+             |       GROUP BY doc_id, tok),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+             |SELECT doc_id,
+             |  round(sum(ln((n - df + 0.5)/(df + 0.5) + 1)
+             |    * tf * (1.2 + 1)
+             |    / (tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl))), 4) AS bm25
+             |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+             |GROUP BY doc_id ORDER BY bm25 DESC, doc_id""".stripMargin))
   )
 }
