@@ -477,6 +477,62 @@ object TextQueries {
              |    * tf * (1.2 + 1)
              |    / (tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl))), 4) AS bm25
              |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
-             |GROUP BY doc_id ORDER BY bm25 DESC, doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY bm25 DESC, doc_id""".stripMargin)),
+
+    // --- exact TF-IDF cosine document pairs via an inverted index: the
+    //     sparse-vector complement to the embedding-cosine dedup family.
+    //     Partial products flow through a (term) self-join — each term
+    //     fans out df(t)^2 pairs, so this is the exact-verification shape;
+    //     at 100 TB candidate generation routes through the LSH paths
+    //     (q32/q38) first and this plan scores only candidates. Weights,
+    //     norms and dot products all derive from one token explode; the
+    //     idf/N frames are term-/scalar-sized broadcasts. ---
+    Q("q86_tfidf_cosine_pairs",
+      (s, dir) => {
+        val toks = fanout(Tables(s, dir, "documents"))
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val tf = toks.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val df = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+        val n = Tables(s, dir, "documents")
+          .agg(count(lit(1)).cast("double").as("n"))
+        val w = tf.join(broadcast(df), "tok").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("tok"),
+            (col("tf") * log(col("n") / col("df"))).as("w"))
+        val nrm = w.groupBy(col("doc_id"))
+          .agg(sqrt(sum(col("w") * col("w"))).as("nw"))
+        val dot = w.as("a")
+          .join(w.as("b"),
+            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(sum(col("a.w") * col("b.w")).as("d"))
+        dot
+          .join(nrm.select(col("doc_id").as("id_a"), col("nw").as("na")), "id_a")
+          .join(nrm.select(col("doc_id").as("id_b"), col("nw").as("nb")), "id_b")
+          .withColumn("cosine", col("d") / (col("na") * col("nb")))
+          .filter(col("cosine") >= 0.85)
+          .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text,' '))
+             |                AS tok FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+             |       GROUP BY 1, 2),
+             |df AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+             |w AS (SELECT doc_id, tok, tf * ln(n/df) AS w
+             |      FROM tf JOIN df USING (tok) CROSS JOIN n),
+             |nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nw FROM w GROUP BY 1),
+             |dot AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |               sum(a.w * b.w) AS d
+             |        FROM w a JOIN w b
+             |          ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |        GROUP BY 1, 2)
+             |SELECT id_a, id_b, round(d/(na.nw*nb.nw), 4) AS cosine
+             |FROM dot
+             |JOIN nrm na ON na.doc_id = id_a
+             |JOIN nrm nb ON nb.doc_id = id_b
+             |WHERE d/(na.nw*nb.nw) >= 0.85
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }
