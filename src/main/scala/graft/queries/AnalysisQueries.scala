@@ -550,6 +550,84 @@ object AnalysisQueries {
              |       sum(CASE WHEN h * c.n_docs < m.n_min * 65536
              |                THEN 1 ELSE 0 END)::BIGINT AS n_kept
              |FROM d JOIN c USING (source) CROSS JOIN m
-             |GROUP BY d.source ORDER BY d.source""".stripMargin))
+             |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
+    // --- vocabulary growth (Heaps' law) profile: how many NEW distinct
+    //     trigrams each tenth of the corpus contributes, plus the running
+    //     vocabulary size. Trigrams, not unigrams: the synthetic corpus
+    //     draws from a small fixed word list, so the unigram curve
+    //     saturates in bucket 0 — the trigram space is where growth is
+    //     observable (the real-corpus diagnostic works at any n).
+    //     Formulated as a first-occurrence aggregate — min(doc_id) per
+    //     term, then a 10-bucket histogram + cumsum — so the corpus is
+    //     scanned once and the window runs on 10 rows, never on term
+    //     rows. The curve's flattening rate is the standard "is more data
+    //     still adding vocabulary?" diagnostic. ---
+    Q("q87_vocab_growth",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val n = docs.agg(count(lit(1)).as("n_total"))
+        val firstSeen = fanout(docs)
+          .select(col("doc_id"),
+            explode(word_ngrams(split(col("text"), " "), 3)).as("tok"))
+          .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+        firstSeen.crossJoin(broadcast(n))
+          .select(least(floor(col("first_doc") * 10 / col("n_total")), lit(9L))
+            .cast("long").as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("new_tokens"))
+          .withColumn("vocab_size",
+            sum(col("new_tokens")).over(
+              Window.orderBy(col("bucket"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH n AS (SELECT count(*) AS n_total FROM documents),
+             |t AS (SELECT doc_id, string_split(text,' ') AS toks
+             |      FROM documents),
+             |f AS (SELECT tok, min(doc_id) AS first_doc FROM (
+             |        SELECT doc_id, unnest([array_to_string(toks[i:i+2],' ')
+             |          for i in range(1, len(toks)-1)]) AS tok
+             |        FROM t)
+             |      GROUP BY tok),
+             |b AS (SELECT least(floor(first_doc * 10 / n_total), 9)::BIGINT
+             |        AS bucket FROM f CROSS JOIN n)
+             |SELECT bucket, count(*) AS new_tokens,
+             |  sum(count(*)) OVER (ORDER BY bucket
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             |    AS vocab_size
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // --- int8 scalar quantization of the embedding column with an
+    //     in-engine fidelity gate: per-vector symmetric scale
+    //     (max|x|/127), quantize, reconstruct, and measure the cosine
+    //     between original and reconstruction. 4x storage reduction for
+    //     the 100 TB embedding store (float32 -> int8) — the gate reports
+    //     the worst and mean cosine fidelity; all map-side arithmetic on
+    //     codegen'd HOFs, aggregated to one row. Rows-only by design
+    //     (quantization is engine-internal; the fidelity metric IS the
+    //     verification). ---
+    Q("q88_int8_quant_error",
+      (s, dir) => {
+        val v = col("vd")
+        val scale = aggregate(transform(v, x => abs(x)), lit(0.0d),
+          (acc, x) => greatest(acc, x)) / 127.0
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"),
+            x => x.cast("double")).as("vd"))
+          .withColumn("scale", scale)
+          .withColumn("recon",
+            transform(v, x => round(x / col("scale")) * col("scale")))
+        val dot = aggregate(zip_with(v, col("recon"), (a, b) => a * b),
+          lit(0.0d), (acc, x) => acc + x)
+        def norm(c: org.apache.spark.sql.Column) =
+          sqrt(aggregate(transform(c, x => x * x), lit(0.0d), (acc, x) => acc + x))
+        emb
+          .select((dot / (norm(v) * norm(col("recon")))).as("cos"))
+          .agg(count(lit(1)).as("n_vectors"),
+            round(min(col("cos")), 6).as("min_cosine"),
+            round(avg(col("cos")), 6).as("avg_cosine"),
+            (min(col("cos")) >= 0.999).as("fidelity_ok"))
+      },
+      None)
   )
 }

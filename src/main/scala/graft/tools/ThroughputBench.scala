@@ -46,11 +46,18 @@ object ThroughputBench {
     if (!Files.exists(in.resolve("_DONE"))) generate(spark, sfDir, in, targetGB, cpus.toInt)
     val corpusBytes = dirBytes(in.resolve("corpus"))
 
+    // Shuffle partitions must track DATA volume, not core count: the
+    // ≤6-gram stats shuffle carries ~10-15x the corpus bytes, and 32
+    // partitions over a multi-GB corpus puts gigabytes through each hash
+    // aggregate task (measured: 16g heap OOMs at 6 GB input with 32
+    // partitions). ~128 partitions/GB keeps a task's slice ~100 MB; AQE
+    // coalesces the small stages back down, so over-partitioning is free.
+    val shufflePartitions = math.max(cpus.toInt, (targetGB * 128).toInt)
     val cfg = VspaceConfig(
       stagingLoc   = s"$workDir/staging",
       outputFolder = s"$workDir/out_$tag",
       maxNgrams    = 6, // the baseline's deeper depth (≤6-grams column)
-      splits       = Some(cpus.toInt),
+      splits       = Some(shufflePartitions),
       corpus       = in.resolve("corpus").toString,
       index2doc    = in.resolve("index2doc").toString,
       src2sub      = in.resolve("src2sub").toString,
