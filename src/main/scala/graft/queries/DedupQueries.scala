@@ -383,6 +383,42 @@ object DedupQueries {
              |       FROM t WHERE lang<>'zh')
              |SELECT doc_id, count(DISTINCT cg.g)::BIGINT AS n_hits
              |FROM cg JOIN bg USING (g)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- near-verbatim overlap via shared fixed-length token windows —
+    //     the exact-substring dedup signal ("Deduplicating Training Data
+    //     Makes Language Models Better" uses 50-token windows; 30 here,
+    //     scaled to this corpus's doc lengths). Window strings join
+    //     exactly, so the pair set is oracle-exact; at 100 TB the join
+    //     key is the window's 8-byte rolling/xxhash64 hash instead — the
+    //     same pairs modulo hash collisions, which a per-pair verify
+    //     removes — so full window text never crosses the shuffle. The
+    //     per-doc distinct() is map-side heavy by design: it dedups
+    //     repeated windows BEFORE the join fan-out. ---
+    Q("q89_shared_window_overlap",
+      (s, dir) => {
+        val w = 30
+        val wins = fanout(Tables(s, dir, "documents"))
+          .select(col("doc_id"),
+            explode(word_ngrams(split(col("text"), " "), w)).as("win"))
+          .distinct()
+        wins.as("a")
+          .join(wins.as("b"),
+            col("a.win") === col("b.win") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("n_shared_windows"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+             |            FROM documents),
+             |g AS (SELECT doc_id,
+             |        unnest([array_to_string(toks[i:i+29],' ')
+             |                for i in range(1, len(toks)-28)]) AS win
+             |      FROM t),
+             |d AS (SELECT DISTINCT doc_id, win FROM g)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       count(*) AS n_shared_windows
+             |FROM d a JOIN d b ON a.win = b.win AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
