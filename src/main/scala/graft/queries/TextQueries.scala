@@ -496,9 +496,13 @@ object TextQueries {
         val df = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
         val n = Tables(s, dir, "documents")
           .agg(count(lit(1)).cast("double").as("n"))
+        // localCheckpoint: w feeds the norms and BOTH sides of the term
+        // self-join, and Catalyst has no cross-branch subexpression reuse —
+        // without materializing, the tokenize+tf+idf pipeline runs 3x
         val w = tf.join(broadcast(df), "tok").crossJoin(broadcast(n))
           .select(col("doc_id"), col("tok"),
             (col("tf") * log(col("n") / col("df"))).as("w"))
+          .localCheckpoint()
         val nrm = w.groupBy(col("doc_id"))
           .agg(sqrt(sum(col("w") * col("w"))).as("nw"))
         val dot = w.as("a")
