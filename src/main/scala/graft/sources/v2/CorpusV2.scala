@@ -39,6 +39,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * Each split reads records whose start offset is <= its end, following the
   * last one past the boundary if needed.
   *
+  * Contract: multi-split reads are canonical when every delimiter
+  * occurrence in the byte stream is a real separator — the corpus format's
+  * sentinel guarantee. A delimiter that can overlap itself (has a border,
+  * like the repeated-stopword corpus delimiter) admits MISALIGNED
+  * occurrences when content embeds delimiter fragments or empty documents
+  * make separators adjacent; no local split algorithm can tokenize those
+  * canonically (a boundary inside a misaligned run has no way to recover
+  * the global scan's alignment — the same caveat applies to Hadoop's
+  * delimited TextInputFormat the reference reads through). Border-free
+  * delimiters are canonical at every possible boundary (CorpusV2Spec
+  * sweeps 1-byte chunks to prove it).
+  *
   * Usage: `spark.read.format("vspace-corpus").option("delimiter", d)
   * .option("chunkBytes", n).load(path)` → (path string, pos long, text
   * string), `pos` = record start byte offset in its file.

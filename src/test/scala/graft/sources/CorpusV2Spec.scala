@@ -90,6 +90,48 @@ class CorpusV2Spec extends SparkSpec {
       s"scan should prune to pos only:\n$plan")
   }
 
+  test("border-free delimiters match the built-in reader at EVERY boundary") {
+    // A delimiter with no border (no proper prefix = suffix) cannot overlap
+    // itself, so every occurrence is canonical and split ownership is
+    // boundary-independent — sweep chunk sizes down to 1 byte to prove it.
+    val cases = Seq(
+      ("ab", Seq("aab", "ba", "", "bbb", "a")),
+      ("ba!", Seq("b", "", "ab", "aa!b", "!a")))
+    for ((d, docs) <- cases) {
+      val p = write(s"bf-${d.length}.txt", docs.mkString(d))
+      val expected = spark.read.option("lineSep", d).text(p)
+        .collect().map(_.getString(0)).toSeq
+      for (chunk <- Seq(1L, 2L, 3L, 7L, 1024L)) {
+        val got = spark.read.format("vspace-corpus")
+          .option("delimiter", d).option("chunkBytes", chunk.toString)
+          .load(p).orderBy("pos").collect().map(_.getString(2)).toSeq
+        assert(got == expected, s"delim=$d chunk=$chunk: $got vs $expected")
+      }
+    }
+  }
+
+  test("self-overlapping delimiters are canonical in a single split") {
+    // Delimiters with a period ("aba", "aa", "xx") admit misaligned
+    // occurrences that NO local split algorithm can tokenize canonically
+    // (a boundary inside a misaligned run stays misaligned — the same
+    // caveat applies to Hadoop's delimited TextInputFormat). The connector
+    // contract: such content is canonical within one split; the KMP
+    // failure-function path still gets exercised here.
+    val cases = Seq(
+      ("aba", Seq("x", "bab", "", "ab", "cc")),
+      ("aa", Seq("", "b", "a-a", "", "zz")),
+      ("xx", Seq("axbxcx", "x", "", "xax")))
+    for ((d, docs) <- cases) {
+      val p = write(s"ov-${d.length}.txt", docs.mkString(d))
+      val expected = spark.read.option("lineSep", d).text(p)
+        .collect().map(_.getString(0)).toSeq
+      val got = spark.read.format("vspace-corpus")
+        .option("delimiter", d).option("chunkBytes", (1L << 20).toString)
+        .load(p).orderBy("pos").collect().map(_.getString(2)).toSeq
+      assert(got == expected, s"delim=$d: $got vs $expected")
+    }
+  }
+
   test("loadRawCorpusV2 assigns the same contiguous ids as the T1 loader") {
     val docs = (0 until 30).map(i => s"document number $i with words")
     val path = write("ids.txt", docs.mkString(delim))
