@@ -493,18 +493,26 @@ object AnalysisQueries {
     //     scores, so every observed bigram has mass. ---
     Q("q82_bigram_lm_nll",
       (s, dir) => {
-        val bi = fanout(Tables(s, dir, "documents"))
+        // One corpus pass: the per-doc bigram histogram feeds BOTH the
+        // model aggregation and the scoring join (Catalyst has no
+        // cross-branch subexpression reuse — without materializing, the
+        // corpus-sized explode would run twice). The histogram is also
+        // smaller than the raw explode (within-doc repeats collapse), and
+        // the per-occurrence mean becomes the c-weighted mean.
+        val perDoc = fanout(Tables(s, dir, "documents"))
           .select(col("doc_id"),
             explode(word_ngrams(split(col("text"), " "), 2)).as("bg"))
-        val model = bi.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val model = perDoc.groupBy(col("bg")).agg(sum(col("c")).as("c12"))
           .withColumn("logp",
             log(col("c12") / sum(col("c12")).over(
               Window.partitionBy(substring_index(col("bg"), " ", 1)))))
           .select(col("bg"), col("logp"))
-        bi.join(model, "bg")
+        perDoc.join(model, "bg")
           .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"),
-            round(-avg(col("logp")), 4).as("nll"))
+          .agg(sum(col("c")).as("n_bigrams"),
+            round(-(sum(col("c") * col("logp")) / sum(col("c"))), 4).as("nll"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
@@ -521,10 +529,14 @@ object AnalysisQueries {
 
     // --- domain-mixture resampling: downsample every source to the
     //     smallest source's size (uniform mixture), deterministically via
-    //     a Knuth multiplicative hash of doc_id — integer-exact on both
-    //     engines, reproducible across runs, and one broadcast join (the
-    //     per-source counts are K rows) + one scan. The per-source keep
-    //     ratio generalizes to any target mixture vector. ---
+    //     a 16-bit Fibonacci multiplicative hash of doc_id — reduce mod
+    //     2^16 BEFORE multiplying so the arithmetic never exceeds
+    //     65535*40503 (~2.7e9) and stays int64-exact on both engines for
+    //     ANY doc_id (a raw doc_id * 2654435761 overflows past doc_id
+    //     ~3.4e9 — negative in Spark, an error in DuckDB). 40503 is odd,
+    //     so the map is a bijection on 16-bit values. One broadcast join
+    //     (the per-source counts are K rows) + one scan; the per-source
+    //     keep ratio generalizes to any target mixture vector. ---
     Q("q83_domain_mixture",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
@@ -532,7 +544,7 @@ object AnalysisQueries {
           .agg(count(lit(1)).as("n_docs"))
           .withColumn("n_min", min(col("n_docs")).over(Window.partitionBy()))
         docs.select(col("doc_id"), col("source"),
-            ((col("doc_id") * 2654435761L) % 65536).as("h"))
+            (((col("doc_id") % 65536) * 40503L) % 65536).as("h"))
           .join(broadcast(counts), "source")
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
@@ -544,7 +556,7 @@ object AnalysisQueries {
              |           GROUP BY source),
              |m AS (SELECT min(n_docs) AS n_min FROM c),
              |d AS (SELECT doc_id, source,
-             |             (doc_id * 2654435761) % 65536 AS h
+             |             ((doc_id % 65536) * 40503) % 65536 AS h
              |      FROM documents)
              |SELECT d.source, count(*) AS n_docs,
              |       sum(CASE WHEN h * c.n_docs < m.n_min * 65536
@@ -615,6 +627,10 @@ object AnalysisQueries {
           .select(col("vec_id"), transform(col("embedding"),
             x => x.cast("double")).as("vd"))
           .withColumn("scale", scale)
+          // an all-zero vector (padding row / failed embed) has scale 0 and
+          // would NaN-poison the cosine and the avg; it carries no fidelity
+          // signal, so exclude it from the gate
+          .filter(col("scale") > 0)
           .withColumn("recon",
             transform(v, x => round(x / col("scale")) * col("scale")))
         val dot = aggregate(zip_with(v, col("recon"), (a, b) => a * b),

@@ -50,12 +50,17 @@ object CorpusSources {
   }
 
   /** T1 via the native DSV2 connector ([[graft.sources.v2.CorpusDataSource]]):
-    * same (document_index, text) contract as [[loadRawCorpus]], but the scan
-    * plans explicit byte-range splits (`chunkBytes`) per file — the shape
-    * for corpora whose individual files are far larger than a default split.
-    * Ids are contiguous in (file, byte offset) order: the connector emits
-    * partitions in that order, so the same zipWithIndex applies with no
-    * global sort. */
+    * (document_index, text) with contiguous zero-based ids like
+    * [[loadRawCorpus]], but the scan plans explicit byte-range splits
+    * (`chunkBytes`) per file — the shape for corpora whose individual files
+    * are far larger than a default split. Ids are contiguous in
+    * (lexicographic file path, byte offset) order: the connector emits
+    * partitions in that order, so zipWithIndex needs no global sort. On a
+    * SINGLE-file corpus this matches [[loadRawCorpus]] id-for-id (spec); on
+    * multi-file corpora the two loaders order files differently (the
+    * built-in text source packs splits largest-file-first internally), so
+    * ids agree only per file — pick ONE loader per dataset and stay with
+    * it. */
   def loadRawCorpusV2(spark: SparkSession, path: String,
       recordDelimiter: String = RecordDelimiter,
       chunkBytes: Long = graft.sources.v2.CorpusV2.DefaultChunkBytes): DataFrame = {

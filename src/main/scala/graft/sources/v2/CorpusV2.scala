@@ -1,6 +1,5 @@
 package graft.sources.v2
 
-import java.io.BufferedInputStream
 import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
 
@@ -114,12 +113,14 @@ final class CorpusScanBuilder(options: CaseInsensitiveStringMap)
     val chunk = Option(options.get("chunkBytes")).map(_.toLong)
       .getOrElse(CorpusV2.DefaultChunkBytes)
     require(chunk > 0, "vspace-corpus: chunkBytes must be positive")
-    // ship the driver's filesystem conf entries so executors resolve the
-    // same fs implementations (local/HDFS/object stores)
+    // ship the driver's filesystem-relevant conf entries so executors
+    // resolve the same fs implementations — including HDFS HA nameservice
+    // (dfs.*) and security overrides that arrive via spark.hadoop.*
     val hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+    val shipPrefixes = Seq("fs.", "dfs.", "hadoop.", "io.")
     val fsConf = hadoopConf.iterator().asScala
       .map(e => e.getKey -> e.getValue)
-      .filter(_._1.startsWith("fs.")).toMap
+      .filter { case (k, _) => shipPrefixes.exists(k.startsWith) }.toMap
     new CorpusScan(path, delim.getBytes(StandardCharsets.UTF_8), chunk,
       required, fsConf)
   }
@@ -142,6 +143,9 @@ final class CorpusScan(path: String, delim: Array[Byte], chunkBytes: Long,
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    if (matched.isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"vspace-corpus: path does not exist or matches no files: $path")
     val files = matched.flatMap { st =>
       if (st.isDirectory)
         fs.listStatus(st.getPath).toSeq
@@ -226,14 +230,46 @@ final class CorpusPartitionReader(p: CorpusInputPartition, delim: Array[Byte],
   private var done = false
   private var row: InternalRow = _
 
-  private val in: BufferedInputStream = {
+  // bulk scan buffer: bytes are consumed array-at-a-time (a per-byte
+  // InputStream.read() loop costs a virtual call + bounds logic per byte —
+  // at the 1 TB-per-file scale this source targets, that constant factor
+  // IS the scan cost)
+  private val chunkBuf = new Array[Byte](64 * 1024)
+  private var chunkLen = 0
+  private var chunkPos = 0
+
+  {
     // non-initial splits look back delimLen-1 bytes so a boundary-straddling
     // delimiter is visible (see class doc of CorpusDataSource)
     val scanFrom = if (p.start == 0) 0L
       else math.max(0L, p.start - (delim.length - 1))
     stream.seek(scanFrom)
     pos = scanFrom
-    new BufferedInputStream(stream, 64 * 1024)
+  }
+
+  /** Consume bytes (appending to `sink` unless null) until a full delimiter
+    * completes (true) or EOF (false). Consumed delimiter bytes are included
+    * in the sink; KMP state carries across buffer refills. */
+  private def scanToDelimiter(sink: ByteArrayOutputStream): Boolean = {
+    while (true) {
+      if (chunkPos >= chunkLen) {
+        chunkLen = stream.read(chunkBuf)
+        chunkPos = 0
+        if (chunkLen < 0) return false
+      }
+      val from = chunkPos
+      var i = from
+      var matched = false
+      while (i < chunkLen && !matched) {
+        if (matcher.advance(chunkBuf(i))) matched = true
+        i += 1
+      }
+      if (sink != null) sink.write(chunkBuf, from, i - from)
+      pos += i - from
+      chunkPos = i
+      if (matched) return true
+    }
+    false // unreachable
   }
 
   // A non-initial split owns records starting in (start, end]. Skip to the
@@ -245,11 +281,10 @@ final class CorpusPartitionReader(p: CorpusInputPartition, delim: Array[Byte],
   else {
     matcher.reset()
     var found = false
-    var b = in.read()
-    while (!found && b >= 0) {
-      pos += 1
-      if (matcher.advance(b.toByte) && pos > p.start) found = true
-      else b = in.read()
+    var eof = false
+    while (!found && !eof) {
+      if (scanToDelimiter(null)) { if (pos > p.start) found = true }
+      else eof = true
     }
     if (found) recordStart = pos else done = true
   }
@@ -260,18 +295,7 @@ final class CorpusPartitionReader(p: CorpusInputPartition, delim: Array[Byte],
     if (done || recordStart > p.end) return false
     buf.reset()
     matcher.reset()
-    var terminated = false
-    var eof = false
-    while (!terminated && !eof) {
-      val b = in.read()
-      if (b < 0) eof = true
-      else {
-        pos += 1
-        buf.write(b)
-        if (matcher.advance(b.toByte)) terminated = true
-      }
-    }
-    if (terminated) {
+    if (scanToDelimiter(buf)) {
       val all = buf.toByteArray
       row = makeRow(all, all.length - delim.length, recordStart)
       recordStart = pos

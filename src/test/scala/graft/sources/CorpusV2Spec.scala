@@ -41,8 +41,9 @@ class CorpusV2Spec extends SparkSpec {
     }
     val path = write("corpus.txt", docs.mkString(delim))
     val expected = builtin(path)
-    // 1031 is prime and < delimiter length: every split starts mid-record
-    // or mid-delimiter, exercising the lookback path constantly
+    // 1031 is prime, so boundaries land at odd offsets; 64 is smaller than
+    // the 194-byte delimiter, so those splits start mid-record or
+    // mid-delimiter, exercising the lookback path constantly
     for (chunk <- Seq(1031L, 64L, 8192L, 1L << 20)) {
       val got = v2(path, chunk).orderBy("pos")
         .collect().map(_.getString(2)).toSeq
@@ -140,5 +141,22 @@ class CorpusV2Spec extends SparkSpec {
     val v2r = CorpusSources.loadRawCorpusV2(spark, path, chunkBytes = 101L)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(v2r == v1)
+  }
+
+  test("multi-file corpora get ids in (file path, offset) order, any chunking") {
+    // the documented V2 contract: lexicographic file order then byte order
+    // (v1's built-in source packs splits largest-first, so the two loaders
+    // only agree per file — the scaladoc tells users to pick one)
+    val dir = Files.createTempDirectory("corpus-v2-multi").toString
+    Files.writeString(Paths.get(s"$dir/a.txt"), Seq("a1", "a2").mkString(delim))
+    Files.writeString(Paths.get(s"$dir/b.txt"),
+      Seq("b1", "b2", "b3").mkString(delim))
+    val expected = Seq("a1", "a2", "b1", "b2", "b3").zipWithIndex
+      .map { case (t, i) => i.toLong -> t }.toMap
+    for (chunk <- Seq(5L, 64L, 1L << 20)) {
+      val got = CorpusSources.loadRawCorpusV2(spark, dir, chunkBytes = chunk)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expected, s"chunk=$chunk")
+    }
   }
 }
