@@ -337,6 +337,35 @@ object SimilarityQueries {
       },
       None),
 
+    // --- two-stage retrieval: IVF-PQ ADC shortlist, then exact cosine
+    //     re-rank of the shortlist against the true vectors — the
+    //     standard production composition. ADC distances are
+    //     approximations, so rank inversions near the cut are recovered
+    //     by re-scoring; only `shortlist` full vectors per query are ever
+    //     fetched (vs the whole corpus for brute force), which at 100 TB
+    //     is the difference between touching codes + a few dozen vectors
+    //     and scanning the embedding store. ---
+    Q("q49c_ivfpq_rerank",
+      (s, dir) => ivfPqRerank(s, dir, nQueries = 5, k = 10, nprobe = 3,
+        shortlist = 30).orderBy(col("query_id"), col("rank")),
+      None),
+
+    // --- recall@10 of the re-ranked path: must dominate q49b whenever
+    //     the true neighbor made the ADC shortlist (IvfIndexSpec asserts
+    //     the dominance) ---
+    Q("q49d_rerank_recall",
+      (s, dir) => {
+        val exact = knn(s, dir, nQueries = 5, k = 10)
+          .select(col("query_id"), col("vec_id"))
+        val ann = ivfPqRerank(s, dir, nQueries = 5, k = 10, nprobe = 3,
+          shortlist = 30).select(col("query_id"), col("vec_id"))
+        exact.join(ann.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"))
+          .agg((sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
+          .orderBy(col("query_id"))
+      },
+      None),
+
     // --- recall@10 of the IVF path vs brute force (the q43 twin for the
     //     coarse-quantizer index; rows-only for the same reason) ---
     Q("q45_ivf_recall",
@@ -390,6 +419,24 @@ object SimilarityQueries {
     queries.select(col("query_id"), col("qv"),
         explode(slice(array_sort(array(scored: _*)), 1, nprobe)).as("p"))
       .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
+  }
+
+  /** Two-stage retrieval: take the IVF-PQ ADC top-`shortlist`, join back
+    * the true vectors for ONLY those ids, and re-rank by exact cosine
+    * against the broadcast query set. See q49c for the shape rationale. */
+  private def ivfPqRerank(s: SparkSession, dir: String, nQueries: Int,
+      k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    val all = unitVecs(s, dir)
+    val short = ivfPqTopK(s, dir, nQueries, shortlist, nprobe)
+      .select(col("query_id"), col("vec_id"))
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    rankBySimDesc(
+      short.join(all.select(col("vec_id"), col("v")), "vec_id")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          round(cosine_sim(col("qv"), col("v")), 4).as("sim")),
+      k)
   }
 
   private def ivfTopK(s: SparkSession, dir: String,

@@ -56,4 +56,21 @@ class IvfIndexSpec extends SparkSpec {
       full.filter(col("cell").isin(probed: _*)).count())
     assert(probe.count() < full.count())
   }
+
+  test("exact re-rank recall dominates the raw IVF-PQ recall") {
+    // the two-stage path re-scores the ADC shortlist with true cosine, so
+    // per query it can only recover rank inversions, never lose hits
+    val dir = "/root/testdata/sf0.001"
+    def recallByQuery(name: String): Map[Long, Double] =
+      Catalog.byName(name).fn(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val raw      = recallByQuery("q49b_ivfpq_recall")
+    val reranked = recallByQuery("q49d_rerank_recall")
+    assert(raw.keySet == reranked.keySet)
+    raw.foreach { case (q, r) =>
+      assert(reranked(q) >= r - 1e-9,
+        s"query $q: rerank recall ${reranked(q)} < raw $r")
+    }
+    assert(reranked.values.sum >= raw.values.sum)
+  }
 }
