@@ -24,7 +24,13 @@ final case class VspaceConfig(
     src2sub: String,
     collections: String,
     phrases: String,
-    compatOffByOne: Boolean = false)
+    compatOffByOne: Boolean = false,
+    /** "builtin" = lineSep text source (reference-shaped), "v2" = the
+      * native vspace-corpus DSV2 connector with explicit byte-range
+      * splits — the path for corpora whose files dwarf a default split.
+      * Ids are contiguous under both; their file ordering differs on
+      * multi-file corpora (see CorpusSources.loadRawCorpusV2). */
+    corpusReader: String = "builtin")
 
 object VspaceConfig {
   /** Minimal INI parser: `[section]` headers, `key = value` pairs, `#`/`;`
@@ -63,7 +69,8 @@ object VspaceConfig {
       src2sub      = in("src2sub"),
       collections  = in("collections"),
       phrases      = in("phrases"),
-      compatOffByOne = conf.get("compatoffbyone").exists(_.toBoolean))
+      compatOffByOne = conf.get("compatoffbyone").exists(_.toBoolean),
+      corpusReader   = conf.getOrElse("corpusreader", "builtin"))
   }
 }
 
@@ -98,7 +105,9 @@ object VspacePipeline {
 
     // --- corpus job (reference base.py:373-397) ---
     stage("corpus")
-    val raw = CorpusSources.loadRawCorpus(spark, cfg.corpus)
+    val raw =
+      if (cfg.corpusReader == "v2") CorpusSources.loadRawCorpusV2(spark, cfg.corpus)
+      else CorpusSources.loadRawCorpus(spark, cfg.corpus)
     // Normalize ONCE and persist, like the reference's rdd1 (base.py:181,
     // persisted and feeding both the corpus write and the counts) — raw is
     // otherwise scanned + zipWithIndex'd + NFC-normalized twice. At cluster

@@ -58,6 +58,7 @@ object ThroughputBench {
       outputFolder = s"$workDir/out_$tag",
       maxNgrams    = 6, // the baseline's deeper depth (≤6-grams column)
       splits       = Some(shufflePartitions),
+      corpusReader = sys.env.getOrElse("SPARK_GRAFT_CORPUS_READER", "builtin"),
       corpus       = in.resolve("corpus").toString,
       index2doc    = in.resolve("index2doc").toString,
       src2sub      = in.resolve("src2sub").toString,

@@ -231,5 +231,14 @@ class VspacePipelineSpec extends SparkSpec {
     assert(bySource.count() > 0)
     assert(Files.exists(java.nio.file.Paths.get(s"$out/vocabulary")))
     assert(Files.exists(java.nio.file.Paths.get(s"$out/normalized_corpus")))
+
+    // corpusreader = v2 routes the scan through the DSV2 connector and, on
+    // this single-file corpus, must produce identical global stats
+    val out2 = Files.createTempDirectory("vspace-out-v2").toString
+    VspacePipeline.run(spark, VspaceConfig.load(confPath)
+      .copy(outputFolder = out2, corpusReader = "v2"))
+    def statsSet(o: String) = spark.read.option("delimiter", "\t")
+      .csv(s"$o/stats_global").collect().map(_.toSeq).toSet
+    assert(statsSet(out2) == statsSet(out))
   }
 }
