@@ -28,6 +28,20 @@ object EventStreams {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming twin of the batch chunking operator (q81): fixed
+    * `window`-char chunks on a `stride`-char stride with start offsets —
+    * a pure stateless projection (sequence + explode + substr), so it
+    * needs no watermark or state and keeps the micro-batch fully
+    * pipelined. The shape a streaming RAG-ingest pipeline runs between
+    * the document source and the embedder. */
+  def chunkStream(docs: DataFrame, window: Int = 200, stride: Int = 150): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          greatest(length(col("text")) - 1, lit(0)), lit(stride))).as("cs"))
+      .select(col("doc_id"), col("cs").cast("long").as("chunk_start"),
+        col("text").substr(col("cs") + 1, lit(window)).as("chunk"))
+
   /** Tumbling-window token counts over a text stream — the streaming twin
     * of the vspace term-frequency core. */
   def windowedTokenCounts(docs: DataFrame, window_ : String = "5 minutes",

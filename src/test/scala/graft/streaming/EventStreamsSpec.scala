@@ -29,6 +29,22 @@ class EventStreamsSpec extends SparkSpec {
       ("2024-01-01 10:05:00.0", "data", 1L)))
   }
 
+  test("chunk stream emits strided windows statelessly in append mode") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.chunkStream(
+      input.toDF().toDF("doc_id", "text"), window = 5, stride = 3)
+    input.addData((1L, "abcdefgh"), (2L, "xy"))
+    // append mode with no watermark/state: pure projection streams through
+    EventStreams.runToMemory(q, "chunks", OutputMode.Append())
+    val rows = spark.table("chunks")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set(
+      (1L, 0L, "abcde"), (1L, 3L, "defgh"), (1L, 6L, "gh"),
+      (2L, 0L, "xy")))
+  }
+
   test("windowed event counts with watermark drop late data in append mode") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
