@@ -57,16 +57,28 @@ object Bench {
       try execute(n)
       catch { case e: Throwable => System.err.println(s"[bench] warmup $n: $e") }
     }
-    // min over 2 timed reps: this box shows random multi-second JVM/host
-    // freezes (safepoint stalls up to ~850 ms, occasional whole-VM pauses);
-    // min-of-reps is the standard noisy-environment estimator.
+    // min over timed reps, adaptively extended: this box shows random
+    // multi-second JVM/host freezes (safepoint stalls up to ~850 ms,
+    // occasional whole-VM pauses) that have faked 2x "regressions" on
+    // plans with zero diffs (round 5: q28 1.52->3.28 s report vs 1.0-1.4 s
+    // warm probe). A minimum is only trusted once CORROBORATED — a second
+    // rep within 20% of it — so a query keeps re-running (up to 5 attempts)
+    // until one clean pair exists instead of shipping a min that may itself
+    // contain a freeze.
+    val MaxReps = 5
     val results = headline.map { n =>
-      val times = (1 to 2).flatMap { _ =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var attempts = 0
+      def rep(): Unit = {
+        attempts += 1
         val t0 = System.nanoTime()
-        try { execute(n); Some((System.nanoTime() - t0) / 1e9) }
+        try { execute(n); times += (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] timed $n: $e"); None }
+          System.err.println(s"[bench] timed $n: $e") }
       }
+      rep(); rep()
+      while (attempts < MaxReps &&
+          (times.isEmpty || times.count(_ <= times.min * 1.2) < 2)) rep()
       val best = if (times.nonEmpty) times.min else -1.0
       // incremental per-query line — parseable even if the run dies later
       println(s"""{"metric":"query","name":"$n","value":$best,"unit":"sec","sf":"$sfDir"}""")

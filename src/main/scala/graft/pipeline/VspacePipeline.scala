@@ -58,6 +58,12 @@ object VspaceConfig {
     val ini  = parseIni(Files.readString(Paths.get(path)))
     val conf = ini.getOrElse("vspace_conf", Map.empty)
     val in   = ini.getOrElse("vspace_input", Map.empty)
+    // fail fast on a typo'd reader name ("V2", "dsv2", …): historically the
+    // two loaders could assign different doc ids on multi-file corpora, so a
+    // silent fallback to builtin picked a different scan path undiagnosed
+    val reader = conf.getOrElse("corpusreader", "builtin").toLowerCase
+    require(Set("builtin", "v2").contains(reader),
+      s"corpusreader must be 'builtin' or 'v2', got '$reader'")
     VspaceConfig(
       stagingLoc   = conf.getOrElse("stagingloc", "/tmp/vspace-staging"),
       outputFolder = conf.getOrElse("outputFolder",
@@ -70,7 +76,7 @@ object VspaceConfig {
       collections  = in("collections"),
       phrases      = in("phrases"),
       compatOffByOne = conf.get("compatoffbyone").exists(_.toBoolean),
-      corpusReader   = conf.getOrElse("corpusreader", "builtin"))
+      corpusReader   = reader)
   }
 }
 
@@ -105,6 +111,11 @@ object VspacePipeline {
 
     // --- corpus job (reference base.py:373-397) ---
     stage("corpus")
+    // guarded here as well as in VspaceConfig.load: a directly-constructed
+    // config (ThroughputBench's env passthrough) must not silently fall
+    // back to the builtin reader on a typo'd name
+    require(Set("builtin", "v2").contains(cfg.corpusReader),
+      s"corpusReader must be 'builtin' or 'v2', got '${cfg.corpusReader}'")
     val raw =
       if (cfg.corpusReader == "v2") CorpusSources.loadRawCorpusV2(spark, cfg.corpus)
       else CorpusSources.loadRawCorpus(spark, cfg.corpus)

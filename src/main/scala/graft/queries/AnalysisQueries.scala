@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -227,6 +228,62 @@ object AnalysisQueries {
              |SELECT doc_id, dup_bigram_frac, dup_trigram_frac,
              |       (dup_bigram_frac > 0.05 OR dup_trigram_frac > 0.02)
              |         AS repetitive
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // --- Gopher-complete repetition rules (q57's companion; "Scaling
+    //     Language Models: Methods, Analysis & Insights from Training
+    //     Gopher", Rae et al. 2021, Table A1 uses duplicate-n-gram
+    //     fractions up to n=10 plus top-n-gram share): longer-window
+    //     duplicate fractions (5-/10-grams) and the share of the most
+    //     frequent bigram. All in-row from the token array like q57 — the
+    //     top-bigram mode is a nested higher-order expression over the
+    //     in-row bigram array (O(distinct x len) per doc, bounded by doc
+    //     length), so there is still no explode and no shuffle: at 100 TB
+    //     this stays part of the single quality scan. ---
+    Q("q57b_gopher_repetition",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        def dupFrac(g: Column): Column = round(lit(1.0) -
+          size(array_distinct(g)).cast("double") / greatest(size(g), lit(1)), 4)
+        fanout(Tables(s, dir, "documents"))
+          .select(col("doc_id"), word_ngrams(toks, 2).as("bg"),
+            word_ngrams(toks, 5).as("g5"), word_ngrams(toks, 10).as("g10"))
+          .select(col("doc_id"),
+            dupFrac(col("g5")).as("dup_5gram_frac"),
+            dupFrac(col("g10")).as("dup_10gram_frac"),
+            round(coalesce(
+              array_max(transform(array_distinct(col("bg")), x =>
+                size(filter(col("bg"), y => y === x)))).cast("double")
+                / greatest(size(col("bg")), lit(1)), lit(0.0)), 4)
+              .as("top_bigram_share"))
+          .withColumn("repetitive",
+            col("dup_5gram_frac") > 0.10 || col("dup_10gram_frac") > 0.05 ||
+              col("top_bigram_share") > 0.18)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+             |           FROM documents),
+             |g AS (SELECT doc_id,
+             |        [array_to_string(toks[i:i+1],' ')
+             |         for i in range(1, len(toks))] AS bg,
+             |        [array_to_string(toks[i:i+4],' ')
+             |         for i in range(1, len(toks)-3)] AS g5,
+             |        [array_to_string(toks[i:i+9],' ')
+             |         for i in range(1, len(toks)-8)] AS g10
+             |      FROM t),
+             |m AS (SELECT doc_id,
+             |        round(1 - len(list_distinct(g5))::DOUBLE
+             |          / greatest(len(g5), 1), 4) AS dup_5gram_frac,
+             |        round(1 - len(list_distinct(g10))::DOUBLE
+             |          / greatest(len(g10), 1), 4) AS dup_10gram_frac,
+             |        round(coalesce(
+             |          list_max([len(list_filter(bg, y -> y = x))
+             |                    for x in list_distinct(bg)])::DOUBLE
+             |            / greatest(len(bg), 1), 0), 4) AS top_bigram_share
+             |      FROM g)
+             |SELECT doc_id, dup_5gram_frac, dup_10gram_frac, top_bigram_share,
+             |       (dup_5gram_frac > 0.10 OR dup_10gram_frac > 0.05
+             |        OR top_bigram_share > 0.18) AS repetitive
              |FROM m ORDER BY doc_id""".stripMargin)),
 
     // --- sequence packing (concat-then-chunk): documents are concatenated

@@ -388,27 +388,17 @@ object DedupQueries {
     // --- near-verbatim overlap via shared fixed-length token windows —
     //     the exact-substring dedup signal ("Deduplicating Training Data
     //     Makes Language Models Better" uses 50-token windows; 30 here,
-    //     scaled to this corpus's doc lengths). Window strings join
-    //     exactly, so the pair set is oracle-exact; at 100 TB the join
-    //     key is the window's 8-byte rolling/xxhash64 hash instead — the
-    //     same pairs modulo hash collisions, which a per-pair verify
-    //     removes — so full window text never crosses the shuffle. The
-    //     per-doc distinct() is map-side heavy by design: it dedups
-    //     repeated windows BEFORE the join fan-out. ---
+    //     scaled to this corpus's doc lengths). The shipped plan is the
+    //     hash-keyed scale shape (see [[sharedWindowOverlap]]): the per-doc
+    //     dedup and the candidate equi-join run on the window's 8-byte
+    //     xxhash64, so window TEXT never crosses a corpus-wide shuffle
+    //     (~30x doc bytes at stride 1 in the string-keyed twin), and the
+    //     id-keyed verify removes hash collisions — the result is
+    //     oracle-exact (equal strings always hash equal: no false
+    //     negatives; SharedWindowSpec pins the equivalence). ---
     Q("q89_shared_window_overlap",
-      (s, dir) => {
-        val w = 30
-        val wins = fanout(Tables(s, dir, "documents"))
-          .select(col("doc_id"),
-            explode(word_ngrams(split(col("text"), " "), w)).as("win"))
-          .distinct()
-        wins.as("a")
-          .join(wins.as("b"),
-            col("a.win") === col("b.win") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .agg(count(lit(1)).as("n_shared_windows"))
-          .orderBy(col("id_a"), col("id_b"))
-      },
+      (s, dir) => sharedWindowOverlap(Tables(s, dir, "documents"), w = 30,
+        hashKeyed = true),
       Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
              |            FROM documents),
              |g AS (SELECT doc_id,
@@ -419,6 +409,71 @@ object DedupQueries {
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |       count(*) AS n_shared_windows
              |FROM d a JOIN d b ON a.win = b.win AND a.doc_id < b.doc_id
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      bench = true)
   )
+
+  /** Seed for the q89 window hash — any fixed value; pinned so the plan is
+    * deterministic across runs. */
+  private val WindowHashSeed = 89L
+
+  /** Shared fixed-length-window overlap (q89 body), two plans:
+    *
+    * `hashKeyed = true` — the shipped 100 TB shape. Every stride-1 window
+    * is reduced map-side to its 8-byte `xxhash64`; the per-doc dedup
+    * (distinct) and the candidate self-join both run on (doc_id, hash), so
+    * the only corpus-wide shuffles carry 16-byte rows instead of 30-token
+    * strings (~30x the corpus bytes). Candidate pairs are then verified
+    * id-keyed: the window SETS of candidate docs only are rebuilt straight
+    * from the docs table (semi-join pushes into the scan; array_distinct
+    * over the in-row generate — no shuffle of text at all) and the true
+    * shared count is size(array_intersect(a, b)), which removes hash
+    * collisions exactly. Equal strings always hash equal, so the hash join
+    * admits no false negatives — the result is identical to the
+    * string-keyed plan on any input (SharedWindowSpec pins it).
+    *
+    * `hashKeyed = false` — the bounded string-keyed twin (the oracle's
+    * literal shape): windows join as full text. Correct, and fine at spec
+    * scale; at corpus scale its shuffle carries ~30x the corpus bytes.
+    */
+  private[queries] def sharedWindowOverlap(docs: DataFrame, w: Int,
+      hashKeyed: Boolean): DataFrame = {
+    if (!hashKeyed) {
+      val wins = fanout(docs)
+        .select(col("doc_id"),
+          explode(word_ngrams(split(col("text"), " "), w)).as("win"))
+        .distinct()
+      wins.as("a")
+        .join(wins.as("b"),
+          col("a.win") === col("b.win") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared_windows"))
+        .orderBy(col("id_a"), col("id_b"))
+    } else {
+      val hwins = fanout(docs)
+        .select(col("doc_id"),
+          explode(word_ngrams(split(col("text"), " "), w)).as("win"))
+        .select(col("doc_id"), xxhash64_seeded(WindowHashSeed, col("win")).as("h"))
+        .distinct()
+      val cands = hwins.as("a")
+        .join(hwins.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val candIds = cands.select(col("id_a").as("doc_id"))
+        .union(cands.select(col("id_b").as("doc_id")))
+        .distinct()
+      val winSets = docs.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          array_distinct(word_ngrams(split(col("text"), " "), w)).as("wins"))
+      cands
+        .join(winSets.select(col("doc_id").as("id_a"), col("wins").as("wa")), "id_a")
+        .join(winSets.select(col("doc_id").as("id_b"), col("wins").as("wb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("wa"), col("wb"))).cast("long")
+            .as("n_shared_windows"))
+        .filter(col("n_shared_windows") > 0)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  }
 }

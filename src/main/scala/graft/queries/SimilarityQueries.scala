@@ -129,8 +129,8 @@ object SimilarityQueries {
       nQueries: Int, k: Int): DataFrame = {
     import s.implicits._
     val all = unitVecs(s, dir)
-    val model = graft.operators.PQ.fit(all, "v", "vec_id",
-      m = PqM, k = PqK, iters = 3)
+    val model = memoFit(s, dir, "pq-raw")(
+      graft.operators.PQ.fit(all, "v", "vec_id", m = PqM, k = PqK, iters = 3))
     val coded = all.select(col("vec_id"),
       graft.operators.PQ.encode(col("v"), model).as("codes"))
     val tables = collectQueries(all, nQueries).toSeq
@@ -366,6 +366,16 @@ object SimilarityQueries {
       },
       None),
 
+    // --- IVF-PQ index storage round trip: write partitionBy(cell)
+    //     parquet, read back, probe, and compare against the in-memory
+    //     plan row-for-row (n_match must equal k for every query —
+    //     self-verifying, see [[ivfPqIndexRoundTrip]]). IvfIndexSpec
+    //     proves the layout PRUNES; this proves the full round trip.
+    //     Engine-internal index -> rows-only gate. ---
+    Q("q49e_ivfpq_index_roundtrip",
+      (s, dir) => ivfPqIndexRoundTrip(s, dir, nQueries = 5, k = 10, nprobe = 3),
+      None),
+
     // --- recall@10 of the IVF path vs brute force (the q43 twin for the
     //     coarse-quantizer index; rows-only for the same reason) ---
     Q("q45_ivf_recall",
@@ -385,6 +395,27 @@ object SimilarityQueries {
   private val NumCells    = 8
   private val CoarseIters = 3
 
+  /** Trained models memoized per (session, table dir). The recall family
+    * (q43/q45/q48/q49b/q49d) runs an exact AND an ANN side, and the
+    * two-stage path layers ivfPqTopK inside ivfPqRerank — without
+    * memoization each such query re-runs the KMeans/PQ training jobs two
+    * to four times. Fits are deterministic (seeded init, fixed iteration
+    * count, order-insensitive double sums NOT guaranteed — but identical
+    * INPUT plans at the same dir produce identical partitionings in one
+    * session, so the memo returns what an uncached re-fit of the same call
+    * site would), so caching measures retrieval instead of training and
+    * cannot change results. Values are driver-side models, a few KB each
+    * (k×d centroids / m×k×(d/m) codebooks); keys use the session's identity
+    * hash rather than the session itself so a stopped session isn't pinned
+    * by the map. */
+  private val fitCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), AnyRef]
+
+  private def memoFit[A <: AnyRef](s: SparkSession, dir: String, tag: String)(
+      f: => A): A =
+    fitCache.computeIfAbsent((System.identityHashCode(s), dir, tag),
+      _ => f).asInstanceOf[A]
+
   /** Trained coarse quantizer for the IVF index: distributed Lloyd
     * iterations over the unit-normalized corpus (operators.KMeans — only
     * k×d doubles ever reach the driver). Replaces round 3's per-label mean
@@ -392,6 +423,10 @@ object SimilarityQueries {
   private[queries] def ivfCentroids(all: DataFrame): Array[Array[Double]] =
     graft.operators.KMeans.fit(all, "v", "vec_id",
       k = NumCells, iters = CoarseIters)
+
+  /** [[ivfCentroids]] over the unit-normalized corpus, memoized. */
+  private def ivfCentroidsCached(s: SparkSession, dir: String): Array[Array[Double]] =
+    memoFit(s, dir, "ivf-centroids")(ivfCentroids(unitVecs(s, dir)))
 
   /** Nearest-cell assignment for every vector — the IVF index body
     * (vec_id, v, cell). Entirely map-side: the k×d centroid model rides
@@ -442,7 +477,7 @@ object SimilarityQueries {
   private def ivfTopK(s: SparkSession, dir: String,
       nQueries: Int, k: Int, nprobe: Int): DataFrame = {
     val all   = unitVecs(s, dir)
-    val cents = ivfCentroids(all)
+    val cents = ivfCentroidsCached(s, dir)
     val assigned = ivfAssign(all, cents)
     val probes = probeCells(
       all.filter(col("vec_id") < nQueries)
@@ -473,9 +508,18 @@ object SimilarityQueries {
     * unprobed cells are touched. */
   private def ivfPqTopK(s: SparkSession, dir: String,
       nQueries: Int, k: Int, nprobe: Int): DataFrame = {
-    import s.implicits._
+    val (cents, pq, coded) = ivfPqIndex(s, dir)
+    ivfPqScore(coded, ivfPqProbes(s, dir, nQueries, nprobe, cents, pq), pq, k)
+  }
+
+  /** The trained IVF-PQ index: (coarse centroids, PQ residual model, the
+    * coded frame (vec_id, cell, codes)) — the frame a 100 TB deployment
+    * writes partitionBy(cell) as the persistent index (q49e does exactly
+    * that and reads it back). */
+  private def ivfPqIndex(s: SparkSession, dir: String)
+      : (Array[Array[Double]], graft.operators.PQ.Model, DataFrame) = {
     val all   = unitVecs(s, dir)
-    val cents = ivfCentroids(all)
+    val cents = ivfCentroidsCached(s, dir)
     // residual view: v − centroid(cell), the per-row centroid fetched from
     // the k×d model literal by cell index — all map-side
     val centLit  = typedLit(cents.map(_.toSeq).toSeq)
@@ -483,16 +527,27 @@ object SimilarityQueries {
     val residuals = assigned.select(col("vec_id"), col("cell"),
       zip_with(col("v"), element_at(centLit, col("cell").cast("int") + 1),
         (x, c) => x - c).as("rv"))
-    val pq = graft.operators.PQ.fit(residuals, "rv", "vec_id",
-      m = PqM, k = PqK, iters = 3)
+    val pq = memoFit(s, dir, "pq-residual")(
+      graft.operators.PQ.fit(residuals, "rv", "vec_id",
+        m = PqM, k = PqK, iters = 3))
     val coded = residuals.select(col("vec_id"), col("cell"),
       graft.operators.PQ.encode(col("rv"), pq).as("codes"))
+    (cents, pq, coded)
+  }
+
+  /** The broadcast probe frame: each query's `nprobe` nearest cells with
+    * the residual-query ADC table of THAT cell as an array column — one
+    * plan branch for any query count. */
+  private def ivfPqProbes(s: SparkSession, dir: String, nQueries: Int,
+      nprobe: Int, cents: Array[Array[Double]],
+      pq: graft.operators.PQ.Model): DataFrame = {
+    import s.implicits._
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
       acc
     }
-    val probes = collectQueries(all, nQueries).toSeq.flatMap { case (qid, qv) =>
+    collectQueries(unitVecs(s, dir), nQueries).toSeq.flatMap { case (qid, qv) =>
       cents.zipWithIndex.map { case (c, i) => (d2(qv, c), i.toLong, c) }
         .sortBy(t => (t._1, t._2)).take(nprobe)
         .map { case (_, cell, c) =>
@@ -500,6 +555,11 @@ object SimilarityQueries {
           (qid, cell, graft.operators.PQ.adcTable(pq, rq).toSeq)
         }
     }.toDF("query_id", "cell", "adc_table")
+  }
+
+  /** ADC scoring of a coded index frame against a probe frame. */
+  private def ivfPqScore(coded: DataFrame, probes: DataFrame,
+      pq: graft.operators.PQ.Model, k: Int): DataFrame =
     rankByAdcAsc(
       coded.join(broadcast(probes), Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
@@ -507,5 +567,30 @@ object SimilarityQueries {
           graft.operators.PQ.adcLookup(col("codes"), col("adc_table"), pq)
             .as("adc")),
       k)
+
+  /** q49e body: the index's full storage round trip. The coded frame is
+    * WRITTEN partitionBy(cell) as parquet — the persistent layout whose
+    * partition pruning IvfIndexSpec proves — read back, probed, and the
+    * read-back retrieval compared row-for-row against the in-memory plan:
+    * n_match == k proves schema, partition-column typing, and code
+    * fidelity survive the round trip (both plans share the deterministic
+    * (adc, vec_id) tie-break, so any disagreement is a storage defect). */
+  private[queries] def ivfPqIndexRoundTrip(s: SparkSession, dir: String,
+      nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    val (cents, pq, coded) = ivfPqIndex(s, dir)
+    val probes = ivfPqProbes(s, dir, nQueries, nprobe, cents, pq)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    coded.write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    // the partition column comes back via directory inference (int) —
+    // restore the written long type
+    val back = s.read.parquet(idxDir)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("codes"))
+    val mem  = ivfPqScore(coded, probes, pq, k)
+    val disk = ivfPqScore(back, probes, pq, k).withColumn("hit", lit(1))
+    mem.join(disk, Seq("query_id", "vec_id", "rank"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_match"),
+        count(lit(1)).as("k"))
+      .orderBy(col("query_id"))
   }
 }

@@ -432,21 +432,27 @@ object TextQueries {
 
     // --- Okapi BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed term
     //     set — the classical sparse-retrieval companion to the dense ANN
-    //     family (q40-q49). Everything derives from one token explode:
-    //     doc lengths aggregate from it, the query-term tf filters it
-    //     BEFORE the (doc, term) aggregate (the isin pushes into the
-    //     generate side, so only query-term rows survive the explode
-    //     stage), and the df/N/avgdl model frames are term- or
-    //     scalar-sized broadcasts. At 100 TB: one scan, one key shuffle
-    //     on the filtered (doc, term) pairs. ---
+    //     family (q40-q49). ONE corpus scan: doc length is size(split(…))
+    //     and the query-term hits are an array filter, both map-side in the
+    //     same projection; the resulting per-doc frame (doc_id, dl, a
+    //     handful of matched tokens — no text) is corpus-count-sized, not
+    //     corpus-byte-sized, and is localCheckpoint'ed because it feeds
+    //     three branches (N/avgdl, tf, the dl join) and Catalyst has no
+    //     cross-branch subexpression reuse — without materializing, the
+    //     scan+tokenize would run once per branch. Only the filtered
+    //     (doc, term) pairs are ever exploded or shuffled; the df/N/avgdl
+    //     model frames are term- or scalar-sized broadcasts. ---
     Q("q84_bm25",
       (s, dir) => {
         val terms = Seq("spark", "join", "filter")
-        val toks = fanout(Tables(s, dir, "documents"))
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-        val tf = toks.filter(col("tok").isin(terms: _*))
+        val perDoc = fanout(Tables(s, dir, "documents"))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), size(col("toks")).as("dl"),
+            filter(col("toks"), t => t.isInCollection(terms)).as("qtoks"))
+          .localCheckpoint()
+        val dl = perDoc.select(col("doc_id"), col("dl"))
+        val stats = perDoc.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+        val tf = perDoc.select(col("doc_id"), explode(col("qtoks")).as("tok"))
           .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
         val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
         // df and stats are term-/scalar-sized: always broadcast. dl is
@@ -488,36 +494,7 @@ object TextQueries {
     //     norms and dot products all derive from one token explode; the
     //     idf/N frames are term-/scalar-sized broadcasts. ---
     Q("q86_tfidf_cosine_pairs",
-      (s, dir) => {
-        val toks = fanout(Tables(s, dir, "documents"))
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        val tf = toks.groupBy(col("doc_id"), col("tok"))
-          .agg(count(lit(1)).cast("double").as("tf"))
-        val df = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
-        val n = Tables(s, dir, "documents")
-          .agg(count(lit(1)).cast("double").as("n"))
-        // localCheckpoint: w feeds the norms and BOTH sides of the term
-        // self-join, and Catalyst has no cross-branch subexpression reuse —
-        // without materializing, the tokenize+tf+idf pipeline runs 3x
-        val w = tf.join(broadcast(df), "tok").crossJoin(broadcast(n))
-          .select(col("doc_id"), col("tok"),
-            (col("tf") * log(col("n") / col("df"))).as("w"))
-          .localCheckpoint()
-        val nrm = w.groupBy(col("doc_id"))
-          .agg(sqrt(sum(col("w") * col("w"))).as("nw"))
-        val dot = w.as("a")
-          .join(w.as("b"),
-            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .agg(sum(col("a.w") * col("b.w")).as("d"))
-        dot
-          .join(nrm.select(col("doc_id").as("id_a"), col("nw").as("na")), "id_a")
-          .join(nrm.select(col("doc_id").as("id_b"), col("nw").as("nb")), "id_b")
-          .withColumn("cosine", col("d") / (col("na") * col("nb")))
-          .filter(col("cosine") >= 0.85)
-          .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
-          .orderBy(col("id_a"), col("id_b"))
-      },
+      (s, dir) => tfidfCosinePairs(s, dir, threshold = 0.85),
       Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text,' '))
              |                AS tok FROM documents),
              |tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
@@ -539,4 +516,56 @@ object TextQueries {
              |WHERE d/(na.nw*nb.nw) >= 0.85
              |ORDER BY id_a, id_b""".stripMargin))
   )
+
+  /** Exact TF-IDF cosine pairs (q86 body). Zero-weight rows are filtered
+    * BELOW the term self-join: a term with df = n has idf = ln(1) = 0, so
+    * every one of its partial products is 0 — it cannot move any cosine —
+    * yet each such term would fan out df² = n² pairs through the join. On a
+    * real corpus "the" alone makes the unfiltered plan quadratic in the
+    * corpus; the filter cannot change the result (dropped products are
+    * exact zeros, and a doc whose every weight is 0 has norm 0 ⇒ cosine
+    * NULL/undefined either way, excluded by the >= threshold on both
+    * engines).
+    *
+    * `maxDf` is the standard IR stop-term cap for the real-corpus case:
+    * terms in more than `maxDf` docs are dropped from the sparse vectors
+    * entirely (an approximation — unlike the w=0 filter it CAN change
+    * cosines, which is why the oracled query ships with maxDf = None).
+    */
+  private[queries] def tfidfCosinePairs(s: SparkSession, dir: String,
+      threshold: Double, maxDf: Option[Long] = None): DataFrame = {
+    val toks = fanout(Tables(s, dir, "documents"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+    val n = Tables(s, dir, "documents")
+      .agg(count(lit(1)).cast("double").as("n"))
+    // localCheckpoint: w feeds the norms and BOTH sides of the term
+    // self-join, and Catalyst has no cross-branch subexpression reuse —
+    // without materializing, the tokenize+tf+idf pipeline runs 3x. The
+    // w != 0 / maxDf filters sit BELOW the checkpoint so the fan-out
+    // guard is materialized once, not re-derived per branch.
+    val w = tf.join(broadcast(df), "tok").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"), col("df"),
+        (col("tf") * log(col("n") / col("df"))).as("w"))
+      .filter(col("w") =!= 0.0)
+      .filter(maxDf.map(m => col("df") <= m.toDouble).getOrElse(lit(true)))
+      .select(col("doc_id"), col("tok"), col("w"))
+      .localCheckpoint()
+    val nrm = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nw"))
+    val dot = w.as("a")
+      .join(w.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("d"))
+    dot
+      .join(nrm.select(col("doc_id").as("id_a"), col("nw").as("na")), "id_a")
+      .join(nrm.select(col("doc_id").as("id_b"), col("nw").as("nb")), "id_b")
+      .withColumn("cosine", col("d") / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

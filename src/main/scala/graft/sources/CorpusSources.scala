@@ -32,18 +32,50 @@ object CorpusSources {
     StructField("meta3", StringType),
     StructField("meta4", StringType)))
 
+  /** Corpus files under `path` (plain file, directory, or glob),
+    * lexicographically sorted by full path string — the ONE file order both
+    * corpus readers share, so doc ids agree between them on any corpus.
+    * Hidden files (`_`/`.` prefixed) are skipped, like Spark's file
+    * sources. Mirrors the V2 connector's listing
+    * ([[graft.sources.v2.CorpusScan]] `planInputPartitions`). */
+  private[graft] def listCorpusFiles(spark: SparkSession, path: String): Seq[String] = {
+    val p  = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    if (matched.isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"corpus path does not exist or matches no files: $path")
+    matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filter(f => f.isFile && {
+            val n = f.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
+          })
+      else Seq(st)
+    }.map(_.getPath.toString).sorted
+  }
+
   /** T1: read a delimiter-separated corpus into (document_index, text).
     *
-    * Doc ids are contiguous zero-based in file order, matching the
-    * reference's `zipWithIndex` (`base.py:73`). The id assignment is the
-    * one operation that fixes a global order — Spark's zipWithIndex runs a
-    * lightweight count-per-partition job first; ids stay deterministic
-    * because text-file split order is deterministic.
+    * Doc ids are contiguous zero-based in (lexicographic file path, offset
+    * within file) order, matching the reference's `zipWithIndex`
+    * (`base.py:73`) and — by construction — the V2 connector's id order
+    * ([[loadRawCorpusV2]]), so the two readers are interchangeable on any
+    * corpus (CorpusV2Spec pins it on a multi-file fixture). Files are
+    * enumerated explicitly and read one per scan, unioned in sorted order:
+    * handing the built-in text source several paths at once lets it pack
+    * splits largest-file-first internally, which permutes ids. Within one
+    * file, split planning is offset-ordered (equal-size splits under a
+    * stable sort), so per-file order is the file's record order. The
+    * per-file plan union is O(files) deep — for corpora of many thousands
+    * of files prefer the V2 reader, whose listing is a flat scan.
     */
   def loadRawCorpus(spark: SparkSession, path: String,
       recordDelimiter: String = RecordDelimiter): DataFrame = {
     import spark.implicits._
-    val raw = spark.read.option("lineSep", recordDelimiter).text(path)
+    val raw = listCorpusFiles(spark, path)
+      .map(f => spark.read.option("lineSep", recordDelimiter).text(f))
+      .reduce(_.union(_))
     raw.rdd.map(_.getString(0)).zipWithIndex()
       .map { case (text, idx) => (idx, text) }
       .toDF("document_index", "text")
@@ -55,12 +87,9 @@ object CorpusSources {
     * (`chunkBytes`) per file — the shape for corpora whose individual files
     * are far larger than a default split. Ids are contiguous in
     * (lexicographic file path, byte offset) order: the connector emits
-    * partitions in that order, so zipWithIndex needs no global sort. On a
-    * SINGLE-file corpus this matches [[loadRawCorpus]] id-for-id (spec); on
-    * multi-file corpora the two loaders order files differently (the
-    * built-in text source packs splits largest-file-first internally), so
-    * ids agree only per file — pick ONE loader per dataset and stay with
-    * it. */
+    * partitions in that order, so zipWithIndex needs no global sort — the
+    * same order [[loadRawCorpus]] fixes, so the two readers assign
+    * identical ids on any corpus. */
   def loadRawCorpusV2(spark: SparkSession, path: String,
       recordDelimiter: String = RecordDelimiter,
       chunkBytes: Long = graft.sources.v2.CorpusV2.DefaultChunkBytes): DataFrame = {

@@ -238,7 +238,14 @@ final class CorpusPartitionReader(p: CorpusInputPartition, delim: Array[Byte],
   private var chunkLen = 0
   private var chunkPos = 0
 
-  {
+  // constructor-time I/O (seek + skip-to-first-delimiter below) must close
+  // the stream on failure: Spark never calls close() on a reader whose
+  // constructor threw, so an unguarded I/O error here leaks the file handle
+  // on every such task attempt
+  private def guardInit[A](body: => A): A =
+    try body catch { case t: Throwable => stream.close(); throw t }
+
+  guardInit {
     // non-initial splits look back delimLen-1 bytes so a boundary-straddling
     // delimiter is visible (see class doc of CorpusDataSource)
     val scanFrom = if (p.start == 0) 0L
@@ -278,7 +285,7 @@ final class CorpusPartitionReader(p: CorpusInputPartition, delim: Array[Byte],
   // can only match here when the lookback clamped to 0 (start < delimLen),
   // where the scan legitimately sees the whole file prefix.
   if (p.start == 0) recordStart = 0L
-  else {
+  else guardInit {
     matcher.reset()
     var found = false
     var eof = false

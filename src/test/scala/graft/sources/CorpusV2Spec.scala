@@ -143,16 +143,23 @@ class CorpusV2Spec extends SparkSpec {
     assert(v2r == v1)
   }
 
-  test("multi-file corpora get ids in (file path, offset) order, any chunking") {
-    // the documented V2 contract: lexicographic file order then byte order
-    // (v1's built-in source packs splits largest-first, so the two loaders
-    // only agree per file — the scaladoc tells users to pick one)
+  test("BOTH loaders assign identical multi-file ids: (file path, offset) order") {
+    // the shared contract: lexicographic file order then byte order, for
+    // the built-in loader AND the V2 connector. b.txt is made LARGER than
+    // a.txt on purpose: loadRawCorpus used to hand the built-in text source
+    // the whole directory, whose split packing is largest-file-first — that
+    // would put b's docs ahead of a's here. It now enumerates files itself
+    // and unions per-file reads in sorted order.
     val dir = Files.createTempDirectory("corpus-v2-multi").toString
     Files.writeString(Paths.get(s"$dir/a.txt"), Seq("a1", "a2").mkString(delim))
-    Files.writeString(Paths.get(s"$dir/b.txt"),
-      Seq("b1", "b2", "b3").mkString(delim))
-    val expected = Seq("a1", "a2", "b1", "b2", "b3").zipWithIndex
+    val bDocs = Seq("b1 padded with extra words to make file b the larger one",
+      "b2 also long enough to matter", "b3 trailing doc")
+    Files.writeString(Paths.get(s"$dir/b.txt"), bDocs.mkString(delim))
+    val expected = (Seq("a1", "a2") ++ bDocs).zipWithIndex
       .map { case (t, i) => i.toLong -> t }.toMap
+    val v1 = CorpusSources.loadRawCorpus(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1 == expected, "builtin loader id order")
     for (chunk <- Seq(5L, 64L, 1L << 20)) {
       val got = CorpusSources.loadRawCorpusV2(spark, dir, chunkBytes = chunk)
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
