@@ -52,21 +52,33 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // BENCH_ONLY=q28,q32 restricts the run (dev isolation: distinguishes a
+    // slow plan from slow accumulated-JVM-state when a full-run number
+    // disagrees with a fresh-JVM Probe)
+    val only = sys.env.get("BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val headline = Catalog.all.filter(_.bench).map(_.name)
-    headline.foreach { n => // warmup: codegen + JIT, result discarded
-      try execute(n)
-      catch { case e: Throwable => System.err.println(s"[bench] warmup $n: $e") }
-    }
-    // min over timed reps, adaptively extended: this box shows random
-    // multi-second JVM/host freezes (safepoint stalls up to ~850 ms,
-    // occasional whole-VM pauses) that have faked 2x "regressions" on
-    // plans with zero diffs (round 5: q28 1.52->3.28 s report vs 1.0-1.4 s
-    // warm probe). A minimum is only trusted once CORROBORATED — a second
-    // rep within 20% of it — so a query keeps re-running (up to 5 attempts)
-    // until one clean pair exists instead of shipping a min that may itself
-    // contain a freeze.
+      .filter(n => only.forall(_.contains(n)))
+    // Per-query protocol: warmup immediately before that query's timed
+    // reps (codegen + JIT), then JVM hygiene, then adaptively-extended
+    // timed reps. Two measured failure modes motivated this shape:
+    //  - accumulated JVM state: in a single long-lived bench JVM, a query
+    //    timed after 8+ others reads up to 3x its fresh-JVM number (q28:
+    //    3.4 s in the full run vs 1.15 s benched alone vs 1.3 s Probe) —
+    //    dropping references + System.gc() lets the ContextCleaner drain
+    //    broadcast/shuffle state from earlier queries so each query is
+    //    timed against a quiet heap;
+    //  - host freezes: random multi-second whole-JVM pauses faked 2x
+    //    "regressions" on plans with zero diffs (round 5: q28). A minimum
+    //    is only trusted once CORROBORATED — a second rep within 20% —
+    //    so a query keeps re-running (up to 5 attempts) until one clean
+    //    pair exists instead of shipping a min that may contain a freeze.
     val MaxReps = 5
     val results = headline.map { n =>
+      try execute(n)
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $n: $e") }
+      spark.catalog.clearCache()
+      System.gc()
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var attempts = 0
       def rep(): Unit = {

@@ -36,11 +36,18 @@ object Probe {
     val q = Catalog.byName(name)
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
       q.fn(spark, sfDir).explain("formatted")
+    // PROBE_NOOP=1 executes via the full-plan noop sink exactly like Bench
+    // (count() lets Catalyst PRUNE aggregate expressions the count doesn't
+    // need, so the two modes can legitimately measure different work —
+    // compare both before calling a bench number noise)
+    val useNoop = sys.env.contains("PROBE_NOOP")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val df = q.fn(spark, sfDir)
       val t1 = System.nanoTime()
-      val n  = df.count()
+      val n  = if (useNoop) {
+        df.write.format("noop").mode("overwrite").save(); -1L
+      } else df.count()
       val t2 = System.nanoTime()
       println(f"[probe] $name rep$i: build=${(t1 - t0) / 1e9}%.3f s " +
         f"exec=${(t2 - t1) / 1e9}%.3f s ($n rows)")

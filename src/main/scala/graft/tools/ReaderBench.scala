@@ -71,7 +71,9 @@ object ReaderBench {
     }
     time("builtin")(spark.read.option("lineSep", delim).text(path)
       .agg(sum(length(col("value")))).head().getLong(0))
-    for (mb <- Seq(8L, 64L))
+    val chunksMb = sys.env.getOrElse("RB_CHUNKS_MB", "8,64")
+      .split(",").toSeq.map(_.trim.toLong)
+    for (mb <- chunksMb)
       time(s"dsv2-${mb}mb")(spark.read.format("vspace-corpus")
         .option("chunkBytes", (mb << 20).toString).load(path)
         .agg(sum(length(col("text")))).head().getLong(0))
