@@ -410,7 +410,26 @@ object DedupQueries {
              |       count(*) AS n_shared_windows
              |FROM d a JOIN d b ON a.win = b.win AND a.doc_id < b.doc_id
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // --- the bounded string-keyed twin (the q35/q38 pattern: the oracle's
+    //     literal shape stays gated next to the scale plan). Same oracle;
+    //     at corpus scale its equi-join shuffles ~30x the corpus bytes, so
+    //     q89 is the shipped path and this is the small-SF cross-check. ---
+    Q("q89b_shared_window_string",
+      (s, dir) => sharedWindowOverlap(Tables(s, dir, "documents"), w = 30,
+        hashKeyed = false),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+             |            FROM documents),
+             |g AS (SELECT doc_id,
+             |        unnest([array_to_string(toks[i:i+29],' ')
+             |                for i in range(1, len(toks)-28)]) AS win
+             |      FROM t),
+             |d AS (SELECT DISTINCT doc_id, win FROM g)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       count(*) AS n_shared_windows
+             |FROM d a JOIN d b ON a.win = b.win AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** Seed for the q89 window hash — any fixed value; pinned so the plan is
@@ -455,11 +474,18 @@ object DedupQueries {
           explode(word_ngrams(split(col("text"), " "), w)).as("win"))
         .select(col("doc_id"), xxhash64_seeded(WindowHashSeed, col("win")).as("h"))
         .distinct()
+      // localCheckpoint: cands feeds THREE branches (both sides of the
+      // candIds union and the verification join) and Catalyst has no
+      // cross-branch subexpression reuse — without materializing, the
+      // hash self-join pipeline re-expands per branch (exchange reuse
+      // usually saves the execution, but the materialized id pairs — a
+      // candidates-sized frame — make it structural, like q32's bands).
       val cands = hwins.as("a")
         .join(hwins.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
+        .localCheckpoint()
       val candIds = cands.select(col("id_a").as("doc_id"))
         .union(cands.select(col("id_b").as("doc_id")))
         .distinct()
