@@ -429,8 +429,102 @@ object DedupQueries {
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |       count(*) AS n_shared_windows
              |FROM d a JOIN d b ON a.win = b.win AND a.doc_id < b.doc_id
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // --- SemDeDup ("SemDeDup: Data-efficient learning at web-scale
+    //     through semantic deduplication", Abbas et al. 2023): partition
+    //     the embedding space with a trained k-means quantizer, compare
+    //     pairs EXHAUSTIVELY only within a cluster, drop the higher id of
+    //     every pair above the cosine threshold. The cluster is the
+    //     candidate generator — the trained complement to q38's random
+    //     hyperplanes (data-adapted cells find dups hyperplanes split
+    //     apart). At 100 TB: k scales with the corpus (the paper runs
+    //     ~100k clusters) so in-cell pair counts stay bounded; assignment
+    //     is the map-side codegen'd struct-argmin and the only shuffle of
+    //     candidate generation is the cell-keyed self-join. Trained model
+    //     -> rows-only gate; q90b measures recall vs exact pairs. ---
+    Q("q90_semdedup",
+      (s, dir) => {
+        semDedupPairs(s, dir, threshold = 0.4)
+          .groupBy(col("id_b"))
+          .agg(min(col("id_a")).as("kept_by"),
+            round(max(col("sim")), 4).as("max_sim"))
+          .select(col("id_b").as("dropped_id"), col("kept_by"), col("max_sim"))
+          .orderBy(col("dropped_id"))
+      },
+      None),
+
+    // --- recall of the cluster-partitioned pass vs exact all-pairs cosine
+    //     on a bounded id subset (the q39/q43 pattern): SemDeDup misses
+    //     exactly the above-threshold pairs whose members land in
+    //     different cells — this measures that loss in-engine. ---
+    Q("q90b_semdedup_recall",
+      (s, dir) => {
+        val bound = 500
+        val sub = SimilarityQueries.unitVecs(s, dir)
+          .filter(col("vec_id") < bound)
+          .select(col("vec_id"), col("v"))
+        val exact = sub.as("a")
+          .join(sub.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+            graft.functions.cosine_sim(col("a.v"), col("b.v")).as("sim"))
+          .filter(col("sim") >= 0.4)
+          .select(col("id_a"), col("id_b"))
+        val sem = semDedupPairs(s, dir, threshold = 0.4)
+          .filter(col("id_a") < bound && col("id_b") < bound)
+          .select(col("id_a"), col("id_b"))
+        exact.join(sem.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0))).as("n_found"),
+            round(sum(coalesce(col("hit"), lit(0)))
+              / greatest(count(lit(1)), lit(1L)), 4).as("recall"))
+      },
+      None)
   )
+
+  /** Above-threshold cosine pairs found via trained k-means cells (q90
+    * body): (id_a, id_b, sim), exact-verified. Each vector is keyed to its
+    * `Assign` nearest cells map-side (an in-row struct sort over the k
+    * scored centroids, like the IVF probe — no join, no window); candidate
+    * pairs share ANY cell. Multi-assignment is SemDeDup's recall lever:
+    * with one cell per vector, every above-threshold pair straddling a
+    * cell boundary is lost (measured 0.25 recall at k=32 on the isotropic
+    * harness embeddings); 2 assignments catch boundary pairs at 2x keyed
+    * rows. The cell join moves only (vec_id, cell) — vectors travel in
+    * id-keyed verification joins, proportional to candidates (the
+    * q32/q38 staging). k = 32 here; the deployment knob is
+    * k ≈ n / desired-cell-size so the in-cell quadratic stays bounded.
+    * Centroids memoized like the IVF family's. */
+  private val SemDedupAssign = 2
+
+  private[queries] def semDedupPairs(s: SparkSession, dir: String,
+      threshold: Double, assign: Int = SemDedupAssign): DataFrame = {
+    val all = SimilarityQueries.unitVecs(s, dir)
+    val cents = SimilarityQueries.memoFit(s, dir, "semdedup-centroids-32")(
+      graft.operators.KMeans.fit(all, "v", "vec_id", k = 32, iters = 3))
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val d = lit(c.map(x => x * x).sum) -
+        lit(2.0) * graft.functions.vec_dot(col("v"), typedLit(c.toSeq))
+      struct(d.as("d"), lit(i.toLong).as("cell"))
+    }
+    // (vec_id, cell) for the `assign` nearest cells — tiny rows; checkpointed
+    // so the argsort pipeline runs once, not once per self-join side
+    val keyed = all.select(col("vec_id"),
+        explode(slice(array_sort(array(scored: _*)), 1, assign)).as("p"))
+      .select(col("vec_id"), col("p.cell").as("cell"))
+      .localCheckpoint()
+    val cands = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cands
+      .join(all.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(all.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.cosine_sim(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 
   /** Seed for the q89 window hash — any fixed value; pinned so the plan is
     * deterministic across runs. */

@@ -34,8 +34,9 @@ object SimilarityQueries {
   /** Unit-normalized vectors: on the unit sphere L2 order == cosine order,
     * so the L2-trained quantizers (KMeans coarse cells, PQ codebooks) rank
     * the same neighborhoods the cosine baseline does. All index paths
-    * (IVF, PQ, IVF-PQ) build over this view. */
-  private def unitVecs(s: SparkSession, dir: String): DataFrame =
+    * (IVF, PQ, IVF-PQ) build over this view, as does the SemDeDup pass
+    * (DedupQueries q90). */
+  private[queries] def unitVecs(s: SparkSession, dir: String): DataFrame =
     vecs(s, dir).select(col("vec_id"), col("label"),
       transform(col("v"), x => x / graft.functions.vec_norm(col("v"))).as("v"))
 
@@ -411,8 +412,8 @@ object SimilarityQueries {
   private val fitCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String), AnyRef]
 
-  private def memoFit[A <: AnyRef](s: SparkSession, dir: String, tag: String)(
-      f: => A): A =
+  private[queries] def memoFit[A <: AnyRef](s: SparkSession, dir: String,
+      tag: String)(f: => A): A =
     fitCache.computeIfAbsent((System.identityHashCode(s), dir, tag),
       _ => f).asInstanceOf[A]
 
