@@ -67,15 +67,20 @@ object CorpusSources {
     * splits largest-file-first internally, which permutes ids. Within one
     * file, split planning is offset-ordered (equal-size splits under a
     * stable sort), so per-file order is the file's record order. The
-    * per-file plan union is O(files) deep — for corpora of many thousands
-    * of files prefer the V2 reader, whose listing is a flat scan.
+    * per-file unions are balanced pairwise (O(log files) plan depth, order
+    * preserved); for corpora of many thousands of files the V2 reader,
+    * whose listing is a flat scan, stays the better fit.
     */
   def loadRawCorpus(spark: SparkSession, path: String,
       recordDelimiter: String = RecordDelimiter): DataFrame = {
     import spark.implicits._
-    val raw = listCorpusFiles(spark, path)
-      .map(f => spark.read.option("lineSep", recordDelimiter).text(f))
-      .reduce(_.union(_))
+    @annotation.tailrec
+    def balancedUnion(dfs: Seq[DataFrame]): DataFrame =
+      if (dfs.size == 1) dfs.head
+      else balancedUnion(dfs.grouped(2)
+        .map(g => if (g.size == 2) g(0).union(g(1)) else g(0)).toSeq)
+    val raw = balancedUnion(listCorpusFiles(spark, path)
+      .map(f => spark.read.option("lineSep", recordDelimiter).text(f)))
     raw.rdd.map(_.getString(0)).zipWithIndex()
       .map { case (text, idx) => (idx, text) }
       .toDF("document_index", "text")
