@@ -438,11 +438,14 @@ object DedupQueries {
     //     every pair above the cosine threshold. The cluster is the
     //     candidate generator — the trained complement to q38's random
     //     hyperplanes (data-adapted cells find dups hyperplanes split
-    //     apart). At 100 TB: k scales with the corpus (the paper runs
-    //     ~100k clusters) so in-cell pair counts stay bounded; assignment
-    //     is the map-side codegen'd struct-argmin and the only shuffle of
-    //     candidate generation is the cell-keyed self-join. Trained model
-    //     -> rows-only gate; q90b measures recall vs exact pairs. ---
+    //     apart). Each vector keys to its 2 nearest cells (multi-
+    //     assignment — the recall lever for boundary pairs, see
+    //     [[semDedupPairs]]). At 100 TB: k scales with the corpus (the
+    //     paper runs ~100k clusters) so in-cell pair counts stay bounded;
+    //     assignment is an in-row struct sort over the scored centroids
+    //     and the only shuffle of candidate generation is the cell-keyed
+    //     self-join on (vec_id, cell) rows. Trained model -> rows-only
+    //     gate; q90b measures recall vs exact pairs. ---
     Q("q90_semdedup",
       (s, dir) => {
         semDedupPairs(s, dir, threshold = 0.4)
