@@ -17,7 +17,7 @@ object AnalysisQueries {
   /** Per-document quality metrics (shared by q51 scoring and the q55
     * filter verdict): word count, lexical diversity, stopword ratio, mean
     * token length, and the composite quality score — all map-side. */
-  private def qualityMetrics(docs: org.apache.spark.sql.DataFrame) = {
+  private[queries] def qualityMetrics(docs: org.apache.spark.sql.DataFrame) = {
     fanout(docs)
       .select(col("doc_id"),
         split(col("text"), " ").as("toks"),

@@ -221,6 +221,65 @@ object DedupQueries {
              |SELECT doc_id FROM cc WHERE doc_id = cluster_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // --- quality-aware canonical selection: per near-dup cluster keep the
+    //     HIGHEST-QUALITY member (tie -> lowest id), not the lowest id —
+    //     what a production pipeline actually does when duplicates differ
+    //     by truncation or boilerplate. Clusters ride q36's machinery;
+    //     quality is q51's composite (rounded to 4 dp BEFORE the argmax so
+    //     the winner is engine-independent); the argmax is a struct-max
+    //     aggregate over the cluster-keyed rows — no window, and the only
+    //     inputs are the (id, cluster) pairs frame (docs in near-dup pairs
+    //     only) joined id-keyed to map-side quality rows. ---
+    Q("q92_dedup_keep_best",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val pairs = lshVerifiedPairs(docs, 0.7)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        val qual = AnalysisQueries.qualityMetrics(docs)
+          .select(col("doc_id"), round(col("quality"), 4).as("q"))
+        graft.operators.Dedup.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .join(qual, "doc_id")
+          .groupBy(col("cluster_id"))
+          .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("m"),
+            count(lit(1)).as("n_members"))
+          .select(col("cluster_id"), (-col("m.nid")).as("kept_id"),
+            col("m.q").as("kept_quality"), col("n_members"))
+          .orderBy(col("cluster_id"))
+      },
+      Some("""WITH RECURSIVE
+             |t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+             |        for i in range(1, len(toks)-1)]) AS sh FROM t),
+             |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+             |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |      WHERE len(list_intersect(a.sh,b.sh))::DOUBLE
+             |        / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.7),
+             |e AS (SELECT ida AS a, idb AS b FROM p
+             |      UNION SELECT idb, ida FROM p),
+             |reach(a, b) AS (
+             |  SELECT a, b FROM e
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+             |cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             |       FROM reach GROUP BY a),
+             |qual AS (SELECT doc_id,
+             |    round(least(len(string_split(text,' '))/100.0, 1.0)*0.4
+             |      + (len(list_distinct(string_split(text,' ')))::DOUBLE
+             |         / len(string_split(text,' ')))*0.4
+             |      + (1.0 - len(list_filter(string_split(text,' '),
+             |            x -> x IN ('the','a')))::DOUBLE
+             |           / len(string_split(text,' ')))*0.2, 4) AS q
+             |  FROM documents),
+             |r AS (SELECT cc.cluster_id, cc.doc_id, qual.q,
+             |        count(*) OVER (PARTITION BY cluster_id) AS n_members,
+             |        row_number() OVER (PARTITION BY cluster_id
+             |          ORDER BY qual.q DESC, cc.doc_id) AS rn
+             |      FROM cc JOIN qual USING (doc_id))
+             |SELECT cluster_id, doc_id AS kept_id, q AS kept_quality,
+             |       n_members::BIGINT AS n_members
+             |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
+
     // --- brute-force n-gram Jaccard on a bounded slice (oracle twin /
     //     correctness baseline for the LSH path) ---
     Q("q33_dedup_ngram_jaccard",
@@ -431,6 +490,47 @@ object DedupQueries {
              |FROM d a JOIN d b ON a.win = b.win AND a.doc_id < b.doc_id
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // --- maximal shared spans per doc pair — the span-level report the
+    //     exact-substring dedup paper actually acts on (see
+    //     [[sharedSpans]]): shared windows merged into maximal contiguous
+    //     token runs; per pair the span count, longest span, and covered
+    //     tokens in the lower-id doc. Candidates ride q89's 8-byte hash
+    //     machinery; positions and interval merging are in-row (a
+    //     transform/filter + one aggregate fold) — no text through any
+    //     exchange, no window functions. ---
+    Q("q91_shared_span_merge",
+      (s, dir) => sharedSpans(Tables(s, dir, "documents"), w = 30),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+             |            FROM documents),
+             |g AS (SELECT doc_id,
+             |        unnest([{'pos': i,
+             |                 'win': array_to_string(toks[i:i+29],' ')}
+             |                for i in range(1, len(toks)-28)]) AS pw
+             |      FROM t),
+             |g2 AS (SELECT doc_id, pw.pos AS pos, pw.win AS win FROM g),
+             |b AS (SELECT DISTINCT doc_id, win FROM g2),
+             |sp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos
+             |       FROM g2 a JOIN b ON a.win = b.win
+             |         AND a.doc_id < b.doc_id),
+             |isl AS (SELECT id_a, id_b, pos,
+             |          CASE WHEN pos - coalesce(lag(pos) OVER
+             |                 (PARTITION BY id_a, id_b ORDER BY pos),
+             |                 -1000000) > 30
+             |               THEN 1 ELSE 0 END AS brk
+             |        FROM sp),
+             |sid AS (SELECT id_a, id_b, pos,
+             |          sum(brk) OVER (PARTITION BY id_a, id_b
+             |                         ORDER BY pos) AS span_id
+             |        FROM isl),
+             |spans AS (SELECT id_a, id_b, span_id,
+             |            min(pos) AS s, max(pos) + 29 AS e
+             |          FROM sid GROUP BY 1, 2, 3)
+             |SELECT id_a, id_b,
+             |       count(*)::BIGINT AS n_spans,
+             |       max(e - s + 1)::BIGINT AS max_span_tokens,
+             |       sum(e - s + 1)::BIGINT AS covered_tokens
+             |FROM spans GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // --- SemDeDup ("SemDeDup: Data-efficient learning at web-scale
     //     through semantic deduplication", Abbas et al. 2023): partition
     //     the embedding space with a trained k-means quantizer, compare
@@ -533,6 +633,32 @@ object DedupQueries {
     * deterministic across runs. */
   private val WindowHashSeed = 89L
 
+  /** Candidate doc pairs sharing >= 1 stride-1 `w`-token window, generated
+    * entirely on 8-byte window hashes: every window reduces map-side to its
+    * `xxhash64`, the per-doc dedup and the self-join shuffle only
+    * (doc_id, hash) rows, so window TEXT never crosses a corpus-wide
+    * exchange. Equal strings always hash equal — no false negatives; the
+    * (rare) collision pairs are false CANDIDATES only, removed exactly by
+    * the caller's string-level verification. localCheckpoint: the pair
+    * frame feeds three+ branches downstream (both id-list semi-joins and
+    * the verification spine) and Catalyst has no cross-branch subexpression
+    * reuse — materializing the candidates-sized frame keeps the hash
+    * self-join pipeline from re-expanding per branch (q32's band staging).
+    */
+  private def hashWindowCands(docs: DataFrame, w: Int): DataFrame = {
+    val hwins = fanout(docs)
+      .select(col("doc_id"),
+        explode(word_ngrams(split(col("text"), " "), w)).as("win"))
+      .select(col("doc_id"), xxhash64_seeded(WindowHashSeed, col("win")).as("h"))
+      .distinct()
+    hwins.as("a")
+      .join(hwins.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .localCheckpoint()
+  }
+
   /** Shared fixed-length-window overlap (q89 body), two plans:
     *
     * `hashKeyed = true` — the shipped 100 TB shape. Every stride-1 window
@@ -566,23 +692,7 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_shared_windows"))
         .orderBy(col("id_a"), col("id_b"))
     } else {
-      val hwins = fanout(docs)
-        .select(col("doc_id"),
-          explode(word_ngrams(split(col("text"), " "), w)).as("win"))
-        .select(col("doc_id"), xxhash64_seeded(WindowHashSeed, col("win")).as("h"))
-        .distinct()
-      // localCheckpoint: cands feeds THREE branches (both sides of the
-      // candIds union and the verification join) and Catalyst has no
-      // cross-branch subexpression reuse — without materializing, the
-      // hash self-join pipeline re-expands per branch (exchange reuse
-      // usually saves the execution, but the materialized id pairs — a
-      // candidates-sized frame — make it structural, like q32's bands).
-      val cands = hwins.as("a")
-        .join(hwins.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-        .localCheckpoint()
+      val cands = hashWindowCands(docs, w)
       val candIds = cands.select(col("id_a").as("doc_id"))
         .union(cands.select(col("id_b").as("doc_id")))
         .distinct()
@@ -598,5 +708,73 @@ object DedupQueries {
         .filter(col("n_shared_windows") > 0)
         .orderBy(col("id_a"), col("id_b"))
     }
+  }
+
+  /** Maximal shared-span merge (q91 body) — the ExactSubstr-style report
+    * built on q89's candidate machinery ("Deduplicating Training Data Makes
+    * Language Models Better" reports duplicated SPANS, not window counts:
+    * a 500-token verbatim block is one finding, not 471 window hits).
+    *
+    * For each candidate pair (id_a < id_b): the positions in doc a whose
+    * `w`-token window also occurs anywhere in doc b are computed IN-ROW
+    * (transform-with-index + array_contains over the two id-key-joined
+    * window arrays — true strings, so hash collisions vanish here), then
+    * the overlapping/adjacent token intervals [p, p+w-1] are merged into
+    * maximal spans by a single in-row `aggregate` fold over the ordered
+    * position list. Per pair: span count, longest span, covered tokens.
+    *
+    * Scale shape: candidate generation is [[hashWindowCands]] (8-byte keys
+    * through every corpus-wide shuffle); everything after is id-keyed joins
+    * proportional to candidate docs plus per-row work bounded by doc
+    * length² — no window functions, no per-pair shuffle, no text through
+    * any exchange. */
+  private[queries] def sharedSpans(docs: DataFrame, w: Int): DataFrame = {
+    val cands = hashWindowCands(docs, w)
+    val toks = split(col("text"), " ")
+    val aWins = docs.join(cands.select(col("id_a").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("id_a"), word_ngrams(toks, w).as("wa"))
+    val bWins = docs.join(cands.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("id_b"),
+        array_distinct(word_ngrams(toks, w)).as("wb"))
+    // 1-based positions in doc a whose window doc b also contains, ascending
+    // (transform emits in array order; filter preserves it)
+    val ps = filter(
+      transform(col("wa"), (x, i) =>
+        when(array_contains(col("wb"), x), i + 1).otherwise(-1)),
+      p => p > 0)
+    // fold state: n spans closed-or-open, current span [s, e] in token
+    // coords, max closed length, covered closed tokens; a position extends
+    // the open span iff its interval [p, p+w-1] overlaps or touches it
+    // (p <= e + 1), else it closes the span and opens a new one
+    def spanLen(st: Column): Column =
+      when(st.getField("n") === 0, lit(0))
+        .otherwise(st.getField("e") - st.getField("s") + 1)
+    val init = struct(lit(0).as("n"), lit(0).as("s"), lit(-2).as("e"),
+      lit(0).as("mx"), lit(0).as("cov"))
+    val folded = aggregate(col("ps"), init,
+      (st, p) => when(st.getField("n") === 0 || p > st.getField("e") + 1,
+          struct((st.getField("n") + 1).as("n"), p.as("s"),
+            (p + lit(w - 1)).as("e"),
+            greatest(st.getField("mx"), spanLen(st)).as("mx"),
+            (st.getField("cov") + spanLen(st)).as("cov")))
+        .otherwise(struct(st.getField("n").as("n"), st.getField("s").as("s"),
+          (p + lit(w - 1)).as("e"), st.getField("mx").as("mx"),
+          st.getField("cov").as("cov"))),
+      st => struct(st.getField("n").as("n"),
+        greatest(st.getField("mx"), spanLen(st)).as("mx"),
+        (st.getField("cov") + spanLen(st)).as("cov")))
+    cands
+      .join(aWins, "id_a")
+      .join(bWins, "id_b")
+      .select(col("id_a"), col("id_b"), ps.as("ps"))
+      .select(col("id_a"), col("id_b"), folded.as("sp"))
+      .select(col("id_a"), col("id_b"),
+        col("sp.n").cast("long").as("n_spans"),
+        col("sp.mx").cast("long").as("max_span_tokens"),
+        col("sp.cov").cast("long").as("covered_tokens"))
+      .filter(col("n_spans") > 0)
+      .orderBy(col("id_a"), col("id_b"))
   }
 }

@@ -46,6 +46,46 @@ class SharedWindowSpec extends SparkSpec {
       overlap(docs, 30, hashKeyed = false))
   }
 
+  test("span merge: adjacent windows merge, gaps split, repeats collapse") {
+    import spark.implicits._
+    // w=3. Doc 0's windows sit at 1-based positions 1..8. Doc 1 contains
+    // "b c d e" (doc-0 windows at pos 2,3 -> intervals [2,4],[3,5] merge
+    // into span [2,5], 4 tokens) and, after a non-matching gap, "h i j"
+    // (pos 8 -> span [8,10], 3 tokens): 2 spans, max 4, covered 7. Doc 2
+    // repeats doc 0's "b c d" twice — b-side window SETS, so the repeat
+    // can't add a position; one span of 3. Doc 3 shares nothing.
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "b c d e x h i j"),
+      (2L, "b c d z b c d"),
+      (3L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val got = DedupQueries.sharedSpans(docs, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // pair (1,2) also shares "b c d" (one span of 3)
+    assert(got == Seq(
+      (0L, 1L, 2L, 4L, 7L),
+      (0L, 2L, 1L, 3L, 3L),
+      (1L, 2L, 1L, 3L, 3L)))
+  }
+
+  test("span covered_tokens never exceeds and is consistent with q89 counts") {
+    // structural cross-check on real data: every q89 pair appears in q91
+    // (same candidates, same verification strings) and n shared windows
+    // >= n spans, covered tokens >= max span >= w
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val counts = DedupQueries.sharedWindowOverlap(docs, 30, hashKeyed = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val spans = DedupQueries.sharedSpans(docs, 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(spans.keySet == counts.keySet)
+    spans.foreach { case (k, (n, mx, cov)) =>
+      assert(n >= 1 && mx >= 30 && cov >= mx && counts(k) >= n)
+    }
+  }
+
   test("window text never crosses a corpus-wide exchange in the hash plan") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val plan = DedupQueries.sharedWindowOverlap(docs, 30, hashKeyed = true)
