@@ -280,6 +280,113 @@ object DedupQueries {
              |       n_members::BIGINT AS n_members
              |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
 
+    // --- leakage-free train/val split: near-dup CLUSTERS are the unit of
+    //     assignment, so no split ever holds a near-duplicate of the other
+    //     side's data (the eval-contamination guard a training pipeline
+    //     runs after dedup — splitting by doc hash leaks every cluster
+    //     that straddles the boundary). Group key = cluster id for
+    //     clustered docs, own id for singletons; assignment is q83's
+    //     int64-exact 16-bit multiplicative hash (cross-engine
+    //     reproducible, ~10% val at h < 6554), entirely map-side after
+    //     the CC labels join. ---
+    Q("q94_leakage_free_split",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(col("doc_id"))
+        val pairs = lshVerifiedPairs(Tables(s, dir, "documents"), 0.7)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        val cc = graft.operators.Dedup.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        docs.join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+          .withColumn("split",
+            when(((col("group_id") % 65536) * 40503L) % 65536 < 6554, "val")
+              .otherwise("train"))
+          .select(col("doc_id"), col("group_id"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE
+             |t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+             |        for i in range(1, len(toks)-1)]) AS sh FROM t),
+             |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+             |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |      WHERE len(list_intersect(a.sh,b.sh))::DOUBLE
+             |        / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.7),
+             |e AS (SELECT ida AS a, idb AS b FROM p
+             |      UNION SELECT idb, ida FROM p),
+             |reach(a, b) AS (
+             |  SELECT a, b FROM e
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+             |cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             |       FROM reach GROUP BY a),
+             |g AS (SELECT d.doc_id,
+             |        coalesce(cc.cluster_id, d.doc_id) AS group_id
+             |      FROM documents d LEFT JOIN cc USING (doc_id))
+             |SELECT doc_id, group_id,
+             |       CASE WHEN ((group_id % 65536) * 40503) % 65536 < 6554
+             |            THEN 'val' ELSE 'train' END AS split
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // --- incremental dedup against a PERSISTED signature index — the
+    //     ingest shape: the standing corpus (doc_id % 8 != 7 here) writes
+    //     its banded MinHash keys to parquet ONCE; a new batch
+    //     (doc_id % 8 == 7) signatures only ITSELF, probes the index with
+    //     a (band, bh) equi-join, and exact-verifies candidates id-keyed.
+    //     At 100 TB the index is built during initial ingestion and
+    //     appended per accepted batch — corpus text is never re-shingled
+    //     at probe time, and the probe-side shuffle is batch-sized, not
+    //     corpus-sized. Banding math is operators.MinHash (the same family
+    //     the batch q32 and streaming flagger share), so index rows and
+    //     probe rows agree by construction. Oracle: brute-force cross-set
+    //     Jaccard (banding misses above 0.7 with P ~ 6e-15). ---
+    Q("q95_incremental_index_dedup",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 8 =!= 7)
+        val batch  = docs.filter(col("doc_id") % 8 === 7)
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-sig-idx").toString
+        graft.operators.MinHash.bandKeys(
+            fanout(corpus).select(col("doc_id"), col("text")),
+            "text", Seq("doc_id"))
+          .write.mode("overwrite").parquet(idxDir)
+        val index = s.read.parquet(idxDir)
+        val probes = graft.operators.MinHash.bandKeys(
+          fanout(batch).select(col("doc_id"), col("text")),
+          "text", Seq("doc_id"))
+        val cands = probes.as("b").join(index.as("c"),
+            col("b.band") === col("c.band") && col("b.bh") === col("c.bh"))
+          .select(col("b.doc_id").as("batch_id"),
+            col("c.doc_id").as("corpus_id"))
+          .distinct()
+        val shB = shingled(batch)
+        val shC = shingled(corpus)
+        cands
+          .join(shB.select(col("doc_id").as("batch_id"),
+            col("shingles").as("sh_b")), "batch_id")
+          .join(shC.select(col("doc_id").as("corpus_id"),
+            col("shingles").as("sh_c")), "corpus_id")
+          .select(col("batch_id"), col("corpus_id"),
+            jaccard(col("sh_b"), col("sh_c")).as("jac"))
+          .filter(col("jac") >= 0.7)
+          .select(col("batch_id"), col("corpus_id"),
+            round(col("jac"), 4).as("jac"))
+          .orderBy(col("batch_id"), col("corpus_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+             |           FROM documents),
+             |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+             |        for i in range(1, len(toks)-1)]) AS sh FROM t)
+             |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+             |       round(len(list_intersect(b.sh,c.sh))::DOUBLE
+             |         / len(list_distinct(list_concat(b.sh,c.sh))), 4) AS jac
+             |FROM s b JOIN s c ON b.doc_id % 8 = 7 AND c.doc_id % 8 <> 7
+             |WHERE len(list_intersect(b.sh,c.sh))::DOUBLE
+             |    / len(list_distinct(list_concat(b.sh,c.sh))) >= 0.7
+             |ORDER BY 1, 2""".stripMargin)),
+
     // --- brute-force n-gram Jaccard on a bounded slice (oracle twin /
     //     correctness baseline for the LSH path) ---
     Q("q33_dedup_ngram_jaccard",
@@ -500,7 +607,7 @@ object DedupQueries {
     //     exchange, no window functions. ---
     Q("q91_shared_span_merge",
       (s, dir) => sharedSpans(Tables(s, dir, "documents"), w = 30),
-      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+      oracle = Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
              |            FROM documents),
              |g AS (SELECT doc_id,
              |        unnest([{'pos': i,
@@ -529,7 +636,8 @@ object DedupQueries {
              |       count(*)::BIGINT AS n_spans,
              |       max(e - s + 1)::BIGINT AS max_span_tokens,
              |       sum(e - s + 1)::BIGINT AS covered_tokens
-             |FROM spans GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+             |FROM spans GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      bench = true),
 
     // --- SemDeDup ("SemDeDup: Data-efficient learning at web-scale
     //     through semantic deduplication", Abbas et al. 2023): partition

@@ -390,6 +390,68 @@ object SimilarityQueries {
           .agg((sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
           .orderBy(col("query_id"))
       },
+      None),
+
+    // --- PCA spectrum of the embedding table (operators.PCA): ONE
+    //     distributed pass folds [n, sums, upper-tri second moments] into
+    //     a single d(d+3)/2+1-double buffer (typed Aggregator — partial
+    //     agg map-side, only buffers cross the shuffle); the 64x64
+    //     eigensolve is driver-side Jacobi. Per component: eigenvalue and
+    //     cumulative variance ratio — the k-selection curve an embedding
+    //     store reads before choosing its reduced width. Float summation
+    //     order -> rows-only gate (the q46 reasoning); PCASpec pins
+    //     planted-axis recovery, partition-invariance, and
+    //     projected-variance == eigenvalue. ---
+    Q("q93_pca_spectrum",
+      (s, dir) => {
+        val model = memoFit(s, dir, "pca-16")(
+          graft.operators.PCA.fit(vecs(s, dir), "v", k = 16))
+        val total = model.eigenvalues.sum
+        val rows = model.eigenvalues.take(16).zipWithIndex.map { case (ev, j) =>
+          (j, BigDecimal(ev).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble,
+            BigDecimal(model.eigenvalues.take(j + 1).sum / total)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toSeq
+        import s.implicits._
+        rows.toDF("component", "eigenvalue", "cum_variance_ratio")
+          .orderBy(col("component"))
+      },
+      None),
+
+    // --- recall@10 of brute-force kNN run in PCA-REDUCED space (16 of 64
+    //     dims) vs full-space exact — measures what the 4x cheaper scan
+    //     (and 4x smaller index) costs in retrieval quality; the
+    //     projection is map-side codegen'd vec_dot against broadcast
+    //     component literals, then the q40 scan shape over short vectors.
+    //     The in-engine metric IS the verification (q43 pattern). The
+    //     harness embeddings are near-ISOTROPIC (q93's spectrum is flat:
+    //     16 dims ~ 21% of variance), PCA's worst case by construction —
+    //     so low recall here is the honest reading; real embedding tables
+    //     have effective rank << d and the same plan keeps most variance
+    //     (PCASpec proves recovery when planted structure exists). ---
+    Q("q93b_pca_knn_recall",
+      (s, dir) => {
+        val model = memoFit(s, dir, "pca-16")(
+          graft.operators.PCA.fit(vecs(s, dir), "v", k = 16))
+        val proj = vecs(s, dir).select(col("vec_id"),
+          graft.operators.PCA.project(col("v"), model).as("v"))
+        val q = proj.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val reduced = rankBySimDesc(
+          proj.crossJoin(broadcast(q))
+            .filter(col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id"),
+              cosine_sim(col("qv"), col("v")).as("sim")),
+          10).select(col("query_id"), col("vec_id"))
+        val exact = knn(s, dir, nQueries = 5, k = 10)
+          .select(col("query_id"), col("vec_id"))
+        exact.join(reduced.withColumn("hit", lit(1)),
+            Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"))
+          .agg((sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
+          .orderBy(col("query_id"))
+      },
       None)
   )
 
