@@ -28,7 +28,7 @@ object KMeans {
         lit(2.0) * graft.functions.vec_dot(v, typedLit(c.toSeq))
       struct(d.as("d"), lit(i).as("i"))
     }
-    array_min(array(scored: _*)).getField("i")
+    array_min(array(scored.toSeq: _*)).getField("i")
   }
 
   /** `iters` Lloyd rounds from deterministic seeds (k lowest-`idCol`
@@ -74,7 +74,7 @@ object KMeans {
       struct(d.as("d"), lit(i).as("i"))
     }
     vecs.select(
-        (array_min(array(scored: _*)).getField("d") +
+        (array_min(array(scored.toSeq: _*)).getField("d") +
           graft.functions.vec_dot(v, v)).as("d2"))
       .agg(sum(col("d2"))).head().getDouble(0)
   }

@@ -110,7 +110,7 @@ object PCA {
     * UDF. */
   def project(v: Column, model: Model, whiten: Boolean = false): Column = {
     val comps = model.components
-    array(comps.zipWithIndex.map { case (c, j) =>
+    array(comps.toSeq.zipWithIndex.map { case (c, j) =>
       val offset = c.zip(model.mean).map { case (a, b) => a * b }.sum
       val y = graft.functions.vec_dot(v, typedLit(c.toSeq)) - lit(offset)
       if (whiten) y / lit(math.sqrt(math.max(model.eigenvalues(j), 1e-12)))

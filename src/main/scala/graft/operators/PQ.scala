@@ -44,7 +44,7 @@ object PQ {
     * time). */
   def encode(v: Column, model: Model): Column = {
     val dsub = model.dsub
-    array(model.codebooks.zipWithIndex.map { case (cb, s) =>
+    array(model.codebooks.toSeq.zipWithIndex.map { case (cb, s) =>
       KMeans.nearestCentroid(slice(v, s * dsub + 1, dsub), cb)
     }: _*)
   }

@@ -721,7 +721,7 @@ object DedupQueries {
     // (vec_id, cell) for the `assign` nearest cells — tiny rows; checkpointed
     // so the argsort pipeline runs once, not once per self-join side
     val keyed = all.select(col("vec_id"),
-        explode(slice(array_sort(array(scored: _*)), 1, assign)).as("p"))
+        explode(slice(array_sort(array(scored.toSeq: _*)), 1, assign)).as("p"))
       .select(col("vec_id"), col("p.cell").as("cell"))
       .localCheckpoint()
     val cands = keyed.as("a")
