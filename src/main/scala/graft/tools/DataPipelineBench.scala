@@ -1,0 +1,310 @@
+package graft.tools
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end LLM TRAINING-DATA pipeline benchmark — the composition the
+  * extension surface exists for, run as ONE job over a GB-scale corpus:
+  *
+  *   read → normalize → quality filter → exact dedup (digest groupBy)
+  *   → near-dup dedup (MinHash LSH → verify → connected components →
+  *   keep best quality) → benchmark decontamination (7-gram hash
+  *   semi-join) → train/val split → partitioned parquet write
+  *
+  * Reports GB/hour over the text bytes plus per-stage survivor counts, so
+  * a run is self-validating against the synthesized duplicate mix.
+  *
+  * The corpus is synthesized from the harness documents with a CONTROLLED
+  * duplicate structure (each 5-copy group holds: a base, an exact
+  * duplicate, a near-duplicate, and two salted unique variants), so exact
+  * dedup, LSH near-dup, and cluster resolution all do real work at
+  * realistic rates (~20% exact, ~20% near) with bounded cluster sizes —
+  * the shape a web-scale ingest actually sees, scaled down.
+  *
+  * Usage: runMain graft.tools.DataPipelineBench [targetGB] [workDir]
+  * Env: SPARK_GRAFT_CPUS, SPARK_GRAFT_SF_DIR (doc source), SPARK_DRIVER_MEM.
+  */
+object DataPipelineBench {
+
+  def main(args: Array[String]): Unit = {
+    val targetGB = if (args.length > 0) args(0).toDouble else 2.0
+    val workDir  = if (args.length > 1) args(1) else "target/dpbench"
+    val cpus     = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val sfDir    = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    // shuffle partitions track data volume (the ThroughputBench sizing
+    // note): the band-key and verification shuffles carry corpus-order
+    // bytes, and ~128 partitions/GB keeps a task's slice ~100 MB
+    val shufflePartitions = math.max(cpus.toInt, (targetGB * 128).toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-data-pipeline")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tag = f"${targetGB}%.2f".replace('.', 'p')
+    val in  = Paths.get(s"$workDir/in_$tag")
+    if (!Files.exists(in.resolve("_DONE"))) generate(spark, sfDir, in, targetGB, cpus.toInt)
+    val corpus = spark.read.parquet(in.resolve("docs").toString)
+    val benchmark = spark.read.parquet(in.resolve("bench").toString)
+    val gb = corpus.agg(sum(length(col("text")))).head().getLong(0) / 1e9
+
+    val outDir = s"$workDir/out_$tag"
+    val t0 = System.nanoTime()
+    val counts = run(spark, corpus, benchmark, outDir)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val gbPerHr = gb / (secs / 3600.0)
+
+    val countsJson = counts.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    println(f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,$countsJson}""")
+    System.out.flush()
+    spark.stop()
+  }
+
+  /** The pipeline itself. `benchmark` is the EXTERNAL held-out evaluation
+    * set (never part of the training corpus — the real decontamination
+    * shape); docs sharing any 7-gram with it are dropped. Returns
+    * per-stage survivor counts (each stage's count comes from the job
+    * that produced it — no extra scans except the deliberately
+    * materialized stage boundaries). */
+  def run(spark: SparkSession, corpus: DataFrame, benchmark: DataFrame,
+      outDir: String): Seq[(String, Long)] = {
+    import graft.functions.{normalize_text, word_ngrams, xxhash64_seeded}
+
+    var tLast = System.nanoTime()
+    def lap(stage: String): Unit = {
+      val now = System.nanoTime()
+      println(f"[dp] $stage: ${(now - tLast) / 1e9}%.1f s")
+      tLast = now
+    }
+
+    // --- stage 1: one scan computes everything per-doc and map-side:
+    // normalized text, quality metrics, content digest. Persist the compact
+    // frame — every later stage starts from it, never from raw text.
+    val scored = corpus
+      .select(col("doc_id"), col("source"),
+        normalize_text(col("text")).as("text"))
+      .select(col("doc_id"), col("source"), col("text"),
+        split(col("text"), " ").as("toks"),
+        md5(col("text")).as("digest"))
+      .select(col("doc_id"), col("source"), col("text"), col("digest"),
+        size(col("toks")).as("wc"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          greatest(size(col("toks")), lit(1))).as("diversity"))
+      .withColumn("quality",
+        least(col("wc") / 100.0, lit(1.0)) * 0.5 + col("diversity") * 0.5)
+      .localCheckpoint()
+    val nIn = scored.count()
+    lap("scan+score")
+
+    // --- stage 2: quality floor (map-side filter on the persisted frame)
+    val qualified = scored.filter(col("quality") >= 0.3 && col("wc") >= 5)
+    val nQualified = qualified.count()
+    lap("quality")
+
+    // --- stage 3: exact dedup — digest-only shuffle (text never moves),
+    // keep the lowest id per digest via a digest-keyed semi-join
+    val keepExact = qualified.groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exactSurvivors = qualified
+      .join(keepExact, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val nExact = exactSurvivors.count()
+    lap("exact_dedup")
+
+    // --- stage 4: near-dup dedup on the survivors — band keys map-side,
+    // (band, bh) equi-join for candidates, exact-Jaccard verification with
+    // shingles rebuilt id-keyed (candidate-proportional), connected
+    // components, then keep the BEST-QUALITY member per cluster (the q92
+    // policy)
+    val docsText = exactSurvivors.select(col("doc_id"), col("text"))
+    val buckets = graft.operators.MinHash.bandKeys(docsText, "text", Seq("doc_id"))
+      .localCheckpoint()
+    lap("  near:bands")
+    val cands = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .localCheckpoint()
+    println(s"[dp]   near: candidates=${cands.count()}")
+    lap("  near:cands")
+    val sh = docsText.select(col("doc_id"),
+      graft.operators.MinHash.shingles(col("text")).as("sh"))
+    val pairs = cands
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jac"))
+      .filter(col("jac") >= 0.7)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .localCheckpoint()
+    println(s"[dp]   near: verified pairs=${pairs.count()}")
+    lap("  near:verify")
+    val clusters = graft.operators.Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    lap("  near:cc")
+    val keepBest = clusters
+      .join(exactSurvivors.select(col("doc_id"), col("quality")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("m"))
+      .select((-col("m.nid")).as("doc_id"))
+    val inAnyCluster = clusters.select(col("doc_id"))
+    val nearSurvivors = exactSurvivors
+      .join(inAnyCluster, Seq("doc_id"), "left_anti")
+      .unionByName(exactSurvivors.join(keepBest, Seq("doc_id"), "left_semi"))
+      .localCheckpoint()
+    val nNear = nearSurvivors.count()
+    lap("near_dedup")
+
+    // --- stage 5: benchmark decontamination — the EXTERNAL benchmark
+    // docs contribute their (normalized) 7-gram hashes; a corpus doc
+    // sharing ANY hash is dropped. The benchmark side is tiny by contract
+    // so its hash set broadcasts and the whole stage is one map-side
+    // semi-join probe: text never crosses a shuffle.
+    val heldoutGrams = benchmark
+      .select(normalize_text(col("text")).as("text"))
+      .select(explode(word_ngrams(split(col("text"), " "), 7)).as("g"))
+      .select(xxhash64_seeded(56L, col("g")).as("h"))
+      .distinct()
+    val docGrams = nearSurvivors
+      .select(col("doc_id"),
+        explode(word_ngrams(split(col("text"), " "), 7)).as("g"))
+      .select(col("doc_id"), xxhash64_seeded(56L, col("g")).as("h"))
+    val contaminated = docGrams
+      .join(broadcast(heldoutGrams), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val clean = nearSurvivors
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val nClean = clean.count()
+    lap("decontam")
+
+    // --- stage 6: split + write (near-dups are gone, so a doc-hash split
+    // is leakage-free by construction); partitioned parquet out
+    val outFrame = clean
+      .withColumn("split",
+        when(((col("doc_id") % 65536) * 40503L) % 65536 < 6554, "val")
+          .otherwise("train"))
+      .select(col("doc_id"), col("source"), col("split"),
+        col("quality"), col("text"))
+    outFrame.write.mode(SaveMode.Overwrite)
+      .partitionBy("split").parquet(outDir)
+    val written = spark.read.parquet(outDir)
+    val nTrain = written.filter(col("split") === "train").count()
+    val nVal = written.filter(col("split") === "val").count()
+    lap("split_write")
+
+    Seq("docs_in" -> nIn, "after_quality" -> nQualified,
+      "after_exact_dedup" -> nExact, "after_near_dedup" -> nNear,
+      "after_decontam" -> nClean, "train" -> nTrain, "val" -> nVal)
+  }
+
+  /** Synthesize a ~targetGB parquet corpus with a CONTROLLED duplicate
+    * mix, engineered so every cross-row Jaccard sits FAR from the 0.7
+    * near-dup threshold. Each source doc expands to `copies` rows in
+    * groups of 5:
+    *
+    * Distinctness everywhere is by SALTING: every 3rd token of the source
+    * doc is replaced by a marker, so EVERY 3-token shingle contains a
+    * salted position and rows with different salts share no shingles at
+    * all — they neither near-dup anything nor band-collide. This is a
+    * measured requirement, not taste: a draft that differentiated rows by
+    * concatenation (Jaccard ~1/3 vs their components) produced 6-13M
+    * band-collision candidates from 81k docs — 32x2 banding is tuned for
+    * the 0.7 threshold and floods mid-similarity pairs into the candidate
+    * set, so verification dominated the whole pipeline. Unique filler must
+    * be shingle-DISJOINT, not merely below-threshold.
+    *
+    *  - the group BASE = the doc salted with the GROUP marker (stable
+    *    within a group, distinct across groups and docs);
+    *  - variants 0/1 = the base twice (exact-duplicate pair);
+    *  - variant 2 = base + one extra token (near-dup, Jaccard ~0.97);
+    *  - variants 3/4 = a gid-rotated doc salted with a PER-ROW marker
+    *    (globally unique rows).
+    *
+    * ~1% of source docs are carved out as the EXTERNAL benchmark set
+    * (never synthesized into the corpus), and ~0.5% of the unique rows
+    * get a benchmark doc's text APPENDED — planted contamination the
+    * decontamination stage must catch.
+    *
+    * Expected pipeline behavior per 5-group: exact dedup removes 1 row,
+    * near-dup dedup removes 1 more (cluster of exactly 2, best quality
+    * kept); decontamination then removes ~the planted rows — so the
+    * reported counts self-validate against docs_in. */
+  private def generate(spark: SparkSession, sfDir: String, in: Path,
+      targetGB: Double, cpus: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    // ~1% of source docs become the EXTERNAL benchmark set — excluded
+    // from synthesis entirely (a real eval set is never in the corpus)
+    val bench = all.filter(col("doc_id") % 97 === 0)
+    bench.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(in.resolve("bench").toString)
+    // densely re-index the remaining docs so the rotation arithmetic
+    // below always lands on an existing row (source doc_ids may be
+    // sparse after the benchmark carve-out)
+    val docs = all.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("idx",
+        row_number().over(Window.orderBy(col("doc_id"))).cast("long") - 1)
+      .select(col("idx"), col("source"), col("text"))
+      .localCheckpoint()
+    val stats = docs.agg(count(lit(1)), sum(length(col("text")))).head()
+    val nDocs = stats.getLong(0)
+    val bytes = stats.getLong(1)
+    val nBench = math.max(1L, bench.count())
+    val copies = math.max(5L,
+      math.ceil(targetGB * 1e9 / (bytes.toDouble + nDocs * 16)).toLong / 5 * 5)
+
+    val rotated = docs.select(col("idx").as("rot_idx"),
+      col("text").as("rot_text"))
+    val benchTexts = bench
+      .withColumn("bench_idx",
+        row_number().over(Window.orderBy(col("doc_id"))).cast("long") - 1)
+      .select(col("bench_idx"), col("text").as("bench_text"))
+    def saltEvery3(text: Column, salt: Column): Column = array_join(
+      transform(split(text, " "),
+        (x, p) => when(p % 3 === 2, salt).otherwise(x)),
+      " ")
+    docs.crossJoin(spark.range(copies).toDF("copy"))
+      .withColumn("gid", floor(col("copy") / 5))
+      .withColumn("variant", col("copy") % 5)
+      .withColumn("r", col("idx") * copies + col("copy"))
+      .withColumn("rot_idx", (col("idx") + col("gid")) % nDocs)
+      .withColumn("bench_idx", pmod(col("r"), lit(nBench)))
+      .join(broadcast(rotated), "rot_idx")
+      .join(broadcast(benchTexts), "bench_idx")
+      .withColumn("base", saltEvery3(col("text"),
+        concat(lit("g"), col("idx"), lit("x"), col("gid"))))
+      .withColumn("unique_text", saltEvery3(col("rot_text"),
+        concat(lit("s"), pmod(col("r"), lit(1000003L)))))
+      .select(
+        col("r").as("doc_id"),
+        col("source"),
+        when(col("variant") <= 1, col("base"))
+          .when(col("variant") === 2, concat(col("base"), lit(" zz")))
+          // ~0.5% of the unique rows get PLANTED benchmark contamination
+          // (a benchmark doc's text appended) — what stage 5 must catch
+          .when(col("variant") === 3 && pmod(col("r"), lit(211L)) === 0,
+            concat(col("unique_text"), lit(" "), col("bench_text")))
+          .otherwise(col("unique_text")).as("text"))
+      .repartition(cpus * 4)
+      .write.mode(SaveMode.Overwrite).parquet(in.resolve("docs").toString)
+
+    Files.createDirectories(in)
+    Files.write(in.resolve("_DONE"), Array.emptyByteArray)
+  }
+}
