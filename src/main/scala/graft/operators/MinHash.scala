@@ -25,11 +25,38 @@ object MinHash {
   def shingles(text: Column, n: Int = 3): Column =
     array_distinct(word_ngrams(split(text, " "), n))
 
+  /** Seed for the one-per-shingle base hash the signature family derives
+    * from (distinct from the family seeds 0..63 and the band seeds
+    * 1000+). */
+  val BaseHashSeed = -9L
+
   /** The 64 MinHash signature values of a shingle-array column: for hash
-    * family i (seeded xxhash64), the min over the document's shingles. */
+    * family i (seeded xxhash64), the min over the document's shingles.
+    *
+    * Family value i of a shingle is xxhash64(i, xxhash64(base, shingle)):
+    * the STRING is hashed once and the 64 family hashes re-mix the 8-byte
+    * result through XxHash64's long fast path — a few ns each vs a full
+    * variable-length string hash. This is the standard minwise-family
+    * construction (one strong base hash + derived family, as in
+    * datasketch / Spark MLlib's MinHashLSH); family quality is a PRF over
+    * the base value, and any family change only perturbs CANDIDATE
+    * generation — every consumer exact-verifies pairs, so results are
+    * identical as long as banded recall holds (32x2 at j >= 0.7: ~1e-14
+    * miss probability, threshold-independent of the family).
+    *
+    * The base-hash array is materialized by [[bandKeys]] as its own
+    * projection so the 64 family columns share ONE string-hash pass —
+    * inlined, each of the 64 transforms would re-hash every string and
+    * the optimization would silently vanish (HOFs are interpreted, not
+    * codegen'd, so no common-subexpression reuse saves it). */
   def signature(shingleCol: Column): Seq[Column] =
+    signatureFromHashes(transform(shingleCol,
+      s => xxhash64_seeded(BaseHashSeed, s)))
+
+  /** Signature over an already-hashed shingle array (array<long>). */
+  def signatureFromHashes(hashCol: Column): Seq[Column] =
     (0 until NumHashes).map { i =>
-      array_min(transform(shingleCol, s => xxhash64_seeded(i.toLong, s)))
+      array_min(transform(hashCol, h => xxhash64_seeded(i.toLong, h)))
         .as(s"mh_$i")
     }
 
@@ -60,8 +87,15 @@ object MinHash {
       // a cheap split+size.
       .filter(size(split(col(textCol), " ")) >= n)
       .withColumn("__sh", shingles(col(textCol), n))
-      .select(carryCols.map(col) :+ col("__sh"): _*)
-      .select(carryCols.map(col) ++ signature(col("__sh")): _*)
+      // materialize the one-string-hash-per-shingle array as its own
+      // projection: the 64 family columns then traverse an array<long>
+      // (see signature's scaladoc — inlining would re-hash the strings
+      // 64x). The explicit select boundaries keep CollapseProject from
+      // folding the non-cheap transform into its 64 consumers.
+      .select(carryCols.map(col) :+
+        transform(col("__sh"),
+          s => xxhash64_seeded(BaseHashSeed, s)).as("__h"): _*)
+      .select(carryCols.map(col) ++ signatureFromHashes(col("__h")): _*)
     sigs
       .select(carryCols.map(col) :+ explode(array(bandStructs: _*)).as("bk"): _*)
       .select(carryCols.map(col) :+ col("bk.band").as("band") :+ col("bk.bh").as("bh"): _*)
