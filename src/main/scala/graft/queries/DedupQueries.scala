@@ -387,6 +387,65 @@ object DedupQueries {
              |    / len(list_distinct(list_concat(b.sh,c.sh))) >= 0.7
              |ORDER BY 1, 2""".stripMargin)),
 
+    // --- passage-block dedup — the LINE-level dedup of CCNet/RefinedWeb
+    //     re-expressed over aligned 20-token blocks (the corpus has no
+    //     newline structure): hash-count every block across the corpus,
+    //     drop blocks occurring >= 2 times (boilerplate/navigation in the
+    //     web analogy), reassemble each doc from its kept blocks in
+    //     order. Scale shape: the block count is one partial+final agg —
+    //     map-side partial aggregation collapses repeated blocks per
+    //     partition BEFORE the shuffle, which on boilerplate-heavy
+    //     corpora (the reason this op exists) is a massive reduction; the
+    //     frequent-block set is small by construction (only repeated
+    //     blocks) so the drop join broadcasts; reassembly is one per-doc
+    //     agg with an in-row sort, no window. ---
+    Q("q96_passage_dedup",
+      (s, dir) => {
+        val b = 20
+        val blocks = fanout(Tables(s, dir, "documents"))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0),
+              greatest(ceil(size(col("toks")) / (b * 1.0)).cast("int") - 1,
+                lit(0)))).as("pos"))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            array_join(slice(col("toks"), col("pos") * b + 1, lit(b)), " ")
+              .as("blk"))
+        val freq = blocks.groupBy(col("blk"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+          .select(col("blk"), lit(1).as("dup"))
+        blocks.join(broadcast(freq), Seq("blk"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_blocks"),
+            sum(coalesce(col("dup"), lit(0))).cast("long").as("n_removed"),
+            length(array_join(transform(array_sort(collect_list(
+                when(col("dup").isNull,
+                  struct(col("pos").as("pos"), col("blk").as("blk"))))),
+              e => e.getField("blk")), " ")).cast("long").as("clean_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+             |           FROM documents),
+             |b0 AS (SELECT doc_id,
+             |         unnest([{'pos': i,
+             |                  'blk': array_to_string(
+             |                           toks[i*20+1 : i*20+20], ' ')}
+             |                 for i in range(0,
+             |                   greatest(ceil(len(toks)/20.0)::INT, 1))])
+             |           AS pb
+             |       FROM t),
+             |b AS (SELECT doc_id, pb.pos AS pos, pb.blk AS blk FROM b0),
+             |f AS (SELECT blk FROM b GROUP BY blk HAVING count(*) >= 2),
+             |j AS (SELECT b.doc_id, b.pos, b.blk,
+             |             CASE WHEN f.blk IS NULL THEN 0 ELSE 1 END AS dup
+             |      FROM b LEFT JOIN f ON b.blk = f.blk)
+             |SELECT doc_id, count(*)::BIGINT AS n_blocks,
+             |       sum(dup)::BIGINT AS n_removed,
+             |       coalesce(len(array_to_string(
+             |         list(blk ORDER BY pos) FILTER (WHERE dup = 0),
+             |         ' ')), 0)::BIGINT AS clean_len
+             |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // --- brute-force n-gram Jaccard on a bounded slice (oracle twin /
     //     correctness baseline for the LSH path) ---
     Q("q33_dedup_ngram_jaccard",
