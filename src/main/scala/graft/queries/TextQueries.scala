@@ -258,6 +258,40 @@ object TextQueries {
       },
       None),
 
+    // --- Count-Min point-frequency estimation (the sketch family's
+    //     point-query member, next to approx_top_k's top-k and
+    //     approx_percentile's quantiles): ONE pass builds the
+    //     eps=0.001/conf=0.99 sketch via Spark's merge-able
+    //     count_min_sketch aggregate (fixed-size counter grid per map
+    //     task, counter-addition merge — at 100 TB only sketches cross
+    //     the shuffle), then the 20 most frequent tokens are estimated
+    //     against their exact counts. CMS is ONE-SIDED (est >= exact
+    //     always) and over-estimates by at most eps x total stream length
+    //     w.p. conf — both properties are reported in-engine per row and
+    //     pinned by CmsSpec. Sketch internals -> rows-only gate. ---
+    Q("q97_cms_frequency",
+      (s, dir) => {
+        val toks = tokens(Tables(s, dir, "documents"))
+        val total = toks.count()
+        val bytes = toks
+          .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)").as("cms"))
+          .head().getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+        val top = toks.groupBy(col("token"))
+          .agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("token")).limit(20)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        import s.implicits._
+        top.toSeq.map { case (t, n) =>
+          val est = cms.estimateCount(t)
+          (t, n, est, est >= n,
+            BigDecimal((est - n).toDouble / math.max(total, 1L))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toDF("token", "exact_n", "est_n", "one_sided", "overest_frac")
+          .orderBy(col("exact_n").desc, col("token"))
+      },
+      None),
+
     // --- top-k terms per source (window over the stats output — the
     //     natural consumer of W3's per-source files, SURVEY §2.5) ---
     Q("q27_topk_terms_per_source",
