@@ -330,6 +330,84 @@ object EventQueries {
              |  round(max(c) * count(*) / sum(c)::DOUBLE, 4) AS skew_factor,
              |  round(sum(CASE WHEN rn <= 10 THEN c ELSE 0 END)
              |    / sum(c)::DOUBLE, 4) AS top10_share
-             |FROM r""".stripMargin))
+             |FROM r""".stripMargin)),
+
+    // --- sparse->dense time-series gap-fill: the hourly grid is generated
+    //     (sequence over the corpus' [min,max] hour x distinct types — both
+    //     dimension frames are tiny and scale-independent), counts zero-fill,
+    //     and the per-type mean is carried forward (LOCF) over the filled
+    //     grid. The one big-side shuffle is the hourly pre-aggregation; its
+    //     output is grid-sized, so the left join and the LOCF window both
+    //     run on hours x types rows regardless of event volume. ---
+    Q("q100_gapfill_locf",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val hourly = ev
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          // sum, not avg: the 2-decimal values make per-group means land
+          // exactly on .xx5 half-way points (614 groups at sf0.01), where
+          // Spark (HALF_UP) and DuckDB disagree; 2-decimal sums are exact
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        val hours = bounds.select(
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+        val types = ev.select(col("event_type")).distinct()
+        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hours.crossJoin(types)
+          .join(hourly, Seq("h", "event_type"), "left")
+          .select(col("h"), col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(last(col("v"), ignoreNulls = true).over(w), lit(0.0))
+              .as("v_locf"))
+          .orderBy(col("h"), col("event_type"))
+      },
+      Some("""WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type,
+             |                  count(*) AS n, round(sum(value),2) AS v
+             |           FROM events GROUP BY 1,2),
+             |b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+             |             date_trunc('hour', max(ts)) AS hi FROM events),
+             |hours AS (SELECT unnest(generate_series(lo, hi,
+             |                 INTERVAL 1 HOUR)) AS h FROM b),
+             |ty AS (SELECT DISTINCT event_type FROM events),
+             |g AS (SELECT h, event_type, n, v
+             |      FROM hours CROSS JOIN ty LEFT JOIN e USING (h, event_type))
+             |SELECT h, event_type, coalesce(n, 0)::BIGINT AS n,
+             |       coalesce(last_value(v IGNORE NULLS) OVER (
+             |         PARTITION BY event_type ORDER BY h
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |         0.0) AS v_locf
+             |FROM g ORDER BY h, event_type""".stripMargin)),
+
+    // --- SCD-2 interval construction from an append-only change log: each
+    //     event becomes a dimension version valid [ts, next ts) for its
+    //     user, closed by lead() over (user, ts, event_id) — the standard
+    //     warehouse pattern for as-of dimension joins. One shuffle (the
+    //     user_id window partition); ties on ts are broken by event_id so
+    //     the intervals are deterministic on both engines. user_id < 200
+    //     bounds the gate's output; the plan is key-partitioned and holds
+    //     at any user count. ---
+    Q("q101_scd2_intervals",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("valid_from"), col("event_id"))
+        Tables(s, dir, "events")
+          .filter(col("user_id") < 200)
+          .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+            round(col("value"), 2).as("v"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+          .withColumn("is_current", col("valid_to").isNull)
+          .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, ts AS valid_from,
+             |                  round(value,2) AS v
+             |           FROM events WHERE user_id < 200)
+             |SELECT user_id, event_id, valid_from, v,
+             |  lead(valid_from) OVER (PARTITION BY user_id
+             |    ORDER BY valid_from, event_id) AS valid_to,
+             |  (lead(valid_from) OVER (PARTITION BY user_id
+             |    ORDER BY valid_from, event_id) IS NULL) AS is_current
+             |FROM e ORDER BY user_id, valid_from, event_id""".stripMargin))
   )
 }

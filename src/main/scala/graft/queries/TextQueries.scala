@@ -292,6 +292,100 @@ object TextQueries {
       },
       None),
 
+    // --- PMI of adjacent token pairs (pointwise mutual information, the
+    //     classic collocation / word-association statistic; Church & Hanks
+    //     1990). Pairs are built IN-ROW (two shifted slices zipped — a
+    //     Generate, no shuffle, no window): the plan's shuffles are exactly
+    //     the three the semantics require — (x,y) for pair counts, x and y
+    //     for the unigram joins. The unigram frame is vocab-sized (corpus
+    //     scale-independent), so AQE broadcasts it at any corpus size where
+    //     the vocabulary fits an executor; the two grand totals are 1-row
+    //     broadcast cross joins. n_xy >= 10 bounds output to recurring
+    //     collocations. ---
+    Q("q98_pmi_cooccur",
+      (s, dir) => {
+        val t = fanout(Tables(s, dir, "documents"))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val pairs = t
+          .select(
+            slice(col("toks"), lit(1), size(col("toks")) - 1).as("xs"),
+            slice(col("toks"), lit(2), size(col("toks")) - 1).as("ys"))
+          .select(explode(arrays_zip(col("xs"), col("ys"))).as("p"))
+          .select(col("p.xs").as("x"), col("p.ys").as("y"))
+        val bi  = pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+        val uni = t.select(explode(col("toks")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        val nBi  = bi.agg(sum(col("n_xy")).cast("double").as("n_bi"))
+        val nUni = uni.agg(sum(col("n")).cast("double").as("n_uni"))
+        bi.filter(col("n_xy") >= 10)
+          .join(uni.select(col("tok").as("x"), col("n").as("n_x")), "x")
+          .join(uni.select(col("tok").as("y"), col("n").as("n_y")), "y")
+          .crossJoin(broadcast(nBi)).crossJoin(broadcast(nUni))
+          .select(col("x"), col("y"), col("n_xy"),
+            round(log((col("n_xy") / col("n_bi")) /
+              ((col("n_x") / col("n_uni")) * (col("n_y") / col("n_uni")))), 6)
+              .as("pmi"))
+          .orderBy(col("pmi").desc, col("x"), col("y"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+             |           FROM documents),
+             |tok AS (SELECT doc_id, unnest(toks) AS tok,
+             |               generate_subscripts(toks,1) AS pos FROM t),
+             |pairs AS (SELECT tok AS x, lead(tok) OVER
+             |            (PARTITION BY doc_id ORDER BY pos) AS y FROM tok),
+             |bi AS (SELECT x, y, count(*) AS n_xy FROM pairs
+             |       WHERE y IS NOT NULL GROUP BY 1,2),
+             |uni AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+             |nb AS (SELECT sum(n_xy)::DOUBLE AS n_bi FROM bi),
+             |nu AS (SELECT sum(n)::DOUBLE AS n_uni FROM uni)
+             |SELECT x, y, n_xy,
+             |  round(ln((n_xy / n_bi) /
+             |    ((ux.n / n_uni) * (uy.n / n_uni))), 6) AS pmi
+             |FROM bi
+             |JOIN uni ux ON bi.x = ux.tok
+             |JOIN uni uy ON bi.y = uy.tok
+             |CROSS JOIN nb CROSS JOIN nu
+             |WHERE n_xy >= 10
+             |ORDER BY pmi DESC, x, y""".stripMargin)),
+
+    // --- positional inverted index (the IR-side dual of the vspace stats:
+    //     token -> sorted postings with 1-based positions, the structure
+    //     phrase search and proximity scoring read). Positions come from
+    //     posexplode (a Generate, in-row); the (token, doc_id) rollup and
+    //     the token rollup are the only two shuffles, both partial+final
+    //     hash aggs. Postings serialize as "doc:p1|p2 ..." so the row stays
+    //     flat for the oracle hash; at 100 TB the same plan writes the
+    //     struct form partitioned by token-range instead of a string. ---
+    Q("q99_inverted_index",
+      (s, dir) => {
+        val pos = fanout(Tables(s, dir, "documents"))
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        val perDoc = pos.groupBy(col("token"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"),
+            array_join(transform(array_sort(collect_list(col("pos") + 1)),
+              x => x.cast("string")), "|").as("plist"))
+        perDoc.groupBy(col("token"))
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf"),
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("doc_id"), col("plist")))),
+                e => concat_ws(":", e.getField("doc_id"), e.getField("plist"))),
+              " ").as("postings"))
+          .orderBy(col("token"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+             |           FROM documents),
+             |p AS (SELECT doc_id, unnest(toks) AS token,
+             |             generate_subscripts(toks,1) AS pos FROM t),
+             |pd AS (SELECT token, doc_id, count(*) AS tf,
+             |              string_agg(pos::VARCHAR, '|' ORDER BY pos) AS plist
+             |       FROM p GROUP BY 1,2)
+             |SELECT token, count(*) AS df, sum(tf)::BIGINT AS tf,
+             |       string_agg(doc_id::VARCHAR || ':' || plist, ' '
+             |                  ORDER BY doc_id) AS postings
+             |FROM pd GROUP BY 1 ORDER BY token""".stripMargin)),
+
     // --- top-k terms per source (window over the stats output — the
     //     natural consumer of W3's per-source files, SURVEY §2.5) ---
     Q("q27_topk_terms_per_source",
