@@ -386,6 +386,26 @@ object TextQueries {
              |                  ORDER BY doc_id) AS postings
              |FROM pd GROUP BY 1 ORDER BY token""".stripMargin)),
 
+    // --- TextRank keywords (Mihalcea & Tarau 2004): weighted PageRank
+    //     over the adjacent-token co-occurrence graph, 15 fixed rounds —
+    //     the unsupervised keyword scorer for building domain lexicons
+    //     without labels. Per-round cost is one vocab-sized join + one
+    //     map-combined aggregation (the corpus-sized edge frame is built
+    //     once, pre-partitioned, persisted — operators/TextRank.scala).
+    //     Ranked vocabulary = tokens with >= 1 co-occurrence. Rows-only
+    //     gate (iterative float accumulation); TextRankSpec pins the
+    //     distributed ranks against an exact driver-side power iteration
+    //     to 1e-9. ---
+    Q("q102_textrank",
+      (s, dir) => {
+        val docs = fanout(Tables(s, dir, "documents"))
+        graft.operators.TextRank
+          .ranks(graft.operators.TextRank.cooccurrenceEdges(docs))
+          .select(col("token"), round(col("rank"), 6).as("rank"))
+          .orderBy(col("rank").desc, col("token")).limit(30)
+      },
+      None),
+
     // --- top-k terms per source (window over the stats output — the
     //     natural consumer of W3's per-source files, SURVEY §2.5) ---
     Q("q27_topk_terms_per_source",
