@@ -49,4 +49,33 @@ object TextKernels {
     }
     h
   }
+
+  /** Shannon entropy (nats) of the CODEPOINT distribution of a string — the
+    * character-diversity quality signal (low entropy flags boilerplate,
+    * repeated-char junk, and single-script spam). One pass over codepoints,
+    * a codepoint->count map, then H = -sum (k/n) ln (k/n); counted over
+    * codepoints (not UTF-16 units) to match `len`/char semantics in
+    * standard SQL engines. Empty string -> 0.0.
+    */
+  def charEntropy(u: UTF8String): Double = {
+    val s = u.toString
+    if (s.isEmpty) return 0.0
+    val counts = new java.util.HashMap[Integer, Array[Int]]()
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1)) else slot(0) += 1
+    }
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next()(0).toDouble / n
+      h -= p * math.log(p)
+    }
+    h
+  }
 }

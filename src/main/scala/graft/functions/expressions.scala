@@ -47,6 +47,26 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd Shannon entropy (nats) over a string's codepoint distribution
+  * — the character-diversity quality signal (boilerplate / repeated-char
+  * junk scores low). Stays inside WholeStageCodegen next to the other
+  * quality predicates, so the filter pipeline remains one generated loop.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.charEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.charEntropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 /** Per-document n-gram histogram, computed in-row: all word n-grams for
   * n in [1, maxN] of a token array, with their within-document counts, as
   * `array<struct<token, tf>>`.

@@ -23,6 +23,11 @@ package object functions {
   def rolling_hash(c: Column): Column =
     Bridge.column(RollingHash(ex(c.cast("string"))))
 
+  /** Shannon entropy (nats) of the string's codepoint distribution —
+    * character-diversity quality signal, codegen'd in-row. */
+  def char_entropy(c: Column): Column =
+    Bridge.column(CharEntropy(ex(c.cast("string"))))
+
   /** xxhash64 with an explicit seed — gives us k independent hash families
     * for MinHash signatures (public Catalyst XxHash64 expression). */
   def xxhash64_seeded(seed: Long, cols: Column*): Column =

@@ -101,6 +101,33 @@ object AnalysisQueries {
              |FROM m ORDER BY doc_id""".stripMargin),
       bench = true),
 
+    // --- codegen'd char-entropy quality signal (functions.CharEntropy —
+    //     a native Catalyst expression, so the whole scan->score->filter
+    //     pipeline is ONE generated loop, no UDF boundary): Shannon entropy
+    //     in nats over each doc's codepoint distribution; boilerplate and
+    //     repeated-char junk score low. Oracled against DuckDB computing
+    //     the identical sum over char groups (round 6 absorbs the two
+    //     engines' float summation orders). ---
+    Q("q103_char_entropy",
+      (s, dir) => {
+        fanout(Tables(s, dir, "documents"))
+          .select(col("doc_id"),
+            round(graft.functions.char_entropy(col("text")), 6).as("h"),
+            (graft.functions.char_entropy(col("text")) < lit(2.0))
+              .as("low_diversity"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT doc_id, unnest(string_split(text,'')) AS ch,
+             |                  len(text) AS n
+             |           FROM documents),
+             |f AS (SELECT doc_id, n, ch, count(*) AS k FROM c
+             |      GROUP BY 1,2,3),
+             |h AS (SELECT doc_id,
+             |             -sum((k::DOUBLE/n) * ln(k::DOUBLE/n)) AS h
+             |      FROM f GROUP BY 1)
+             |SELECT doc_id, round(h, 6) AS h, h < 2.0 AS low_diversity
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
     // --- regex token estimate (BPE-ish segmentation: letter runs, digit
     //     runs, other non-space symbols) ---
     Q("q52_token_estimate",
