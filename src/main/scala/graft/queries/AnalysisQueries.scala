@@ -35,6 +35,22 @@ object AnalysisQueries {
           + (lit(1.0) - col("stop_ratio")) * 0.2)
   }
 
+  /** Deterministic epoch shuffle (q105 + EpochShuffleSpec): seeded-hash
+    * training order, sharded by pmod(hash, nShards), position within shard
+    * by hash order (doc_id tiebreak — xxhash64 collisions are 2^-64 but
+    * the output must be a total order regardless). */
+  private[graft] def epochShuffle(docs: org.apache.spark.sql.DataFrame,
+      seed: Long, nShards: Int): org.apache.spark.sql.DataFrame = {
+    val h = graft.functions.xxhash64_seeded(seed, col("doc_id"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    fanout(docs)
+      .select(col("doc_id"), h.as("h"),
+        pmod(h, lit(nShards.toLong)).cast("int").as("shard"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // --- stopword-ratio language heuristic vs the labeled lang column.
@@ -370,6 +386,62 @@ object AnalysisQueries {
              |  FROM documents)
              |WHERE h < CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END
              |ORDER BY doc_id""".stripMargin)),
+
+    // --- weighted reservoir sampling without replacement (Efraimidis &
+    //     Spirakis 2006, A-ES): per-stratum top-k by the exponential key
+    //     -ln(u)/w, which selects each doc with probability proportional
+    //     to its weight — the quality-weighted subsampling pass that picks
+    //     the best k docs per source WITHOUT a global sort. u is an md5-
+    //     derived 52-bit uniform (reproducible across runs, engines, and
+    //     cluster sizes — same rationale as q59; and md5 exists in DuckDB,
+    //     so the whole sampler is ORACLED, not rows-only). The top-k per
+    //     stratum runs through the bounded-heap top_k aggregate: map-side
+    //     partial heaps of size k, so the stratum shuffle carries
+    //     k·n_partitions rows, never the corpus. WeightedSampleSpec pins
+    //     the inclusion-probability ∝ weight law across 2000 seeds. ---
+    Q("q104_weighted_sample",
+      (s, dir) => {
+        val d = fanout(Tables(s, dir, "documents"))
+          .select(col("doc_id"), col("source"), col("n_chars").as("w"),
+            conv(substring(
+              md5(col("doc_id").cast("string").cast("binary")), 1, 13),
+              16, 10).cast("long").as("x"))
+        // u in (0,1]: (x+1) / (2^52+1); key = -ln(u)/w, smaller = better
+        val key = -log((col("x") + 1) / lit(4503599627370497.0)) / col("w")
+        d.select(col("source"),
+            struct(key.as("k"), col("doc_id"), col("w")).as("e"))
+          .groupBy(col("source"))
+          .agg(graft.functions.top_k(col("e"), 10, smallest = true).as("top"))
+          .select(col("source"), posexplode(col("top")).as(Seq("i", "e")))
+          .select(col("source"), col("e.doc_id").as("doc_id"),
+            col("e.w").as("w"), (col("i") + 1).as("rk"))
+          .orderBy(col("source"), col("rk"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, n_chars AS w,
+             |  ('0x' || substr(md5(doc_id::VARCHAR),1,13))::BIGINT AS x
+             |  FROM documents),
+             |k AS (SELECT doc_id, source, w,
+             |        -ln((x+1) / 4503599627370497.0) / w AS key FROM d),
+             |r AS (SELECT doc_id, source, w,
+             |        row_number() OVER (PARTITION BY source
+             |          ORDER BY key, doc_id) AS rk FROM k)
+             |SELECT source, doc_id, w, rk::INT AS rk FROM r
+             |WHERE rk <= 10 ORDER BY source, rk""".stripMargin)),
+
+    // --- deterministic epoch shuffle: the training-order randomization
+    //     pass — a seeded hash ordering instead of rand(), so every
+    //     re-run / resumed job / engine sees the identical permutation.
+    //     Sharding is pmod(hash, n): at cluster scale the writer is
+    //     repartition(shard) + sortWithinPartitions(hash) (one shuffle,
+    //     no global sort, no window); the gate formulation adds the
+    //     per-shard position explicitly. New seed => fresh decorrelated
+    //     permutation per epoch (EpochShuffleSpec pins permutation,
+    //     balance, determinism, and seed sensitivity). Hash values are
+    //     engine-specific => rows-only gate. ---
+    Q("q105_epoch_shuffle",
+      (s, dir) =>
+        epochShuffle(Tables(s, dir, "documents"), seed = 2026L, nShards = 8),
+      None),
 
     // --- PII scrubbing: redact emails / IPv4s / phone numbers and count
     //     redactions per doc — the compliance pass every training corpus
