@@ -346,7 +346,8 @@ object TextQueries {
              |JOIN uni uy ON bi.y = uy.tok
              |CROSS JOIN nb CROSS JOIN nu
              |WHERE n_xy >= 10
-             |ORDER BY pmi DESC, x, y""".stripMargin)),
+             |ORDER BY pmi DESC, x, y""".stripMargin),
+      bench = true),
 
     // --- positional inverted index (the IR-side dual of the vspace stats:
     //     token -> sorted postings with 1-based positions, the structure
