@@ -61,6 +61,34 @@ object TextQueries {
         sum(col("wc")).as("tdsum"))
   }
 
+  /** Exact phrase lookup by positional-postings intersection — the stored
+    * positional index's (q99) query-side consumer. Token i's positions are
+    * shifted by -i so a phrase occurrence is a start value present in ALL
+    * K lists; the K-1 joins are doc-keyed over df(token)-sized frames.
+    * Returns (doc_id, n_hits, first_pos), first_pos 1-based. */
+  private[graft] def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val postings = fanout(docs)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .filter(col("token").isin(phrase.distinct: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(collect_list(col("pos")).as("plist"))
+    val sides = phrase.zipWithIndex.map { case (t, i) =>
+      postings.filter(col("token") === t)
+        .select(col("doc_id"), transform(col("plist"), p => p - i).as(s"s$i"))
+    }
+    val joined = sides.reduce((a, b) => a.join(b, "doc_id"))
+    val starts = (1 until phrase.size).foldLeft(col("s0")) { (acc, i) =>
+      array_intersect(acc, col(s"s$i"))
+    }
+    joined.select(col("doc_id"), starts.as("starts"))
+      .filter(size(col("starts")) > 0)
+      .select(col("doc_id"), size(col("starts")).as("n_hits"),
+        (array_min(col("starts")) + 1).cast("int").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
   private val oracleToks =
     """toks AS (
       |  SELECT doc_id, source, len(string_split(text,' ')) AS wc,
@@ -386,6 +414,29 @@ object TextQueries {
              |       string_agg(doc_id::VARCHAR || ':' || plist, ' '
              |                  ORDER BY doc_id) AS postings
              |FROM pd GROUP BY 1 ORDER BY token""".stripMargin)),
+
+    // --- phrase search: the positional index's query side (q99's dual) —
+    //     exact multi-token phrase lookup by postings intersection. The
+    //     postings build is filtered to the phrase's K tokens BEFORE the
+    //     (doc_id, token) agg, so only matching token instances leave the
+    //     scan stage; against the q99 index stored partitioned by token
+    //     range the same filter is partition pruning — K token slices
+    //     read, never the corpus. Occurrence test is array_intersect over
+    //     -i-shifted position lists: no window, no self-join on the
+    //     corpus, and overlapping matches count correctly. ---
+    Q("q106_phrase_search",
+      (s, dir) => phraseSearch(
+        Tables(s, dir, "documents"), Seq("stream", "table", "hash")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+             |           FROM documents),
+             |h AS (SELECT doc_id,
+             |        unnest(list_filter(range(1, len(toks) - 1),
+             |          i -> toks[i] = 'stream' AND toks[i+1] = 'table'
+             |               AND toks[i+2] = 'hash')) AS start
+             |      FROM t)
+             |SELECT doc_id, count(*)::INT AS n_hits,
+             |       min(start)::INT AS first_pos
+             |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // --- TextRank keywords (Mihalcea & Tarau 2004): weighted PageRank
     //     over the adjacent-token co-occurrence graph, 15 fixed rounds —
