@@ -438,6 +438,56 @@ object TextQueries {
              |       min(start)::INT AS first_pos
              |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // --- BPE tokenizer training (Sennrich et al. 2016): the subword
+    //     vocabulary learner. ONE corpus-scale pass (the word-frequency
+    //     agg, capped top-maxVocab via sort-limit); the merge loop runs
+    //     on the vocab-sized histogram weighted by counts — the textbook
+    //     formulation, identical at any corpus size with the same
+    //     histogram. Deterministic (count ties break lexicographically),
+    //     but no SQL engine expresses the iterative loop => rows-only;
+    //     BpeSpec pins the merge table on the paper's worked example. ---
+    Q("q107_bpe_merges",
+      (s, dir) => {
+        import s.implicits._
+        val model = graft.operators.Bpe.fit(
+          fanout(Tables(s, dir, "documents")), nMerges = 100)
+        model.merges.zipWithIndex
+          .map { case ((l, r), i) => (i, l, r, l + r) }
+          .toDF("rank", "left", "right", "merged")
+          .orderBy(col("rank"))
+      },
+      None),
+
+    // --- BPE encode + corpus fertility stats: broadcast merge ranks, one
+    //     mapPartitions pass with a per-partition word→pieces memo (Zipf
+    //     makes the hit rate the column's dedup rate), then a doc-keyed
+    //     join back to the text for the in-engine ROUND-TRIP check —
+    //     n_roundtrip_fail MUST be 0 (pieces concatenate to the original
+    //     words), which is this rows-only query's fidelity gate. ---
+    Q("q107b_bpe_encode",
+      (s, dir) => {
+        val d = fanout(Tables(s, dir, "documents"))
+        // 30 merges: a budget below the tiny synthetic vocab's closure so
+        // the fertility stats exercise real sub-word segmentation
+        val model = graft.operators.Bpe.fit(d, nMerges = 30)
+        val enc = graft.operators.Bpe.encode(d, model)
+        d.select(col("doc_id"),
+            regexp_replace(col("text"), " ", "").as("squash"),
+            size(split(col("text"), " ")).as("nw"))
+          .join(enc, "doc_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nw")).as("n_words"),
+            sum(size(col("bpe_tokens"))).as("n_pieces"),
+            round(sum(size(col("bpe_tokens")))
+              / sum(col("nw")).cast("double"), 4).as("pieces_per_word"),
+            round(sum(length(col("squash")))
+              / sum(size(col("bpe_tokens"))).cast("double"), 4)
+              .as("chars_per_piece"),
+            sum(when(concat_ws("", col("bpe_tokens")) =!= col("squash"), 1L)
+              .otherwise(0L)).as("n_roundtrip_fail"))
+      },
+      None),
+
     // --- TextRank keywords (Mihalcea & Tarau 2004): weighted PageRank
     //     over the adjacent-token co-occurrence graph, 15 fixed rounds —
     //     the unsupervised keyword scorer for building domain lexicons
