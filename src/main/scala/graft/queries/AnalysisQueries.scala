@@ -443,6 +443,59 @@ object AnalysisQueries {
         epochShuffle(Tables(s, dir, "documents"), seed = 2026L, nShards = 8),
       None),
 
+    // --- DSIR importance weights (Xie et al. 2023, "Data Selection for
+    //     Language Models via Importance Resampling"): score every raw doc
+    //     by how target-like its unigram bag is — log w(x) = Σ_tok
+    //     tf(x,tok)·[ln p_target(tok) − ln p_raw(tok)], add-0.5 smoothing
+    //     over the raw vocab. Target exemplar here is source 'src0'; at
+    //     scale the features are HASH BUCKETS (fixed-width table) — with
+    //     the gate's tiny vocab, token strings keep the oracle exact. Two
+    //     token aggs build the (vocab-sized, broadcast) weight table; the
+    //     scoring pass is explode → broadcast join → per-doc sum — no
+    //     corpus-scale shuffle beyond the doc-keyed agg. Paired with q104
+    //     the weights drive the actual resample. Rounding absorbs the
+    //     engines' float summation orders. ---
+    Q("q108_dsir_weights",
+      (s, dir) => {
+        val tok = fanout(Tables(s, dir, "documents"))
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("token"))
+        val raw = tok.groupBy(col("token")).agg(
+          count(lit(1)).as("cr"),
+          count(when(col("source") === "src0", 1)).as("ct"))
+        val tot = raw.agg(sum(col("cr")).cast("double").as("nr"),
+          sum(col("ct")).cast("double").as("nt"),
+          count(lit(1)).cast("double").as("v"))
+        val w = raw.crossJoin(broadcast(tot))
+          .select(col("token"),
+            (log((col("ct") + 0.5) / (col("nt") + col("v") * 0.5)) -
+             log((col("cr") + 0.5) / (col("nr") + col("v") * 0.5)))
+              .as("lw"))
+        tok.join(broadcast(w), "token")
+          .groupBy(col("doc_id"))
+          .agg(round(sum(col("lw")), 4).as("dsir_logw"),
+            count(lit(1)).as("n_toks"))
+          .orderBy(col("dsir_logw").desc, col("doc_id"))
+          .limit(100)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, source, unnest(string_split(text,' ')) AS token
+             |  FROM documents),
+             |raw AS (SELECT token, count(*) AS cr,
+             |               count(*) FILTER (source = 'src0') AS ct
+             |        FROM tok GROUP BY 1),
+             |tot AS (SELECT sum(cr)::DOUBLE AS nr, sum(ct)::DOUBLE AS nt,
+             |               count(*)::DOUBLE AS v FROM raw),
+             |w AS (SELECT token,
+             |        ln((ct + 0.5) / (nt + 0.5 * v)) -
+             |        ln((cr + 0.5) / (nr + 0.5 * v)) AS lw
+             |      FROM raw CROSS JOIN tot)
+             |SELECT doc_id, round(sum(lw), 4) AS dsir_logw,
+             |       count(*) AS n_toks
+             |FROM tok JOIN w USING (token)
+             |GROUP BY doc_id
+             |ORDER BY dsir_logw DESC, doc_id LIMIT 100""".stripMargin)),
+
     // --- PII scrubbing: redact emails / IPv4s / phone numbers and count
     //     redactions per doc — the compliance pass every training corpus
     //     runs before release. Map-side regex only (single scan, stays in
