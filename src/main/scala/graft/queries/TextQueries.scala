@@ -438,6 +438,53 @@ object TextQueries {
              |       min(start)::INT AS first_pos
              |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // --- proximity (min-span) scoring: q106's relaxation — the smallest
+    //     token window containing ALL query terms in any order, the
+    //     positions-based signal behind sloppy-phrase / proximity-boosted
+    //     BM25. One pass over the K terms' positions (filtered before any
+    //     shuffle), then a doc-keyed window: at each position take the
+    //     last-seen position of every term so far; where all K are seen,
+    //     the cover is [least(last seen), here]. No self-join, no
+    //     quadratic pair scan; the window partitions by doc so state
+    //     never crosses docs. ---
+    Q("q109_min_span",
+      (s, dir) => {
+        val terms = Seq("stream", "table", "hash")
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val lastSeen = terms.zipWithIndex.map { case (t, i) =>
+          max(when(col("token") === t, col("pos"))).over(w).as(s"l$i")
+        }
+        val pos = fanout(Tables(s, dir, "documents"))
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+          .filter(col("token").isin(terms: _*))
+        pos.select(col("doc_id") +: col("pos") +: lastSeen: _*)
+          .filter(terms.indices.map(i => col(s"l$i").isNotNull)
+            .reduce(_ && _))
+          .select(col("doc_id"),
+            (col("pos") - least(terms.indices.map(i => col(s"l$i")): _*)
+              + 1).as("span"))
+          .groupBy(col("doc_id"))
+          .agg(min(col("span")).cast("int").as("min_span"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+             |           FROM documents),
+             |p AS (SELECT doc_id, unnest(toks) AS token,
+             |             generate_subscripts(toks,1) AS pos FROM t),
+             |f AS (SELECT doc_id, token, pos FROM p
+             |      WHERE token IN ('stream','table','hash')),
+             |ls AS (SELECT doc_id, pos,
+             |  max(CASE WHEN token='stream' THEN pos END) OVER w AS l0,
+             |  max(CASE WHEN token='table'  THEN pos END) OVER w AS l1,
+             |  max(CASE WHEN token='hash'   THEN pos END) OVER w AS l2
+             |  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+             |s AS (SELECT doc_id, pos - least(l0, l1, l2) + 1 AS span
+             |      FROM ls WHERE l0 IS NOT NULL AND l1 IS NOT NULL
+             |                AND l2 IS NOT NULL)
+             |SELECT doc_id, min(span)::INT AS min_span FROM s
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // --- BPE tokenizer training (Sennrich et al. 2016): the subword
     //     vocabulary learner. ONE corpus-scale pass (the word-frequency
     //     agg, capped top-maxVocab via sort-limit); the merge loop runs
