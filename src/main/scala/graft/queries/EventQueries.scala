@@ -408,6 +408,34 @@ object EventQueries {
              |    ORDER BY valid_from, event_id) AS valid_to,
              |  (lead(valid_from) OVER (PARTITION BY user_id
              |    ORDER BY valid_from, event_id) IS NULL) AS is_current
-             |FROM e ORDER BY user_id, valid_from, event_id""".stripMargin))
+             |FROM e ORDER BY user_id, valid_from, event_id""".stripMargin)),
+
+    // --- cohort retention triangle: users grouped by first-activity week,
+    //     activity counted at week offsets — the standard product-analytics
+    //     matrix. Two user-keyed aggs (first week, then the distinct-user
+    //     rollup on (cohort, offset)); the join back to activity is on
+    //     user_id, so every shuffle is key-partitioned and the output is
+    //     weeks², independent of event volume. Integer week arithmetic on
+    //     both engines (floor division, week-truncated stamps). ---
+    Q("q110_cohort_retention",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+        e.join(first, "user_id")
+          .groupBy(col("cohort"),
+            floor(datediff(col("wk"), col("cohort")) / 7).cast("int")
+              .as("offset_wk"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort"), col("offset_wk"))
+      },
+      Some("""WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk
+             |           FROM events),
+             |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1)
+             |SELECT cohort,
+             |       (date_diff('day', cohort, wk) // 7)::INT AS offset_wk,
+             |       count(DISTINCT user_id) AS n_users
+             |FROM e JOIN f USING (user_id)
+             |GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
   )
 }

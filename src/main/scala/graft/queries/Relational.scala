@@ -369,6 +369,101 @@ object Relational {
           .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
           .orderBy(col("l_returnflag"))
       },
-      None)
+      None),
+
+    // --- deterministic mode / arg-max: the per-group "most frequent" and
+    //     "row with the extreme" WITHOUT a window sort — max_by over a
+    //     struct ordering key (count-then-value for the mode; value-then-
+    //     unique-key for the arg-max) keeps both as plain two-level hash
+    //     aggs, the scale-correct pattern vs row_number-over-sort. Ties
+    //     are pinned by the struct's lexicographic order, so the result
+    //     is deterministic on both engines. ---
+    Q("q111_mode_argmax",
+      (s, dir) => {
+        val oc = t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        val modal = oc
+          .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("c_mktsegment"))
+          .agg(max_by(col("o_orderpriority"),
+            struct(col("n"), col("o_orderpriority"))).as("modal_priority"))
+        val top = oc.groupBy(col("c_mktsegment"))
+          .agg(max_by(col("o_orderkey"),
+              struct(col("o_totalprice"), col("o_orderkey"))).as("top_order"),
+            round(max(col("o_totalprice")), 2).as("top_price"))
+        modal.join(top, "c_mktsegment").orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH oc AS (SELECT * FROM orders
+             |            JOIN customer ON o_custkey = c_custkey),
+             |cnt AS (SELECT c_mktsegment, o_orderpriority, count(*) AS n
+             |        FROM oc GROUP BY 1,2),
+             |m AS (SELECT c_mktsegment, o_orderpriority AS modal_priority,
+             |        row_number() OVER (PARTITION BY c_mktsegment
+             |          ORDER BY n DESC, o_orderpriority DESC) AS rn
+             |      FROM cnt),
+             |tp AS (SELECT c_mktsegment, o_orderkey AS top_order,
+             |         o_totalprice,
+             |         row_number() OVER (PARTITION BY c_mktsegment
+             |           ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+             |       FROM oc)
+             |SELECT m.c_mktsegment, m.modal_priority, tp.top_order,
+             |       round(tp.o_totalprice, 2) AS top_price
+             |FROM m JOIN tp USING (c_mktsegment)
+             |WHERE m.rn = 1 AND tp.rn = 1
+             |ORDER BY m.c_mktsegment""".stripMargin)),
+
+    // --- unpivot (wide->long melt): the schema-normalization step before
+    //     generic per-measure aggregation. Spark's Dataset.unpivot is a
+    //     single Expand over the scan (one pass, no union of N scans —
+    //     the UNION ALL oracle formulation reads the table 3x; the Expand
+    //     reads it once), then one hash agg on (flag, measure). ---
+    Q("q112_unpivot",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .unpivot(Array(col("l_returnflag")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "measure", "val")
+          .groupBy(col("l_returnflag"), col("measure"))
+          .agg(round(sum(col("val")), 2).as("total"))
+          .orderBy(col("l_returnflag"), col("measure"))
+      },
+      Some("""SELECT l_returnflag, measure, round(sum(val), 2) AS total
+             |FROM (
+             |  SELECT l_returnflag, 'l_quantity' AS measure,
+             |         l_quantity AS val FROM lineitem
+             |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount
+             |  FROM lineitem
+             |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // --- explicit GROUPING SETS with grouping() flags (rollup/cube's
+    //     general form, q15/q16's completion) — exercised through the SQL
+    //     surface on a registered view; the physical plan is the same
+    //     single Expand + hash agg Catalyst gives rollup. ---
+    Q("q113_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+        s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                |       coalesce(l_linestatus, 'ALL') AS ls,
+                |       cast(grouping(l_returnflag) AS INT) AS g_rf,
+                |       cast(grouping(l_linestatus) AS INT) AS g_ls,
+                |       round(sum(l_extendedprice), 2) AS sum_price,
+                |       count(*) AS n
+                |FROM li_gs
+                |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                |                        (l_returnflag), ())
+                |ORDER BY rf, ls""".stripMargin)
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |       coalesce(l_linestatus, 'ALL') AS ls,
+             |       grouping(l_returnflag)::INT AS g_rf,
+             |       grouping(l_linestatus)::INT AS g_ls,
+             |       round(sum(l_extendedprice), 2) AS sum_price,
+             |       count(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |                        (l_returnflag), ())
+             |ORDER BY rf, ls""".stripMargin))
   )
 }
