@@ -299,6 +299,51 @@ object EventQueries {
            |FROM d ORDER BY event_id""".stripMargin
       }),
 
+    // --- z-order box query (q80's consumer): a 2-D box predicate served
+    //     as ONE 1-D key range plus a residual filter — the access pattern
+    //     a z-clustered table turns into file/row-group skipping. The
+    //     range [z(lo corner), z(hi corner)] is a correct cover because
+    //     bit interleaving is monotone in each coordinate; the query
+    //     reports how much of the table the cover admits (frac_scanned)
+    //     vs the true box hits — the measurable skipping win, exact on
+    //     both engines. ---
+    Q("q114_zorder_box",
+      (s, dir) => {
+        val (xlo, xhi, ylo, yhi) = (100L, 300L, 200L, 400L)
+        val zlo = graft.functions.ZOrderKernel.interleave(Array(xlo, ylo))
+        val zhi = graft.functions.ZOrderKernel.interleave(Array(xhi, yhi))
+        Tables(s, dir, "events")
+          .select((col("user_id") % 1024).as("x"),
+            (col("event_id") % 1024).as("y"))
+          .select(col("x"), col("y"),
+            graft.functions.zorder_key(col("x"), col("y")).as("z"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("z").between(zlo, zhi), 1L).otherwise(0L))
+              .as("n_zrange"),
+            sum(when(col("x").between(xlo, xhi)
+              && col("y").between(ylo, yhi), 1L).otherwise(0L)).as("n_box"),
+            round(sum(when(col("z").between(zlo, zhi), 1L).otherwise(0L))
+              / count(lit(1)).cast("double"), 4).as("frac_scanned"))
+      },
+      Some {
+        val zBits = (0 until 10).map(b =>
+          s"(((x >> $b) & 1) << ${2 * b}) | (((y >> $b) & 1) << ${2 * b + 1})")
+          .mkString(" | ")
+        val zlo = graft.functions.ZOrderKernel.interleave(Array(100L, 200L))
+        val zhi = graft.functions.ZOrderKernel.interleave(Array(300L, 400L))
+        s"""WITH d AS (SELECT user_id % 1024 AS x, event_id % 1024 AS y
+           |           FROM events),
+           |z AS (SELECT x, y, ($zBits)::BIGINT AS z FROM d)
+           |SELECT count(*) AS n_total,
+           |  sum(CASE WHEN z BETWEEN $zlo AND $zhi THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_zrange,
+           |  sum(CASE WHEN x BETWEEN 100 AND 300 AND y BETWEEN 200 AND 400
+           |      THEN 1 ELSE 0 END)::BIGINT AS n_box,
+           |  round(sum(CASE WHEN z BETWEEN $zlo AND $zhi THEN 1 ELSE 0 END)
+           |    / count(*)::DOUBLE, 4) AS frac_scanned
+           |FROM z""".stripMargin
+      }),
+
     // --- join-key skew profile: the diagnostic a pipeline runs BEFORE
     //     choosing salting/AQE-skew-join for a key (§2.6 posture). One
     //     groupBy on the key, then constant-size aggregates: skew factor
