@@ -153,6 +153,28 @@ object EventStreams {
       }
   }
 
+  /** The built-in session_window twin of [[sessionize]]: event-time gap
+    * sessions closed by the WATERMARK (not processing-time timeouts), so
+    * results are deterministic in event time and late data inside the
+    * watermark still extends its session. State is merge-sorted per key by
+    * the engine; one row per closed session in Append mode. Prefer this
+    * for event-time semantics; [[sessionize]] remains the template for
+    * custom state (fields the built-in can't carry). */
+  def sessionWindowCounts(events: DataFrame, gapSecs: Long = 1800,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSecs seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        // window end = last event + gap, so subtract the gap back out to
+        // get first→last span, [[sessionize]]'s duration_secs
+        (unix_timestamp(col("session_window.end"))
+          - unix_timestamp(col("session_window.start"))
+          - gapSecs).as("duration_secs"),
+        col("n_events"))
+
   /** One CDC merge step: reduce new rows to the latest state per user and
     * merge them over the current state table — the q74 keep-latest logic
     * (DuckDB-oracled there) applied incrementally. The merge input is

@@ -202,6 +202,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(state.size == 3)
   }
 
+  test("session_window sessions close at the watermark and match sessionize") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = EventStreams.sessionWindowCounts(
+        input.toDF().toDF("ts", "user_id"), gapSecs = 1800)
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: two users; user 100 has a second session >gap later
+    input.addData((ts(0), 100L), (ts(10), 100L), (ts(5), 200L))
+    q.processAllAvailable()
+    input.addData((Timestamp.valueOf("2024-01-01 11:40:00"), 100L))
+    q.processAllAvailable()
+    // batch 3: next-day event drives the watermark past every Jan-1 session
+    input.addData((Timestamp.valueOf("2024-01-02 10:00:00"), 999L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_win").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getLong(3))).toSet
+    // same sessions the mapGroupsWithState sessionizer produces for this
+    // input (first→last span, event count); 999's session is still open
+    assert(rows == Set(
+      (100L, "2024-01-01 10:00:00.0", 600L, 2L),
+      (200L, "2024-01-01 10:05:00.0", 0L, 1L),
+      (100L, "2024-01-01 11:40:00.0", 0L, 1L)))
+  }
+
   test("file-source stream over the events parquet matches batch totals") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
