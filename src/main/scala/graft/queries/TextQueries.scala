@@ -782,6 +782,105 @@ object TextQueries {
              |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
              |GROUP BY doc_id ORDER BY bm25 DESC, doc_id""".stripMargin)),
 
+    // --- retrieval evaluation: MRR@10 / precision@10 of the BM25 ranker
+    //     (q84) against conjunctive relevance (doc contains ALL query
+    //     terms — the q106/q109 acceptance predicate), for a small query
+    //     batch. The corpus pass is shared across queries (one tokenize,
+    //     terms filtered before any shuffle); the per-query fan-out is a
+    //     broadcast join on the term→query map; top-10 per query comes
+    //     from the bounded-heap top_k aggregate (map-side partial heaps),
+    //     NOT a window sort. Ranking is by the ROUNDED score with doc_id
+    //     tie-break so the order — not just the scores — is engine-exact.
+    //     nDCG would follow the same plan with a log2 weight. ---
+    Q("q115_retrieval_mrr",
+      (s, dir) => {
+        import s.implicits._
+        val qterms = Seq(
+          "qA" -> Seq("spark", "join", "filter"),
+          "qB" -> Seq("stream", "table", "hash"),
+          "qC" -> Seq("merge", "group", "sort"))
+        val qdf = qterms.flatMap { case (q, ts) => ts.map(q -> _) }
+          .toDF("qid", "tok")
+        val nq = qterms.map { case (q, ts) => (q, ts.size) }
+          .toDF("qid", "n_terms")
+        val allTerms = qterms.flatMap(_._2).distinct
+        val perDoc = fanout(Tables(s, dir, "documents"))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), size(col("toks")).as("dl"),
+            filter(col("toks"), t => t.isInCollection(allTerms)).as("qtoks"))
+          .localCheckpoint()
+        val dl = perDoc.select(col("doc_id"), col("dl"))
+        val stats = perDoc.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+        val tf = perDoc.select(col("doc_id"), explode(col("qtoks")).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val df0 = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val scored = tf.join(broadcast(df0), "tok")
+          .join(broadcast(qdf), "tok")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("qid"), col("doc_id"), col("tok"),
+            (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+              * col("tf") * lit(1.2 + 1)
+              / (col("tf")
+                + lit(1.2) * (lit(1 - 0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+              .as("score"))
+          .groupBy(col("qid"), col("doc_id"))
+          .agg(round(sum(col("score")), 4).as("bm25"),
+            countDistinct(col("tok")).as("n_match"))
+          .join(broadcast(nq), "qid")
+          .select(col("qid"), col("doc_id"), col("bm25"),
+            (col("n_match") === col("n_terms")).as("rel"))
+          .localCheckpoint()
+        val ranked = scored
+          .select(col("qid"), struct((-col("bm25")).as("nb"),
+            col("doc_id").as("doc_id"), col("rel").as("rel")).as("e"))
+          .groupBy(col("qid"))
+          .agg(graft.functions.top_k(col("e"), 10, smallest = true).as("top"))
+          .select(col("qid"), posexplode(col("top")).as(Seq("i", "e")))
+          .select(col("qid"), (col("i") + 1).as("rn"), col("e.rel").as("rel"))
+          .groupBy(col("qid"))
+          .agg(round(coalesce(max(when(col("rel"), lit(1.0) / col("rn"))),
+            lit(0.0)), 4).as("rr"),
+            round(sum(when(col("rel"), 1).otherwise(0)) / lit(10.0), 4)
+              .as("p_at_10"))
+        val totRel = scored.filter(col("rel")).groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_relevant"))
+        ranked.join(totRel, Seq("qid"), "left")
+          .na.fill(0L, Seq("n_relevant"))
+          .orderBy(col("qid"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+             |              FROM documents),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+             |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |q(qid, tok) AS (VALUES
+             |  ('qA','spark'),('qA','join'),('qA','filter'),
+             |  ('qB','stream'),('qB','table'),('qB','hash'),
+             |  ('qC','merge'),('qC','group'),('qC','sort')),
+             |nq AS (SELECT qid, count(*) AS n_terms FROM q GROUP BY 1),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+             |       WHERE tok IN (SELECT tok FROM q) GROUP BY 1,2),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT qid, doc_id,
+             |         round(sum(ln((n - df + 0.5)/(df + 0.5) + 1) * tf
+             |           * (1.2 + 1)
+             |           / (tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl))), 4) AS bm25,
+             |         count(DISTINCT tf.tok) AS n_match
+             |       FROM tf JOIN df USING (tok) JOIN q USING (tok)
+             |            JOIN dl USING (doc_id) CROSS JOIN st
+             |       GROUP BY 1,2),
+             |rel AS (SELECT qid, doc_id, bm25, n_match = n_terms AS rel
+             |        FROM sc JOIN nq USING (qid)),
+             |rk AS (SELECT qid, rel, row_number() OVER (PARTITION BY qid
+             |         ORDER BY bm25 DESC, doc_id) AS rn FROM rel)
+             |SELECT qid,
+             |  round(coalesce(max(CASE WHEN rel AND rn <= 10
+             |    THEN 1.0/rn END), 0), 4) AS rr,
+             |  round(sum(CASE WHEN rel AND rn <= 10 THEN 1 ELSE 0 END)
+             |    / 10.0, 4) AS p_at_10,
+             |  sum(CASE WHEN rel THEN 1 ELSE 0 END)::BIGINT AS n_relevant
+             |FROM rk GROUP BY qid ORDER BY qid""".stripMargin)),
+
     // --- exact TF-IDF cosine document pairs via an inverted index: the
     //     sparse-vector complement to the embedding-cosine dedup family.
     //     Partial products flow through a (term) self-join — each term
