@@ -496,6 +496,70 @@ object AnalysisQueries {
              |GROUP BY doc_id
              |ORDER BY dsir_logw DESC, doc_id LIMIT 100""".stripMargin)),
 
+    // --- DSIR selection end-to-end (q108 ∘ q104): the actual data-
+    //     selection pass — importance weights from the target-vs-raw
+    //     unigram models, length-normalized (per-token mean log ratio, so
+    //     long docs aren't favored), exponentiated into sampling weights,
+    //     and drawn WITHOUT a global sort via the Efraimidis–Spirakis
+    //     exponential keys through the bounded-heap top_k (k·n_partitions
+    //     rows cross the final shuffle). The md5-derived uniform keeps the
+    //     draw reproducible across engines and cluster sizes, so the whole
+    //     composed pipeline is ORACLED. ---
+    Q("q116_dsir_resample",
+      (s, dir) => {
+        val tok = fanout(Tables(s, dir, "documents"))
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("token"))
+        val raw = tok.groupBy(col("token")).agg(
+          count(lit(1)).as("cr"),
+          count(when(col("source") === "src0", 1)).as("ct"))
+        val tot = raw.agg(sum(col("cr")).cast("double").as("nr"),
+          sum(col("ct")).cast("double").as("nt"),
+          count(lit(1)).cast("double").as("v"))
+        val w = raw.crossJoin(broadcast(tot))
+          .select(col("token"),
+            (log((col("ct") + 0.5) / (col("nt") + col("v") * 0.5)) -
+             log((col("cr") + 0.5) / (col("nr") + col("v") * 0.5)))
+              .as("lw"))
+        val perDoc = tok.join(broadcast(w), "token")
+          .groupBy(col("doc_id"))
+          .agg((sum(col("lw")) / count(lit(1))).as("mean_lw"))
+        val key = -log((conv(substring(
+            md5(col("doc_id").cast("string").cast("binary")), 1, 13),
+            16, 10).cast("long") + 1) / lit(4503599627370497.0)) /
+          exp(col("mean_lw"))
+        perDoc
+          .select(struct(key.as("k"), col("doc_id"),
+            round(col("mean_lw"), 4).as("mean_lw")).as("e"))
+          .agg(graft.functions.top_k(col("e"), 50, smallest = true).as("top"))
+          .select(posexplode(col("top")).as(Seq("i", "e")))
+          .select((col("i") + 1).as("rk"), col("e.doc_id").as("doc_id"),
+            col("e.mean_lw").as("mean_lw"))
+          .orderBy(col("rk"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, source, unnest(string_split(text,' ')) AS token
+             |  FROM documents),
+             |raw AS (SELECT token, count(*) AS cr,
+             |               count(*) FILTER (source = 'src0') AS ct
+             |        FROM tok GROUP BY 1),
+             |tot AS (SELECT sum(cr)::DOUBLE AS nr, sum(ct)::DOUBLE AS nt,
+             |               count(*)::DOUBLE AS v FROM raw),
+             |w AS (SELECT token,
+             |        ln((ct + 0.5) / (nt + 0.5 * v)) -
+             |        ln((cr + 0.5) / (nr + 0.5 * v)) AS lw
+             |      FROM raw CROSS JOIN tot),
+             |pd AS (SELECT doc_id, sum(lw) / count(*) AS mean_lw
+             |       FROM tok JOIN w USING (token) GROUP BY 1),
+             |k AS (SELECT doc_id, mean_lw,
+             |        -ln((('0x' || substr(md5(doc_id::VARCHAR),1,13))::BIGINT
+             |             + 1) / 4503599627370497.0) / exp(mean_lw) AS key
+             |      FROM pd),
+             |r AS (SELECT doc_id, mean_lw,
+             |        row_number() OVER (ORDER BY key, doc_id) AS rk FROM k)
+             |SELECT rk::INT AS rk, doc_id, round(mean_lw, 4) AS mean_lw
+             |FROM r WHERE rk <= 50 ORDER BY rk""".stripMargin)),
+
     // --- PII scrubbing: redact emails / IPv4s / phone numbers and count
     //     redactions per doc — the compliance pass every training corpus
     //     runs before release. Map-side regex only (single scan, stays in
