@@ -51,6 +51,32 @@ object AnalysisQueries {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** Hashed-TF featurizer (the feature-hashing trick): token → bucket via
+    * seeded xxhash64, per-doc bucket counts densified in-row to a unit
+    * `array<double>` of length `dim`. One explode + one (doc,bucket) agg +
+    * one doc agg — no vocabulary, no fit, fixed output width at any
+    * corpus size. */
+  private[graft] def hashedTfVectors(docs: org.apache.spark.sql.DataFrame,
+      dim: Int): org.apache.spark.sql.DataFrame = {
+    val raw = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"),
+        pmod(graft.functions.xxhash64_seeded(7L, col("t")), lit(dim.toLong))
+          .cast("int").as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("n")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("raw"))
+    raw
+      .select(col("doc_id"), col("raw"),
+        sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
+      .select(col("doc_id"),
+        transform(col("raw"), x => x / col("nrm")).as("v"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // --- stopword-ratio language heuristic vs the labeled lang column.
@@ -495,6 +521,41 @@ object AnalysisQueries {
              |FROM tok JOIN w USING (token)
              |GROUP BY doc_id
              |ORDER BY dsir_logw DESC, doc_id LIMIT 100""".stripMargin)),
+
+    // --- document clustering over hashed-TF vectors: the text→vector
+    //     bridge (feature hashing, Weinberger et al. 2009) composed with
+    //     the trained KMeans — topic-shaped corpus profiling without
+    //     embeddings. Featurization is pure Catalyst (one explode, one
+    //     (doc,bucket) agg, dense 64-dim reassembly in-row); training
+    //     collects only k×64 doubles per round; assignment is the
+    //     map-side codegen'd struct-argmin. Per-cluster avg cosine to the
+    //     (unit) centroid is the in-engine cohesion metric — trained
+    //     model => rows-only gate; DocClusterSpec pins the featurizer. ---
+    Q("q117_doc_clusters",
+      (s, dir) => {
+        val vecs = hashedTfVectors(
+          fanout(Tables(s, dir, "documents")), dim = 64).localCheckpoint()
+        val centroids = graft.operators.KMeans.fit(
+          vecs, "v", "doc_id", k = 8, iters = 10)
+        val unit = centroids.map { c =>
+          val n = math.sqrt(c.map(x => x * x).sum)
+          if (n == 0) c else c.map(_ / n)
+        }
+        val cos = unit.zipWithIndex
+          .foldLeft(lit(Double.NaN)) { case (acc, (c, i)) =>
+            when(col("cluster") === i,
+              graft.functions.vec_dot(col("v"), typedLit(c.toSeq)))
+              .otherwise(acc)
+          }
+        vecs
+          .withColumn("cluster",
+            graft.operators.KMeans.nearestCentroid(col("v"), centroids))
+          .select(col("cluster"), cos.as("cos"))
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_docs"), round(avg(col("cos")), 4).as("avg_cos"))
+          .orderBy(col("cluster"))
+      },
+      None),
 
     // --- DSIR selection end-to-end (q108 ∘ q104): the actual data-
     //     selection pass — importance weights from the target-vs-raw
