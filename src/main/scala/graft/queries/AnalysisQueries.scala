@@ -522,6 +522,54 @@ object AnalysisQueries {
              |GROUP BY doc_id
              |ORDER BY dsir_logw DESC, doc_id LIMIT 100""".stripMargin)),
 
+    // --- token dispersion (Gries 2008, "DP"): how unevenly a token
+    //     spreads across sources — 0.5·Σ_parts |v_i − s_i| with v the
+    //     token's per-part share and s the part's corpus share. Bursty
+    //     boilerplate scores high even when frequent, which is why DP
+    //     complements raw DF for stopword/boilerplate decisions. Absent
+    //     parts are folded in CLOSED FORM (Σ_absent s = 1 − Σ_present s),
+    //     so the plan touches only observed (source, token) rows — a
+    //     parts×vocab frame never materializes at any corpus size. ---
+    Q("q118_token_dispersion",
+      (s, dir) => {
+        val st = fanout(Tables(s, dir, "documents"))
+          .select(col("source"), explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("source"), col("token"))
+          .agg(count(lit(1)).as("c_st"))
+          .localCheckpoint()
+        val perTok = st.groupBy(col("token")).agg(sum(col("c_st")).as("ct"))
+        val perSrc = st.groupBy(col("source")).agg(sum(col("c_st")).as("cs"))
+        val grand = perSrc.agg(sum(col("cs")).cast("double").as("c"))
+        st.join(broadcast(perSrc), "source")
+          .crossJoin(broadcast(grand))
+          .join(perTok, "token")
+          .groupBy(col("token"), col("ct"))
+          .agg(sum(abs(col("c_st") / col("ct") - col("cs") / col("c")))
+            .as("present_term"),
+            sum(col("cs") / col("c")).as("present_share"))
+          .filter(col("ct") >= 100)
+          .select(col("token"), col("ct").as("n"),
+            round((col("present_term") + 1.0 - col("present_share")) * 0.5, 4)
+              .as("dp"))
+          .orderBy(col("dp").desc, col("token"))
+          .limit(50)
+      },
+      Some("""WITH tok AS (SELECT source,
+             |               unnest(string_split(text,' ')) AS token
+             |             FROM documents),
+             |st AS (SELECT source, token, count(*) AS c_st
+             |       FROM tok GROUP BY 1,2),
+             |t AS (SELECT token, sum(c_st) AS ct FROM st GROUP BY 1),
+             |s AS (SELECT source, sum(c_st) AS cs FROM st GROUP BY 1),
+             |g AS (SELECT sum(cs)::DOUBLE AS c FROM s)
+             |SELECT token, ct::BIGINT AS n,
+             |  round((sum(abs(c_st / ct::DOUBLE - cs / c))
+             |         + 1.0 - sum(cs / c)) * 0.5, 4) AS dp
+             |FROM st JOIN s USING (source) JOIN t USING (token) CROSS JOIN g
+             |GROUP BY token, ct
+             |HAVING ct >= 100
+             |ORDER BY dp DESC, token LIMIT 50""".stripMargin)),
+
     // --- document clustering over hashed-TF vectors: the text→vector
     //     bridge (feature hashing, Weinberger et al. 2009) composed with
     //     the trained KMeans — topic-shaped corpus profiling without
