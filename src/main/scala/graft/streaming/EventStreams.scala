@@ -203,6 +203,55 @@ object EventStreams {
     fs.rename(tmp, path)
   }
 
+  /** Additive CDC merge for the vspace term-stats table (A2's DF/TF/tdsum,
+    * `TextQueries.termStats` semantics): the batch's per-token increments
+    * are SUM-merged into the standing table. Because DF/TF/tdsum are all
+    * pure sums over docs, incremental maintenance is exact — after any
+    * batch split, the table equals the batch recompute (pinned in the
+    * spec). Merge input is |batch vocab| + |table vocab|, never the doc
+    * history; on Delta/Iceberg this is `MERGE INTO … UPDATE SET x = x+inc`
+    * and the tmp-swap disappears. */
+  def termStatsUpsertBatch(batchDocs: DataFrame, tableDir: String): Unit = {
+    val spark = batchDocs.sparkSession
+    val inc = batchDocs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("wc"),
+        explode(graft.functions.ngram_counts(col("toks"), 1)).as("e"))
+      .select(col("wc"), col("e.token").as("token"), col("e.tf").as("tf"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("document_frequency"),
+        sum(col("tf")).as("term_frequency"), sum(col("wc")).as("tdsum"))
+    val path = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current =
+      if (fs.exists(path)) spark.read.parquet(tableDir) else inc.limit(0)
+    val merged = inc.unionByName(current)
+      .groupBy(col("token"))
+      .agg(sum(col("document_frequency")).as("document_frequency"),
+        sum(col("term_frequency")).as("term_frequency"),
+        sum(col("tdsum")).as("tdsum"))
+    val tmp = new org.apache.hadoop.fs.Path(tableDir + "__tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    fs.rename(tmp, path)
+  }
+
+  /** Streaming vocabulary-statistics maintenance: docs stream in, the
+    * term-stats warehouse table stays current — the streaming twin of the
+    * reference's batch stats job (q21). Exactly-once caveat: an additive
+    * merge is NOT idempotent under batch replay, so a production deploy
+    * records the committed batch id next to the table and skips replays;
+    * here the checkpoint's at-least-once is accepted for the template. */
+  def termStatsStream(docs: DataFrame, tableDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        termStatsUpsertBatch(batch, tableDir)
+      }
+      .start()
+
   /** Streaming CDC keep-latest upsert: each micro-batch flows through
     * [[upsertBatch]] via foreachBatch — the standard stream-to-warehouse
     * MERGE shape (arbitrary batch logic per trigger, exactly-once via the

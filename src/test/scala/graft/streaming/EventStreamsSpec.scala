@@ -230,6 +230,32 @@ class EventStreamsSpec extends SparkSpec {
       (100L, "2024-01-01 11:40:00.0", 0L, 1L)))
   }
 
+  test("streaming term-stats maintenance equals the batch recompute") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("tstats").toString + "/table"
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("tstats_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.termStatsStream(
+      input.toDF().toDF("doc_id", "text"), tableDir, ckptDir)
+    input.addData((1L, "a b a"), (2L, "b c"))
+    q.processAllAvailable()
+    input.addData((3L, "a d d a"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(tableDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // hand recompute over all three docs: (df, tf, tdsum[=Σ dl over docs])
+    assert(got == Map(
+      "a" -> ((2L, 4L, 7L)), // docs 1,3; tf 2+2; dl 3+4
+      "b" -> ((2L, 2L, 5L)), // docs 1,2; dl 3+2
+      "c" -> ((1L, 1L, 2L)),
+      "d" -> ((1L, 2L, 4L))))
+  }
+
   test("file-source stream over the events parquet matches batch totals") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
