@@ -89,6 +89,11 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q119's banned-phrase dictionary (recurring corpus bigrams, so the
+    * gate exercises real hits; a production list is 10k+ entries). */
+  private val blockPatterns = Seq("table hash", "slow key", "merge group",
+    "vector small", "customer join", "part filter")
+
   private val oracleToks =
     """toks AS (
       |  SELECT doc_id, source, len(string_split(text,' ')) AS wc,
@@ -781,6 +786,36 @@ object TextQueries {
              |    / (tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl))), 4) AS bm25
              |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
              |GROUP BY doc_id ORDER BY bm25 DESC, doc_id""".stripMargin)),
+
+    // --- multi-pattern blocklist scan (Aho–Corasick 1975): every banned
+    //     phrase found in ONE linear pass per doc, O(len + matches)
+    //     independent of dictionary size — the compliance/filtering shape
+    //     at 10k+ patterns, where N contains()-columns would scan the
+    //     corpus N times. Automaton built driver-side (dictionary-sized),
+    //     broadcast; the scan is mapPartitions, payloads never shuffle.
+    //     Counts are overlapping occurrences (every pattern end), matched
+    //     exactly by the oracle's per-position substring probe. ---
+    Q("q119_blocklist_scan",
+      (s, dir) => {
+        graft.operators.AhoCorasick.scan(
+            fanout(Tables(s, dir, "documents")), blockPatterns)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val probes = blockPatterns.zipWithIndex.map { case (p, i) =>
+          s"""len(list_filter(range(1, len(text) - ${p.length} + 2),
+             |      i -> substr(text, i, ${p.length}) = '$p')) AS p$i""".stripMargin
+        }.mkString(",\n")
+        val total = blockPatterns.indices.map(i => s"p$i").mkString(" + ")
+        val npat = blockPatterns.indices.map(i => s"(p$i > 0)::INT")
+          .mkString(" + ")
+        s"""WITH m AS (SELECT doc_id,
+           |$probes
+           |FROM documents)
+           |SELECT doc_id, ($total)::BIGINT AS n_hits,
+           |       ($npat)::BIGINT AS n_patterns
+           |FROM m WHERE $total > 0 ORDER BY doc_id""".stripMargin
+      }),
 
     // --- retrieval evaluation: MRR@10 / precision@10 of the BM25 ranker
     //     (q84) against conjunctive relevance (doc contains ALL query
