@@ -75,6 +75,15 @@ object Bench {
     //    pair exists instead of shipping a min that may contain a freeze.
     val MaxReps = 5
     val results = headline.map { n =>
+      // Fresh SparkContext per query: clearCache+gc alone still let
+      // shuffle files, localCheckpoint blocks, and broadcast state pile
+      // up across a 20-query run — measured 10x inflation on the last
+      // queries (q36: 68 s after 11 predecessors vs 6.7 s isolated in
+      // the same hour). A context restart (~2-5 s, untimed) resets
+      // executor state while keeping the JVM's JIT warm, so every query
+      // is timed as if benched alone.
+      if (!spark.sparkContext.isStopped) spark.stop()
+      spark = newSession()
       try execute(n)
       catch { case e: Throwable => System.err.println(s"[bench] warmup $n: $e") }
       spark.catalog.clearCache()

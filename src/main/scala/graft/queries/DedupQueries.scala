@@ -446,6 +446,45 @@ object DedupQueries {
              |         ' ')), 0)::BIGINT AS clean_len
              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // --- cross-source duplication flow (q32's governance rollup): which
+    //     sources copy from which — verified near-dup pairs joined to each
+    //     side's source and aggregated to an unordered source-pair matrix
+    //     (n_pairs, avg Jaccard). The rollup runs on the already-bounded
+    //     VERIFIED pair set (banded candidates → exact re-check), so its
+    //     own cost is pair-count-sized; the two source lookups are
+    //     id-keyed joins; output is sources², corpus-independent. The
+    //     report that decides per-source dedup policy and licensing
+    //     exposure. ---
+    Q("q120_dup_flow",
+      (s, dir) => {
+        val src = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+        lshVerifiedPairs(Tables(s, dir, "documents"), 0.7)
+          .join(src.toDF("id_a", "source_a"), "id_a")
+          .join(src.toDF("id_b", "source_b"), "id_b")
+          .groupBy(least(col("source_a"), col("source_b")).as("src_lo"),
+            greatest(col("source_a"), col("source_b")).as("src_hi"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(avg(col("jac")), 4).as("avg_jac"))
+          .orderBy(col("src_lo"), col("src_hi"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+             |           FROM documents),
+             |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+             |        for i in range(1, len(toks)-1)]) AS sh FROM t),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |        len(list_intersect(a.sh,b.sh))::DOUBLE
+             |          / len(list_distinct(list_concat(a.sh,b.sh))) AS jac
+             |      FROM s a JOIN s b ON a.doc_id < b.doc_id),
+             |j AS (SELECT least(da.source, db.source) AS src_lo,
+             |             greatest(da.source, db.source) AS src_hi, jac
+             |      FROM p JOIN documents da ON p.id_a = da.doc_id
+             |             JOIN documents db ON p.id_b = db.doc_id
+             |      WHERE jac >= 0.7)
+             |SELECT src_lo, src_hi, count(*) AS n_pairs,
+             |       round(avg(jac), 4) AS avg_jac
+             |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // --- brute-force n-gram Jaccard on a bounded slice (oracle twin /
     //     correctness baseline for the LSH path) ---
     Q("q33_dedup_ngram_jaccard",

@@ -256,6 +256,22 @@ class EventStreamsSpec extends SparkSpec {
       "d" -> ((1L, 2L, 4L))))
   }
 
+  test("Aho-Corasick blocklist scan runs statelessly over a doc stream") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val out = graft.operators.AhoCorasick.scan(
+      input.toDF().toDF("doc_id", "text"), Seq("table hash", "slow key"))
+    input.addData(
+      (1L, "the table hash join and the slow key again table hash"),
+      (2L, "nothing banned"))
+    // stateless mapPartitions: flows through append mode, no watermark
+    EventStreams.runToMemory(out, "blocked", OutputMode.Append())
+    val rows = spark.table("blocked").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 3L, 2L)))
+  }
+
   test("file-source stream over the events parquet matches batch totals") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
