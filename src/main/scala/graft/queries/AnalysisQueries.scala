@@ -991,6 +991,194 @@ object AnalysisQueries {
              |    AS vocab_size
              |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    // --- k-anonymity audit over release metadata: group size of every
+    //     quasi-identifier combination (lang, source, length bucket) and a
+    //     below-k flag — the privacy-governance companion to q72's PII
+    //     scrub: a scrubbed corpus shipped WITH metadata still re-identifies
+    //     documents that are the only member of their metadata cell. One
+    //     partial-agg'd groupBy; output bounded by the quasi-id cross
+    //     product, corpus-size-independent. ---
+    Q("q125_k_anonymity",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .groupBy(col("lang"), col("source"),
+            floor(col("n_chars") / 100).cast("long").as("len_bucket"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("at_risk", (col("n") < 5).cast("int"))
+          .orderBy(col("lang"), col("source"), col("len_bucket"))
+      },
+      Some("""SELECT lang, source, (n_chars // 100)::BIGINT AS len_bucket,
+             |       count(*) AS n, (count(*) < 5)::INT AS at_risk
+             |FROM documents GROUP BY 1, 2, 3
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // --- source-pair Jensen-Shannon divergence over unigram
+    //     distributions: the drift matrix behind mixture design — which
+    //     sources are near-duplicates of each other distributionally
+    //     (candidates for merged sampling weight) vs genuinely diverse.
+    //     JSD(P,Q) = 0.5 KL(P||M) + 0.5 KL(Q||M), M = (P+Q)/2; symmetric,
+    //     bounded by ln 2. Tokens present in only one source are folded in
+    //     CLOSED FORM (each contributes 0.5 p ln 2; Sigma p over them is
+    //     1 - Sigma matched p), the q118 trick — so the plan only ever
+    //     touches observed (source, token) rows: vocab-sized frames
+    //     shuffle on token, pairs expand per token (bounded by sources^2),
+    //     and the corpus itself is read once for the count frame. ---
+    Q("q123_source_jsd",
+      (s, dir) => {
+        val st = fanout(Tables(s, dir, "documents"))
+          .select(col("source"), explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("source"), col("token"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val tot = st.groupBy(col("source")).agg(sum(col("c")).as("cs"))
+        val p = st.join(broadcast(tot), "source")
+          .select(col("source"), col("token"),
+            (col("c") / col("cs")).as("p"))
+        val m = col("pa") + col("pb")
+        p.toDF("src_a", "token", "pa")
+          .join(p.toDF("src_b", "token", "pb"), Seq("token"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(
+            sum(col("pa") * log(lit(2.0) * col("pa") / m) +
+                col("pb") * log(lit(2.0) * col("pb") / m)).as("mterm"),
+            sum(col("pa")).as("sp"), sum(col("pb")).as("sq"),
+            count(lit(1)).as("n_shared"))
+          .select(col("src_a"), col("src_b"), col("n_shared"),
+            round((col("mterm") +
+              log(lit(2.0)) * (lit(2.0) - col("sp") - col("sq"))) * 0.5, 4)
+              .as("jsd"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH tok AS (SELECT source,
+             |               unnest(string_split(text,' ')) AS token
+             |             FROM documents),
+             |st AS (SELECT source, token, count(*) AS c
+             |       FROM tok GROUP BY 1,2),
+             |t AS (SELECT source, sum(c) AS cs FROM st GROUP BY 1),
+             |p AS (SELECT source, token, c / cs::DOUBLE AS p
+             |      FROM st JOIN t USING (source)),
+             |j AS (SELECT a.source AS src_a, b.source AS src_b,
+             |             a.p AS pa, b.p AS pb
+             |      FROM p a JOIN p b
+             |        ON a.token = b.token AND a.source < b.source)
+             |SELECT src_a, src_b, count(*)::BIGINT AS n_shared,
+             |  round((sum(pa * ln(2*pa/(pa+pb)) + pb * ln(2*pb/(pa+pb)))
+             |         + ln(2) * (2 - sum(pa) - sum(pb))) * 0.5, 4) AS jsd
+             |FROM j GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // --- trained quality/language classifier: distributed BATCH PERCEPTRON
+    //     over integer corpus features (bias, token count, long-token count,
+    //     n_chars/100) predicting lang='en'. Unlike float gradient descent —
+    //     whose sum order diverges between engines — integer features keep
+    //     every epoch's weights exact, so the full 5-epoch TRAINING RUN is
+    //     oracled: the SQL twin unrolls the epochs as chained CTEs and must
+    //     reproduce every weight, mistake count, and accuracy bit-for-bit.
+    //     Scale shape: features materialize in one corpus scan; each epoch
+    //     is one map-side integer aggregate over the numeric frame (d+2
+    //     longs to the driver — the model-sized collect, like KMeans). ---
+    Q("q122_perceptron_quality",
+      (s, dir) => {
+        import s.implicits._
+        val toks = split(col("text"), " ")
+        val feats = fanout(Tables(s, dir, "documents"))
+          .select(
+            when(col("lang") === "en", 1).otherwise(-1).as("y"),
+            lit(1L).as("x0"),
+            size(toks).cast("long").as("x1"),
+            size(filter(toks, t => length(t) >= 8)).cast("long").as("x2"),
+            floor(col("n_chars") / 100).cast("long").as("x3"))
+          .localCheckpoint()
+        graft.operators.Perceptron
+          .fit(feats, Seq("x0", "x1", "x2", "x3"), "y", epochs = 5)
+          .map(e => (e.epoch, e.w(0), e.w(1), e.w(2), e.w(3), e.mistakes,
+            BigDecimal(1.0 - e.mistakes.toDouble / e.n)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("epoch", "w_bias", "w_toks", "w_long", "w_chars",
+            "mistakes", "accuracy")
+      },
+      Some("""WITH f AS (SELECT
+             |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+             |    1::BIGINT AS x0,
+             |    len(string_split(text, ' '))::BIGINT AS x1,
+             |    len(list_filter(string_split(text, ' '),
+             |        t -> len(t) >= 8))::BIGINT AS x2,
+             |    (n_chars // 100)::BIGINT AS x3
+             |  FROM documents),
+             |e1 AS (SELECT sum(CASE WHEN y*0 <= 0 THEN y*x0 ELSE 0 END) AS g0,
+             |    sum(CASE WHEN y*0 <= 0 THEN y*x1 ELSE 0 END) AS g1,
+             |    sum(CASE WHEN y*0 <= 0 THEN y*x2 ELSE 0 END) AS g2,
+             |    sum(CASE WHEN y*0 <= 0 THEN y*x3 ELSE 0 END) AS g3,
+             |    count(*) FILTER (y*0 <= 0) AS m, count(*) AS n FROM f),
+             |w1 AS (SELECT g0 AS w0, g1 AS w1, g2 AS w2, g3 AS w3, m, n
+             |       FROM e1),
+             |e2 AS (SELECT
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x0 ELSE 0 END) AS g0,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x1 ELSE 0 END) AS g1,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x2 ELSE 0 END) AS g2,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x3 ELSE 0 END) AS g3,
+             |    count(*) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0) AS m,
+             |    count(*) AS n
+             |  FROM f CROSS JOIN w1),
+             |w2 AS (SELECT w0+g0 AS w0, w1+g1 AS w1, w2+g2 AS w2,
+             |              w3+g3 AS w3, e2.m AS m, e2.n AS n FROM w1, e2),
+             |e3 AS (SELECT
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x0 ELSE 0 END) AS g0,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x1 ELSE 0 END) AS g1,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x2 ELSE 0 END) AS g2,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x3 ELSE 0 END) AS g3,
+             |    count(*) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0) AS m,
+             |    count(*) AS n
+             |  FROM f CROSS JOIN w2),
+             |w3_ AS (SELECT w0+g0 AS w0, w1+g1 AS w1, w2+g2 AS w2,
+             |               w3+g3 AS w3, e3.m AS m, e3.n AS n FROM w2, e3),
+             |e4 AS (SELECT
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x0 ELSE 0 END) AS g0,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x1 ELSE 0 END) AS g1,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x2 ELSE 0 END) AS g2,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x3 ELSE 0 END) AS g3,
+             |    count(*) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0) AS m,
+             |    count(*) AS n
+             |  FROM f CROSS JOIN w3_),
+             |w4 AS (SELECT w0+g0 AS w0, w1+g1 AS w1, w2+g2 AS w2,
+             |              w3+g3 AS w3, e4.m AS m, e4.n AS n FROM w3_, e4),
+             |e5 AS (SELECT
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x0 ELSE 0 END) AS g0,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x1 ELSE 0 END) AS g1,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x2 ELSE 0 END) AS g2,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x3 ELSE 0 END) AS g3,
+             |    count(*) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0) AS m,
+             |    count(*) AS n
+             |  FROM f CROSS JOIN w4),
+             |w5 AS (SELECT w0+g0 AS w0, w1+g1 AS w1, w2+g2 AS w2,
+             |              w3+g3 AS w3, e5.m AS m, e5.n AS n FROM w4, e5)
+             |SELECT epoch::INT AS epoch, w0::BIGINT AS w_bias,
+             |       w1::BIGINT AS w_toks, w2::BIGINT AS w_long,
+             |       w3::BIGINT AS w_chars, m::BIGINT AS mistakes,
+             |       round(1.0 - m::DOUBLE / n, 4) AS accuracy
+             |FROM (SELECT 1 AS epoch, * FROM w1 UNION ALL
+             |      SELECT 2, * FROM w2 UNION ALL
+             |      SELECT 3, * FROM w3_ UNION ALL
+             |      SELECT 4, * FROM w4 UNION ALL
+             |      SELECT 5, * FROM w5)
+             |ORDER BY epoch""".stripMargin)),
+
     // --- int8 scalar quantization of the embedding column with an
     //     in-engine fidelity gate: per-vector symmetric scale
     //     (max|x|/127), quantize, reconstruct, and measure the cosine

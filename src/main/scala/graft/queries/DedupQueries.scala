@@ -649,6 +649,59 @@ object DedupQueries {
              |FROM cg JOIN bg USING (g)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // --- embedding-space decontamination (semantic twin of q56): flag
+    //     training vectors whose nearest held-out benchmark vector (label 0
+    //     stands in for an eval suite) exceeds a cosine threshold —
+    //     paraphrased contamination that shares no 8-gram still lands near
+    //     the benchmark in embedding space. Scale shape: benchmark suites
+    //     are tiny next to the corpus, so the whole set is packed into ONE
+    //     sorted array and broadcast; each training vector folds over it
+    //     map-side (`aggregate`, codegen'd) keeping the best (sim, id) —
+    //     zero shuffle, zero candidate blow-up, linear in the corpus. Ties
+    //     on the rounded sim keep the lowest benchmark id (the fold visits
+    //     ids ascending and replaces only on strictly-greater), which is
+    //     what the oracle's (sim DESC, bid ASC) row_number picks. ---
+    Q("q121_embed_decontaminate",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val benchArr = e.filter(col("label") === 0)
+          .agg(sort_array(collect_list(
+            struct(col("vec_id").as("id"), col("v").as("bv")))).as("bench"))
+        fanout(e.filter(col("label") =!= 0))
+          .crossJoin(broadcast(benchArr))
+          .select(col("vec_id"),
+            aggregate(col("bench"),
+              struct(lit(-2.0).as("sim"), lit(-1L).as("id")),
+              (acc, b) => {
+                val sim = round(
+                  graft.functions.cosine_sim(col("v"), b.getField("bv")), 4)
+                when(sim > acc.getField("sim"),
+                  struct(sim.as("sim"), b.getField("id").as("id")))
+                  .otherwise(acc)
+              }).as("best"))
+          .select(col("vec_id"), col("best.id").as("near_id"),
+            col("best.sim").as("max_sim"))
+          .withColumn("contaminated", (col("max_sim") >= 0.4).cast("int"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+             |           FROM embeddings),
+             |b AS (SELECT vec_id AS bid, v AS bv FROM e WHERE label = 0),
+             |t AS (SELECT vec_id, v FROM e WHERE label <> 0),
+             |scored AS (SELECT t.vec_id, bid,
+             |             round(list_cosine_similarity(v, bv), 4) AS sim
+             |           FROM t CROSS JOIN b),
+             |ranked AS (SELECT vec_id, bid, sim,
+             |             row_number() OVER (PARTITION BY vec_id
+             |               ORDER BY sim DESC, bid) AS rn
+             |           FROM scored)
+             |SELECT vec_id, bid AS near_id, sim AS max_sim,
+             |       (sim >= 0.4)::INT AS contaminated
+             |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+      bench = true),
+
     // --- near-verbatim overlap via shared fixed-length token windows —
     //     the exact-substring dedup signal ("Deduplicating Training Data
     //     Makes Language Models Better" uses 50-token windows; 30 here,

@@ -176,6 +176,48 @@ object SimilarityQueries {
 
   val queries: Seq[Q] = Seq(
 
+    // --- exact kNN JOIN: top-3 cosine neighbors for EVERY vector — the
+    //     symmetric all-vectors shape where, unlike q40's handful of
+    //     broadcast queries, NEITHER side fits an executor. The plan is the
+    //     canonical block-partitioned exact join: repartition both sides
+    //     into B blocks and crossJoin — Spark's cartesian pairs PARTITIONS,
+    //     so each of the B^2 tasks streams one right block against one left
+    //     block (memory bounded by two blocks, sized via B at any corpus
+    //     scale). The global per-query top-k is the bounded-heap CollectTopK
+    //     aggregate, whose map-side PARTIAL step reduces each task to k rows
+    //     per query seen — so k*B rows per query cross the shuffle, never
+    //     the N^2 scored pairs. Used as the ground-truth builder the ANN
+    //     recall family (q43/q45/q48/q49b) compares against when the query
+    //     set is the whole corpus (kNN graphs, SemDeDup, hard-negative
+    //     mining). ---
+    Q("q124_knn_join",
+      (s, dir) => {
+        val all = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val blocks = s.sparkContext.defaultParallelism.min(8)
+        rankBySimDesc(
+          all.toDF("query_id", "qv").repartition(blocks)
+            .crossJoin(all.toDF("vec_id", "v").repartition(blocks))
+            .filter(col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id"),
+              round(cosine_sim(col("qv"), col("v")), 4).as("sim")),
+          k = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |           FROM embeddings),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             |         round(list_cosine_similarity(q.v, c.v), 4) AS sim
+             |  FROM e q JOIN e c ON q.vec_id <> c.vec_id),
+             |ranked AS (
+             |  SELECT query_id, vec_id, sim,
+             |         row_number() OVER (PARTITION BY query_id
+             |           ORDER BY sim DESC, vec_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, vec_id, sim, rank FROM ranked
+             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
     // --- brute-force cosine top-10 for 5 query vectors ---
     Q("q40_knn_bruteforce",
       (s, dir) => knn(s, dir, nQueries = 5, k = 10)
