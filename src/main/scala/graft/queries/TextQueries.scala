@@ -540,6 +540,76 @@ object TextQueries {
       },
       None),
 
+    // --- unigram-LM tokenizer training (SentencePiece unigram model,
+    //     Kudo 2018; hard-EM variant): the probabilistic member of the
+    //     tokenizer family next to q107's greedy BPE — segmentation
+    //     maximizes the product of piece probabilities. ONE corpus-scale
+    //     pass (the word histogram); seeding and every EM epoch run over
+    //     the vocab-sized frame with the E-step DISTRIBUTED (mapPartitions
+    //     Viterbi vs the broadcast piece table) and only the piece vocab
+    //     collected. Deterministic (seed ties lexicographic, Viterbi ties
+    //     to fewer pieces then longer last piece, normalization sorted),
+    //     but float normalization is engine-internal => rows-only;
+    //     UnigramLmSpec pins Viterbi closed forms, UNK fallback, NLL
+    //     monotonicity, and fit-twice determinism. ---
+    Q("q126_unigram_pieces",
+      (s, dir) => {
+        import s.implicits._
+        val (model, stats) = graft.operators.UnigramLm.fit(
+          fanout(Tables(s, dir, "documents")),
+          vocabSize = 200, maxPieceLen = 4, epochs = 3)
+        val top = model.logp.toSeq
+          .filter(_._1.length > 1)
+          .sortBy { case (p, lp) => (-lp, p) }
+          .take(30).zipWithIndex
+          .map { case ((p, lp), i) =>
+            (i + 1, p, BigDecimal(lp).setScale(4,
+              BigDecimal.RoundingMode.HALF_UP).toDouble) }
+          .toDF("rank", "piece", "logp")
+        val nll = stats.map(e => (e.epoch, e.vocab,
+          BigDecimal(e.nll).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("epoch", "vocab_size", "corpus_nll")
+        // one frame: the learned head of the piece table, then the
+        // per-epoch training trace (pieces carry rank>0, trace rank=0)
+        top.unionByName(nll.select(lit(0).as("rank"),
+          concat(lit("epoch_"), col("epoch")).as("piece"),
+          col("corpus_nll").as("logp")))
+          .orderBy(col("rank"), col("piece"))
+      },
+      None),
+
+    // --- unigram-LM encode + fertility: broadcast model, one map-side
+    //     UDF pass; same in-engine fidelity gate family as q107b — the
+    //     pieces of every word must concatenate back to the word
+    //     (n_roundtrip_fail = 0), plus pieces-per-word/chars-per-piece
+    //     fertility and the UNK rate (pieces outside the table). ---
+    Q("q126b_unigram_encode",
+      (s, dir) => {
+        val d = fanout(Tables(s, dir, "documents"))
+        val (model, _) = graft.operators.UnigramLm.fit(
+          d, vocabSize = 150, maxPieceLen = 4, epochs = 2)
+        val known = typedLit(model.logp.keySet.toSeq.sorted)
+        val enc = graft.operators.UnigramLm.encode(d, model)
+        enc.select(
+            regexp_replace(col("text"), " ", "").as("squash"),
+            size(split(col("text"), " ")).as("nw"),
+            col("pieces"), col("n_pieces"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nw")).as("n_words"),
+            sum(col("n_pieces")).as("n_pieces"),
+            round(sum(col("n_pieces")) / sum(col("nw")).cast("double"), 4)
+              .as("pieces_per_word"),
+            round(sum(length(col("squash")))
+              / sum(col("n_pieces")).cast("double"), 4).as("chars_per_piece"),
+            round(sum(size(filter(col("pieces"),
+                p => !array_contains(known, p))))
+              / sum(col("n_pieces")).cast("double"), 6).as("unk_rate"),
+            sum(when(concat_ws("", col("pieces")) =!= col("squash"), 1L)
+              .otherwise(0L)).as("n_roundtrip_fail"))
+      },
+      None),
+
     // --- TextRank keywords (Mihalcea & Tarau 2004): weighted PageRank
     //     over the adjacent-token co-occurrence graph, 15 fixed rounds —
     //     the unsupervised keyword scorer for building domain lexicons
