@@ -991,6 +991,31 @@ object AnalysisQueries {
              |    AS vocab_size
              |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    // --- compressibility quality signal: per-doc deflate ratio
+    //     (compressed/raw bytes) — the cheap language-agnostic
+    //     boilerplate/template/log-spam detector that complements the
+    //     explicit repetition fractions (q57/q57b): templated structure
+    //     n-gram rules miss still crushes under deflate. Pure map-side
+    //     (one Deflater per partition, reset per row, payloads never
+    //     shuffle); summarized per source with the flag rate so the
+    //     output is sources-sized. zlib bytes are engine-internal =>
+    //     rows-only; CompressionSignalSpec pins the ordering invariants
+    //     (repetition << prose << noise) and determinism. ---
+    Q("q127_compress_ratio",
+      (s, dir) => {
+        val d = fanout(Tables(s, dir, "documents"))
+        graft.operators.CompressionSignal.ratios(d)
+          .join(d.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("ratio")), 4).as("avg_ratio"),
+            round(min(col("ratio")), 4).as("min_ratio"),
+            sum(when(col("ratio") < 0.3, 1L).otherwise(0L))
+              .as("n_flagged"))
+          .orderBy(col("source"))
+      },
+      None),
+
     // --- k-anonymity audit over release metadata: group size of every
     //     quasi-identifier combination (lang, source, length bucket) and a
     //     below-k flag — the privacy-governance companion to q72's PII
