@@ -75,6 +75,73 @@ object UnigramLm {
       rev.reverseIterator.foreach { case (a, b) => out += word.substring(a, b) }
       (out.result(), score(n))
     }
+
+    private def pieceLogp(word: String, j: Int, i: Int): Double =
+      if (i - j == 1) logp.getOrElse(word.substring(j, i), unkLogp)
+      else logp.getOrElse(word.substring(j, i), Double.NegativeInfinity)
+
+    /** Subword regularization (Kudo 2018): SAMPLE a segmentation with
+      * probability proportional to exp(alpha * path logp) via
+      * forward-filtering / backward-sampling over the piece lattice.
+      * alpha -> infinity recovers Viterbi; alpha = 0 is uniform over
+      * segmentations. Randomness is hash-derived from (seed, word,
+      * position) — bit-reproducible across runs, partitionings, and
+      * cluster sizes, like every sampling operator in this engine. */
+    def sampleSegment(word: String, seed: Long, alpha: Double = 1.0): Seq[String] = {
+      val n = word.length
+      if (n == 0) return Nil
+      // forward pass: f(i) = log sum over segmentations of word[0,i)
+      val f = new Array[Double](n + 1)
+      var i = 1
+      while (i <= n) {
+        var acc = Double.NegativeInfinity
+        var j = math.max(0, i - maxLen)
+        while (j < i) {
+          val lp = pieceLogp(word, j, i)
+          if (lp != Double.NegativeInfinity) {
+            val t = f(j) + alpha * lp
+            // log-add-exp, keeping the max first for stability
+            acc = if (acc == Double.NegativeInfinity) t
+            else { val m = math.max(acc, t)
+              m + math.log(math.exp(acc - m) + math.exp(t - m)) }
+          }
+          j += 1
+        }
+        f(i) = acc
+        i += 1
+      }
+      // backward sample: P(last piece = word[j,i)) = exp(f(j)+a*lp-f(i))
+      val rev = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var p = n
+      while (p > 0) {
+        val u = uniform(seed, word, p)
+        var cum = 0.0
+        var chosen = -1
+        var j = math.max(0, p - maxLen)
+        while (j < p && chosen < 0) {
+          val lp = pieceLogp(word, j, p)
+          if (lp != Double.NegativeInfinity) {
+            cum += math.exp(f(j) + alpha * lp - f(p))
+            if (u < cum) chosen = j
+          }
+          j += 1
+        }
+        if (chosen < 0) chosen = p - 1 // float slack: fall back to a single
+        rev += ((chosen, p))
+        p = chosen
+      }
+      rev.reverseIterator.map { case (a, b) => word.substring(a, b) }.toSeq
+    }
+
+    /** 53-bit hash uniform in [0,1): splitmix64 over (seed, word hash,
+      * position). */
+    private def uniform(seed: Long, word: String, pos: Int): Double = {
+      var x = seed ^ (word.hashCode.toLong << 17) ^ (pos.toLong * 0x9E3779B97F4A7C15L)
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^= x >>> 31
+      (x >>> 11).toDouble / (1L << 53).toDouble
+    }
   }
 
   final case class EpochStat(epoch: Int, vocab: Int, nll: Double)
@@ -165,6 +232,28 @@ object UnigramLm {
         .flatMap(w => m.segment(w)._1).toSeq
     }
     docs.withColumn("pieces", segUdf(col(textCol)))
+      .withColumn("n_pieces", size(col("pieces")))
+  }
+
+  /** Sampled-segmentation encode (subword regularization): each word
+    * occurrence draws its own segmentation from the lattice, seeded by
+    * (seed, doc_id, word index) — a fresh `seed` per training epoch gives
+    * the regularizing diversity, while any fixed seed is bit-reproducible.
+    * Map-side like [[encode]]. */
+  def encodeSampled(docs: DataFrame, model: Model, seed: Long,
+      alpha: Double = 1.0, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val segUdf = udf { (docId: Long, text: String) =>
+      val m = bc.value
+      var wi = 0
+      text.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
+        wi += 1
+        m.sampleSegment(w,
+          seed ^ (docId * 0x9E3779B97F4A7C15L) ^ wi.toLong, alpha)
+      }.toSeq
+    }
+    docs.withColumn("pieces", segUdf(col("doc_id").cast("long"), col(textCol)))
       .withColumn("n_pieces", size(col("pieces")))
   }
 }

@@ -555,9 +555,10 @@ object TextQueries {
     Q("q126_unigram_pieces",
       (s, dir) => {
         import s.implicits._
-        val (model, stats) = graft.operators.UnigramLm.fit(
-          fanout(Tables(s, dir, "documents")),
-          vocabSize = 200, maxPieceLen = 4, epochs = 3)
+        val (model, stats) = SimilarityQueries.memoFit(s, dir, "unigram-200-4-3")(
+          graft.operators.UnigramLm.fit(
+            fanout(Tables(s, dir, "documents")),
+            vocabSize = 200, maxPieceLen = 4, epochs = 3))
         val top = model.logp.toSeq
           .filter(_._1.length > 1)
           .sortBy { case (p, lp) => (-lp, p) }
@@ -587,8 +588,9 @@ object TextQueries {
     Q("q126b_unigram_encode",
       (s, dir) => {
         val d = fanout(Tables(s, dir, "documents"))
-        val (model, _) = graft.operators.UnigramLm.fit(
-          d, vocabSize = 150, maxPieceLen = 4, epochs = 2)
+        val (model, _) = SimilarityQueries.memoFit(s, dir, "unigram-150-4-2")(
+          graft.operators.UnigramLm.fit(
+            d, vocabSize = 150, maxPieceLen = 4, epochs = 2))
         val known = typedLit(model.logp.keySet.toSeq.sorted)
         val enc = graft.operators.UnigramLm.encode(d, model)
         enc.select(
@@ -606,6 +608,45 @@ object TextQueries {
                 p => !array_contains(known, p))))
               / sum(col("n_pieces")).cast("double"), 6).as("unk_rate"),
             sum(when(concat_ws("", col("pieces")) =!= col("squash"), 1L)
+              .otherwise(0L)).as("n_roundtrip_fail"))
+      },
+      None),
+
+    // --- subword regularization (the capability that motivates unigram
+    //     over BPE): each word occurrence SAMPLES its segmentation from
+    //     the piece lattice (forward-filter / backward-sample,
+    //     exp(alpha·logp)-weighted) instead of taking the Viterbi argmax.
+    //     Randomness is hash-derived from (seed, doc, word index) — the
+    //     engine's deterministic-sampling contract (q104's md5 uniforms,
+    //     q105's epoch shuffle) — so the "stochastic" encode is
+    //     bit-reproducible. Output compares the sampled pass against
+    //     Viterbi: fertility of both, the fraction of docs whose
+    //     segmentation diverged (the regularization diversity), and the
+    //     roundtrip gate over the SAMPLED pieces (must still concatenate
+    //     to the text => 0 failures). Model shared with q126b via the
+    //     session memo. Rows-only (float lattice + engine hash). ---
+    Q("q126c_unigram_sampled",
+      (s, dir) => {
+        val d = fanout(Tables(s, dir, "documents"))
+        val (model, _) = SimilarityQueries.memoFit(s, dir, "unigram-150-4-2")(
+          graft.operators.UnigramLm.fit(
+            d, vocabSize = 150, maxPieceLen = 4, epochs = 2))
+        val vit = graft.operators.UnigramLm.encode(d, model)
+          .select(col("doc_id"), col("pieces").as("vp"),
+            regexp_replace(col("text"), " ", "").as("squash"),
+            size(split(col("text"), " ")).as("nw"))
+        val samp = graft.operators.UnigramLm
+          .encodeSampled(d, model, seed = 1L)
+          .select(col("doc_id"), col("pieces").as("sp"))
+        vit.join(samp, "doc_id")
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum(size(col("vp"))) / sum(col("nw")).cast("double"), 4)
+              .as("viterbi_ppw"),
+            round(sum(size(col("sp"))) / sum(col("nw")).cast("double"), 4)
+              .as("sampled_ppw"),
+            round(avg(when(col("vp") =!= col("sp"), 1.0).otherwise(0.0)), 4)
+              .as("frac_diverged"),
+            sum(when(concat_ws("", col("sp")) =!= col("squash"), 1L)
               .otherwise(0L)).as("n_roundtrip_fail"))
       },
       None),

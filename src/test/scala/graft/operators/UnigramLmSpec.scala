@@ -50,6 +50,46 @@ class UnigramLmSpec extends SparkSpec {
     assert(enc == Seq("ab", "ab", "cd", "cd"))
   }
 
+  test("sampled segmentation draws from the lattice distribution") {
+    // "ab": paths [ab] (w=0.25) and [a,b] (w=0.25) => P = 0.5 each at a=1
+    val m = UnigramLm.Model(
+      Map("a" -> math.log(0.5), "b" -> math.log(0.5), "ab" -> math.log(0.25)),
+      maxLen = 2)
+    val draws = (0 until 2000).map(s => m.sampleSegment("ab", s.toLong))
+    val fracWhole = draws.count(_ == Seq("ab")) / 2000.0
+    assert(fracWhole > 0.45 && fracWhole < 0.55,
+      s"P([ab]) should be ~0.5, got $fracWhole")
+    // determinism: identical seed => identical draw
+    assert(m.sampleSegment("ab", 7L) == m.sampleSegment("ab", 7L))
+    // sharp alpha recovers Viterbi: [ab]=0.4 vs [a,b]=0.09, alpha=10
+    // makes the ratio (0.4/0.09)^10 ~ 3e6
+    val skew = UnigramLm.Model(
+      Map("a" -> math.log(0.3), "b" -> math.log(0.3), "ab" -> math.log(0.4)),
+      maxLen = 2)
+    assert((0 until 500).forall(s =>
+      skew.sampleSegment("ab", s.toLong, alpha = 10.0) == Seq("ab")))
+  }
+
+  test("encodeSampled is map-side, per-occurrence seeded, reproducible") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab abab"), (2L, "abab abab")).toDF("doc_id", "text")
+    val m = UnigramLm.Model(
+      Map("a" -> math.log(0.5), "b" -> math.log(0.5), "ab" -> math.log(0.25)),
+      maxLen = 2)
+    val once = UnigramLm.encodeSampled(docs, m, seed = 42L)
+      .select("doc_id", "pieces").as[(Long, Seq[String])].collect().toMap
+    val again = UnigramLm.encodeSampled(docs, m, seed = 42L)
+      .select("doc_id", "pieces").as[(Long, Seq[String])].collect().toMap
+    assert(once == again)
+    // every piece sequence still concatenates back to the text
+    assert(once.values.forall(_.mkString == "abababab"))
+    // different docs draw independently (seeds mix doc_id)
+    assert(once(1L) != once(2L) ||
+      UnigramLm.encodeSampled(docs, m, seed = 43L)
+        .select("doc_id", "pieces").as[(Long, Seq[String])]
+        .collect().toMap != once)
+  }
+
   test("training is deterministic: two fits produce the identical model") {
     import spark.implicits._
     val docs = Seq("the quick brown fox", "the slow brown dog",
