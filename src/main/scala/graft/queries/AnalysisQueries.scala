@@ -991,6 +991,83 @@ object AnalysisQueries {
              |    AS vocab_size
              |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    // --- Poisson bootstrap CI (Chamandy et al. 2012 — the distributed
+    //     bootstrap): instead of resampling rows (impossible in one pass
+    //     at corpus scale), every row draws an independent Poisson(1)
+    //     weight per replicate — one scan, no resampling index, and the
+    //     replicate means' spread is the sampling distribution of the
+    //     estimator. Weights come from the engine's md5-uniform contract
+    //     (q104) through the exact inverse-CDF ladder, so they are
+    //     INTEGER and the weighted sums stay bit-exact in both engines —
+    //     the entire bootstrap, CI order statistics included, is
+    //     hash-oracled. Scale shape: the exploded (rep, w, x) frame is
+    //     narrow and partial-aggregates to reps x partitions rows before
+    //     the shuffle; the CI window runs on 50 rows. ---
+    Q("q128_poisson_bootstrap",
+      (s, dir) => {
+        val reps = 50
+        val d = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        val e = fanout(d)
+          .select(col("doc_id"), col("n_chars"),
+            explode(sequence(lit(1), lit(reps))).as("rep"))
+        val x = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit("_"),
+            col("rep").cast("string")).cast("binary")), 1, 13),
+          16, 10).cast("long")
+        val u = (x + 1) / lit(4503599627370497.0)
+        // Poisson(1) inverse CDF: cumulative e^-1 * sum 1/k!
+        val w = when(u < 0.36787944117144233, 0L)
+          .when(u < 0.7357588823428847, 1L)
+          .when(u < 0.9196986029286058, 2L)
+          .when(u < 0.9810118431238462, 3L)
+          .when(u < 0.9963401531726563, 4L)
+          .when(u < 0.9994058151824183, 5L)
+          .when(u < 0.9999167588507119, 6L)
+          .otherwise(7L)
+        val repMeans = e.select(col("rep"), w.as("w"), col("n_chars"))
+          .groupBy(col("rep"))
+          .agg(sum(col("w") * col("n_chars")).as("sx"), sum(col("w")).as("sw"))
+          .select(col("rep"), (col("sx") / col("sw")).as("m"))
+        val ranked = repMeans.withColumn("rk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("m"), col("rep"))))
+        d.agg(count(lit(1)).as("n_docs"),
+            round(avg(col("n_chars")), 4).as("mean_nchars"))
+          .crossJoin(ranked.filter(col("rk") === 2)
+            .select(round(col("m"), 4).as("ci_lo")))
+          .crossJoin(ranked.filter(col("rk") === 49)
+            .select(round(col("m"), 4).as("ci_hi")))
+          .withColumn("n_reps", lit(reps))
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars FROM documents),
+             |e AS (SELECT doc_id, n_chars, rep FROM d, range(1, 51) t(rep)),
+             |x AS (SELECT rep, n_chars,
+             |        ('0x' || substr(md5(doc_id::VARCHAR || '_' ||
+             |          rep::VARCHAR), 1, 13))::BIGINT AS x
+             |      FROM e),
+             |u AS (SELECT rep, n_chars,
+             |        (x + 1) / 4503599627370497.0 AS u FROM x),
+             |w AS (SELECT rep, n_chars, CASE
+             |        WHEN u < 0.36787944117144233 THEN 0
+             |        WHEN u < 0.7357588823428847 THEN 1
+             |        WHEN u < 0.9196986029286058 THEN 2
+             |        WHEN u < 0.9810118431238462 THEN 3
+             |        WHEN u < 0.9963401531726563 THEN 4
+             |        WHEN u < 0.9994058151824183 THEN 5
+             |        WHEN u < 0.9999167588507119 THEN 6
+             |        ELSE 7 END AS w
+             |      FROM u),
+             |m AS (SELECT rep,
+             |        sum(w * n_chars)::DOUBLE / sum(w)::DOUBLE AS m
+             |      FROM w GROUP BY rep),
+             |r AS (SELECT m, row_number() OVER (ORDER BY m, rep) AS rk
+             |      FROM m)
+             |SELECT (SELECT count(*) FROM d) AS n_docs,
+             |       (SELECT round(avg(n_chars), 4) FROM d) AS mean_nchars,
+             |       (SELECT round(m, 4) FROM r WHERE rk = 2) AS ci_lo,
+             |       (SELECT round(m, 4) FROM r WHERE rk = 49) AS ci_hi,
+             |       50::INT AS n_reps""".stripMargin)),
+
     // --- compressibility quality signal: per-doc deflate ratio
     //     (compressed/raw bytes) — the cheap language-agnostic
     //     boilerplate/template/log-spam detector that complements the
