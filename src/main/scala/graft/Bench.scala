@@ -26,6 +26,7 @@ object Bench {
   private def newSession(): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       // testdata parquet files are single-row-group and would scan as ONE
       // partition, serializing CPU-bound per-row work; force splittable

@@ -42,6 +42,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     exprs => Bridge.toExpression(f(exprs.map(Bridge.column)))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rewrite: size(split(s,' ',-1)) -> allocation-free byte
+    // scan (see plans/TokenCountRewrite); semantics-identical, proven by
+    // the oracle gate on every query using the idiom
+    ext.injectOptimizerRule(_ => graft.plans.TokenCountRewrite)
+
+    ext.injectFunction((FunctionIdentifier("token_count"),
+      info("token_count", "token_count(str) - space-delimited token count, equal to size(split(str, ' ', -1)) without materializing the array."),
+      (exprs: Seq[Expression]) => graft.functions.TokenCount(exprs.head)))
+
     ext.injectFunction((FunctionIdentifier("normalize_text"),
       info("normalize_text", "normalize_text(str) - NFC + lowercase + word-char runs joined by spaces."),
       (exprs: Seq[Expression]) => NormalizeText(exprs.head)))

@@ -78,4 +78,21 @@ object TextKernels {
     }
     h
   }
+
+  /** Space-delimited token count WITHOUT materializing the split array:
+    * exactly `size(split(s, " ", -1))` = (number of 0x20 bytes) + 1 — a
+    * 0x20 byte never occurs inside a UTF-8 multi-byte sequence, so a raw
+    * byte scan is codepoint-correct. Matches Java regex-split semantics
+    * for the single-space pattern: empties between/before/after spaces
+    * all count (limit -1 keeps trailing empties). */
+  def tokenCount(u: UTF8String): Int = {
+    val n = u.numBytes()
+    var i = 0
+    var c = 1
+    while (i < n) {
+      if (u.getByte(i) == 0x20) c += 1
+      i += 1
+    }
+    c
+  }
 }

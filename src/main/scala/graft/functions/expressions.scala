@@ -287,3 +287,26 @@ case class VecDot(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
 }
+
+/** Codegen'd space-delimited token count — the result of
+  * `size(split(s, " ", -1))` without materializing the array of token
+  * strings: one byte scan, zero allocation. Normally introduced by the
+  * optimizer rewrite [[graft.plans.TokenCountRewrite]], which replaces
+  * that exact pattern wherever it appears (the idiom behind word counts,
+  * fertility denominators, and length features throughout the catalog);
+  * also registered as SQL `token_count`.
+  */
+case class TokenCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "token_count"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.tokenCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.tokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCount =
+    copy(child = newChild)
+}

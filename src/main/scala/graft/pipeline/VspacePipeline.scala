@@ -150,6 +150,7 @@ object VspacePipeline {
     val cfg = VspaceConfig.load(args(0))
     val spark = SparkSession.builder()
       .appName("graft-vspace")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS",
           Runtime.getRuntime.availableProcessors().toString))

@@ -991,6 +991,52 @@ object AnalysisQueries {
              |    AS vocab_size
              |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    // --- leave-one-source-out influence (the groupwise jackknife): how
+    //     much each source SHIFTS the corpus means — the companion to
+    //     q128's sampling CI (is a drift driven by one feed?) and to
+    //     q83's mixture design (which sources would change the mix if
+    //     dropped). Closed form from per-source integer sums — no
+    //     re-aggregation per held-out group, one partial-agg'd groupBy
+    //     plus a broadcast totals row; sums are exact so the whole
+    //     report is hash-oracled. Token counts go through the
+    //     size(split) idiom, i.e. through the TokenCountRewrite path. ---
+    Q("q129_source_influence",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("source"), col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("nt"))
+        val per = d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"),
+            sum(col("nt")).as("st"))
+        val tot = per.agg(sum(col("n")).as("tn"), sum(col("sc")).as("tsc"),
+          sum(col("st")).as("tst"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n").as("n_docs"),
+            round((col("tsc") - col("sc"))
+              / (col("tn") - col("n")).cast("double")
+              - col("tsc") / col("tn").cast("double"), 4)
+              .as("chars_influence"),
+            round((col("tst") - col("st"))
+              / (col("tn") - col("n")).cast("double")
+              - col("tst") / col("tn").cast("double"), 4)
+              .as("tokens_influence"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT source, n_chars,
+             |            len(string_split(text, ' '))::BIGINT AS nt
+             |          FROM documents),
+             |p AS (SELECT source, count(*) AS n, sum(n_chars)::BIGINT AS sc,
+             |             sum(nt)::BIGINT AS st
+             |      FROM d GROUP BY 1),
+             |t AS (SELECT sum(n)::BIGINT AS tn, sum(sc)::BIGINT AS tsc,
+             |             sum(st)::BIGINT AS tst FROM p)
+             |SELECT source, n AS n_docs,
+             |  round((tsc - sc) / (tn - n)::DOUBLE
+             |        - tsc / tn::DOUBLE, 4) AS chars_influence,
+             |  round((tst - st) / (tn - n)::DOUBLE
+             |        - tst / tn::DOUBLE, 4) AS tokens_influence
+             |FROM p CROSS JOIN t ORDER BY source""".stripMargin)),
+
     // --- Poisson bootstrap CI (Chamandy et al. 2012 — the distributed
     //     bootstrap): instead of resampling rows (impossible in one pass
     //     at corpus scale), every row draws an independent Poisson(1)

@@ -35,6 +35,7 @@ object AnnBench {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -41,6 +41,7 @@ object DataPipelineBench {
     val shufflePartitions = math.max(cpus.toInt, (targetGB * 128).toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .appName("graft-data-pipeline")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")

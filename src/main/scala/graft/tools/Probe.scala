@@ -16,6 +16,7 @@ object Probe {
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.ui.enabled", "false")

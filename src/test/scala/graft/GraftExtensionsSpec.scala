@@ -95,4 +95,60 @@ class GraftExtensionsSpec extends SparkSpec {
       Row("cat", 2L, 2L), Row("down", 1L, 1L), Row("sat", 2L, 2L),
       Row("the", 2L, 2L)))
   }
+
+  test("TokenCountRewrite replaces size(split(s,' ')) and preserves semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, size, split}
+    // edge cases where the equivalence could plausibly break: empties,
+    // leading/trailing/doubled spaces, multi-byte UTF-8, tabs (NOT split)
+    val docs = Seq("", "a", "a b", " a", "a ", "a  b", "héllo wörld",
+      "汉字 文本", "a\tb", "   ").toDF("text")
+    val rewritten = docs.select(size(split(col("text"), " ")).as("n"))
+    // a literal LocalRelation constant-folds away; assert the rewrite on
+    // a non-foldable source (range), where the expression survives
+    import org.apache.spark.sql.functions.{concat, lit}
+    val live = spark.range(4)
+      .select(concat(lit("a "), col("id").cast("string")).as("text"))
+      .select(size(split(col("text"), " ")).as("n"))
+    val opt = live.queryExecution.optimizedPlan.toString
+    assert(opt.contains("token_count"), s"rewrite did not fire:\n$opt")
+    assert(live.collect().map(_.getInt(0)).forall(_ == 2))
+    // the explicit default limit spells the same pattern: also rewritten
+    val explicit = spark.range(1)
+      .select(concat(lit("x y"), col("id").cast("string")).as("text"))
+      .select(size(split(col("text"), " ", -1)).as("n"))
+    assert(explicit.queryExecution.optimizedPlan.toString.contains("token_count"))
+    // compute the expected values in plain Scala (Java regex split, -1)
+    val expect = Seq("", "a", "a b", " a", "a ", "a  b", "héllo wörld",
+      "汉字 文本", "a\tb", "   ").map(_.split(" ", -1).length)
+    assert(rewritten.collect().map(_.getInt(0)).toSeq == expect)
+  }
+
+  test("TokenCountRewrite leaves other split patterns untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, size, split}
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    // non-foldable source so the negative assertions actually see a plan
+    val docs = spark.range(1)
+      .select(concat(lit("a,b c"), when(col("id") < 0, "z").otherwise(""))
+        .as("text"))
+    val comma = docs.select(size(split(col("text"), ",")).as("n"))
+    assert(!comma.queryExecution.optimizedPlan.toString.contains("token_count"))
+    assert(comma.head().getInt(0) == 2)
+    val limited = docs.select(size(split(col("text"), " ", 1)).as("n"))
+    assert(!limited.queryExecution.optimizedPlan.toString.contains("token_count"))
+    assert(limited.head().getInt(0) == 1)
+    // regex pattern that merely CONTAINS a space must not match
+    val rx = docs.select(size(split(col("text"), " |,")).as("n"))
+    assert(!rx.queryExecution.optimizedPlan.toString.contains("token_count"))
+    assert(rx.head().getInt(0) == 3)
+  }
+
+  test("token_count is exposed in SQL and stays codegen'd") {
+    val r = spark.sql("SELECT token_count('a  b c') AS n").head()
+    assert(r.getInt(0) == 4)
+    val plan = spark.sql("SELECT token_count('x y') AS n")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+  }
 }
