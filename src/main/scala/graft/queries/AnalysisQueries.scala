@@ -35,6 +35,115 @@ object AnalysisQueries {
           + (lit(1.0) - col("stop_ratio")) * 0.2)
   }
 
+  /** DuckDB CTE chain shared by q122 (training audit) and q130 (AUC of
+    * the trained scorer): the integer feature frame plus the 5 perceptron
+    * epochs unrolled (w1..w5; w5 = final weights). Integer arithmetic
+    * keeps every epoch bit-identical to the Spark fit. */
+  private val PerceptronCtes: String =
+    """WITH f AS (SELECT
+             |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+             |    1::BIGINT AS x0,
+             |    len(string_split(text, ' '))::BIGINT AS x1,
+             |    len(list_filter(string_split(text, ' '),
+             |        t -> len(t) >= 8))::BIGINT AS x2,
+             |    (n_chars // 100)::BIGINT AS x3
+             |  FROM documents),
+             |e1 AS (SELECT sum(CASE WHEN y*0 <= 0 THEN y*x0 ELSE 0 END) AS g0,
+             |    sum(CASE WHEN y*0 <= 0 THEN y*x1 ELSE 0 END) AS g1,
+             |    sum(CASE WHEN y*0 <= 0 THEN y*x2 ELSE 0 END) AS g2,
+             |    sum(CASE WHEN y*0 <= 0 THEN y*x3 ELSE 0 END) AS g3,
+             |    count(*) FILTER (y*0 <= 0) AS m, count(*) AS n FROM f),
+             |w1 AS (SELECT g0 AS w0, g1 AS w1, g2 AS w2, g3 AS w3, m, n
+             |       FROM e1),
+             |e2 AS (SELECT
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x0 ELSE 0 END) AS g0,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x1 ELSE 0 END) AS g1,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x2 ELSE 0 END) AS g2,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x3 ELSE 0 END) AS g3,
+             |    count(*) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0) AS m,
+             |    count(*) AS n
+             |  FROM f CROSS JOIN w1),
+             |w2 AS (SELECT w0+g0 AS w0, w1+g1 AS w1, w2+g2 AS w2,
+             |              w3+g3 AS w3, e2.m AS m, e2.n AS n FROM w1, e2),
+             |e3 AS (SELECT
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x0 ELSE 0 END) AS g0,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x1 ELSE 0 END) AS g1,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x2 ELSE 0 END) AS g2,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x3 ELSE 0 END) AS g3,
+             |    count(*) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0) AS m,
+             |    count(*) AS n
+             |  FROM f CROSS JOIN w2),
+             |w3_ AS (SELECT w0+g0 AS w0, w1+g1 AS w1, w2+g2 AS w2,
+             |               w3+g3 AS w3, e3.m AS m, e3.n AS n FROM w2, e3),
+             |e4 AS (SELECT
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x0 ELSE 0 END) AS g0,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x1 ELSE 0 END) AS g1,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x2 ELSE 0 END) AS g2,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x3 ELSE 0 END) AS g3,
+             |    count(*) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0) AS m,
+             |    count(*) AS n
+             |  FROM f CROSS JOIN w3_),
+             |w4 AS (SELECT w0+g0 AS w0, w1+g1 AS w1, w2+g2 AS w2,
+             |              w3+g3 AS w3, e4.m AS m, e4.n AS n FROM w3_, e4),
+             |e5 AS (SELECT
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x0 ELSE 0 END) AS g0,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x1 ELSE 0 END) AS g1,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x2 ELSE 0 END) AS g2,
+             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
+             |        THEN y*x3 ELSE 0 END) AS g3,
+             |    count(*) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0) AS m,
+             |    count(*) AS n
+             |  FROM f CROSS JOIN w4),
+             |w5 AS (SELECT w0+g0 AS w0, w1+g1 AS w1, w2+g2 AS w2,
+             |              w3+g3 AS w3, e5.m AS m, e5.n AS n FROM w4, e5)""".stripMargin
+
+  /** Per-doc bigram histogram (doc_id, bg, c), shared by the bigram-LM
+    * family (q82 MLE, q131 Kneser-Ney). One corpus pass: the histogram
+    * feeds BOTH the model aggregation and the scoring join (Catalyst has
+    * no cross-branch subexpression reuse — without materializing, the
+    * corpus-sized explode would run twice). The histogram is also smaller
+    * than the raw explode (within-doc repeats collapse), and the
+    * per-occurrence mean becomes the c-weighted mean. */
+  private def bigramHistogram(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    fanout(Tables(s, dir, "documents"))
+      .select(col("doc_id"),
+        explode(word_ngrams(split(col("text"), " "), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+
+  /** Integer feature frame for the perceptron family (q122 fit audit, q130
+    * AUC): label y = +-1 on lang='en'; features bias, token count,
+    * long-token count, n_chars/100. localCheckpoint'ed — the fit scans it
+    * once per epoch and the AUC scorer once more. */
+  private def perceptronFeatures(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val toks = split(col("text"), " ")
+    fanout(Tables(s, dir, "documents"))
+      .select(
+        when(col("lang") === "en", 1).otherwise(-1).as("y"),
+        lit(1L).as("x0"),
+        size(toks).cast("long").as("x1"),
+        size(filter(toks, t => length(t) >= 8)).cast("long").as("x2"),
+        floor(col("n_chars") / 100).cast("long").as("x3"))
+      .localCheckpoint()
+  }
+
   /** Deterministic epoch shuffle (q105 + EpochShuffleSpec): seeded-hash
     * training order, sharded by pmod(hash, nShards), position within shard
     * by hash order (doc_id tiebreak — xxhash64 collisions are 2^-64 but
@@ -875,17 +984,7 @@ object AnalysisQueries {
     //     scores, so every observed bigram has mass. ---
     Q("q82_bigram_lm_nll",
       (s, dir) => {
-        // One corpus pass: the per-doc bigram histogram feeds BOTH the
-        // model aggregation and the scoring join (Catalyst has no
-        // cross-branch subexpression reuse — without materializing, the
-        // corpus-sized explode would run twice). The histogram is also
-        // smaller than the raw explode (within-doc repeats collapse), and
-        // the per-occurrence mean becomes the c-weighted mean.
-        val perDoc = fanout(Tables(s, dir, "documents"))
-          .select(col("doc_id"),
-            explode(word_ngrams(split(col("text"), " "), 2)).as("bg"))
-          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-          .localCheckpoint()
+        val perDoc = bigramHistogram(s, dir)
         val model = perDoc.groupBy(col("bg")).agg(sum(col("c")).as("c12"))
           .withColumn("logp",
             log(col("c12") / sum(col("c12")).over(
@@ -907,6 +1006,66 @@ object AnalysisQueries {
              |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
              |       round(-avg(logp), 4) AS nll
              |FROM b JOIN p USING (bg)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // --- interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    //     Goodman 1998 eq. 4.19, D = 0.75): the production smoothing next
+    //     to q82's MLE —
+    //       P(w2|w1) = max(c12 - D, 0)/c1 + (D·N1+(w1·)/c1)·(N1+(·w2)/T)
+    //     where the continuation counts N1+ are DISTINCT-neighbor counts
+    //     and T = distinct bigram types. All model terms come from windows
+    //     over the DISTINCT-bigram frame (vocab²-bounded, never corpus
+    //     rows; c1/N1 sums are integer-exact), T from one broadcast
+    //     scalar. Scoring reuses the q82 histogram join; the arithmetic
+    //     mirrors the oracle operation-for-operation so the doubles agree
+    //     bit-for-bit. At 100 TB: one corpus scan (the shared histogram),
+    //     two vocab-keyed window shuffles, one broadcast. ---
+    Q("q131_kneser_ney_nll",
+      (s, dir) => {
+        val D = 0.75
+        val perDoc = bigramHistogram(s, dir)
+        val types = perDoc.groupBy(col("bg")).agg(sum(col("c")).as("c12"))
+          .localCheckpoint()
+        val total = broadcast(types.agg(count(lit(1)).as("t")))
+        val byW1 = Window.partitionBy(col("w1"))
+        val byW2 = Window.partitionBy(col("w2"))
+        val model = types
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+          .withColumn("w2", substring_index(col("bg"), " ", -1))
+          .withColumn("c1", sum(col("c12")).over(byW1))
+          .withColumn("n1", count(lit(1)).over(byW1))
+          .withColumn("n2", count(lit(1)).over(byW2))
+          .crossJoin(total)
+          .select(col("bg"),
+            log(greatest(col("c12") - lit(D), lit(0.0)) / col("c1")
+              + lit(D) * col("n1") / col("c1") * col("n2") / col("t"))
+              .as("logp"))
+        perDoc.join(model, "bg")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_bigrams"),
+            round(-(sum(col("c") * col("logp")) / sum(col("c"))), 4)
+              .as("nll_kn"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+             |            FROM documents),
+             |b AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1],' ')
+             |        for i in range(1, len(toks))]) AS bg FROM t),
+             |h AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1,2),
+             |m AS (SELECT bg, sum(c) AS c12 FROM h GROUP BY bg),
+             |w AS (SELECT bg, c12, string_split(bg,' ')[1] AS w1,
+             |             string_split(bg,' ')[-1] AS w2 FROM m),
+             |p AS (SELECT bg,
+             |        ln(greatest(c12 - 0.75, 0.0)
+             |             / sum(c12) OVER (PARTITION BY w1)
+             |           + 0.75 * count(*) OVER (PARTITION BY w1)
+             |             / sum(c12) OVER (PARTITION BY w1)
+             |             * count(*) OVER (PARTITION BY w2)
+             |             / (SELECT count(*) FROM m)) AS logp
+             |      FROM w)
+             |SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+             |       round(-(sum(c * logp) / sum(c)), 4) AS nll_kn
+             |FROM h JOIN p USING (bg)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // --- domain-mixture resampling: downsample every source to the
@@ -1228,15 +1387,7 @@ object AnalysisQueries {
     Q("q122_perceptron_quality",
       (s, dir) => {
         import s.implicits._
-        val toks = split(col("text"), " ")
-        val feats = fanout(Tables(s, dir, "documents"))
-          .select(
-            when(col("lang") === "en", 1).otherwise(-1).as("y"),
-            lit(1L).as("x0"),
-            size(toks).cast("long").as("x1"),
-            size(filter(toks, t => length(t) >= 8)).cast("long").as("x2"),
-            floor(col("n_chars") / 100).cast("long").as("x3"))
-          .localCheckpoint()
+        val feats = perceptronFeatures(s, dir)
         graft.operators.Perceptron
           .fit(feats, Seq("x0", "x1", "x2", "x3"), "y", epochs = 5)
           .map(e => (e.epoch, e.w(0), e.w(1), e.w(2), e.w(3), e.mistakes,
@@ -1245,78 +1396,7 @@ object AnalysisQueries {
           .toDF("epoch", "w_bias", "w_toks", "w_long", "w_chars",
             "mistakes", "accuracy")
       },
-      Some("""WITH f AS (SELECT
-             |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
-             |    1::BIGINT AS x0,
-             |    len(string_split(text, ' '))::BIGINT AS x1,
-             |    len(list_filter(string_split(text, ' '),
-             |        t -> len(t) >= 8))::BIGINT AS x2,
-             |    (n_chars // 100)::BIGINT AS x3
-             |  FROM documents),
-             |e1 AS (SELECT sum(CASE WHEN y*0 <= 0 THEN y*x0 ELSE 0 END) AS g0,
-             |    sum(CASE WHEN y*0 <= 0 THEN y*x1 ELSE 0 END) AS g1,
-             |    sum(CASE WHEN y*0 <= 0 THEN y*x2 ELSE 0 END) AS g2,
-             |    sum(CASE WHEN y*0 <= 0 THEN y*x3 ELSE 0 END) AS g3,
-             |    count(*) FILTER (y*0 <= 0) AS m, count(*) AS n FROM f),
-             |w1 AS (SELECT g0 AS w0, g1 AS w1, g2 AS w2, g3 AS w3, m, n
-             |       FROM e1),
-             |e2 AS (SELECT
-             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
-             |        THEN y*x0 ELSE 0 END) AS g0,
-             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
-             |        THEN y*x1 ELSE 0 END) AS g1,
-             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
-             |        THEN y*x2 ELSE 0 END) AS g2,
-             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
-             |        THEN y*x3 ELSE 0 END) AS g3,
-             |    count(*) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0) AS m,
-             |    count(*) AS n
-             |  FROM f CROSS JOIN w1),
-             |w2 AS (SELECT w0+g0 AS w0, w1+g1 AS w1, w2+g2 AS w2,
-             |              w3+g3 AS w3, e2.m AS m, e2.n AS n FROM w1, e2),
-             |e3 AS (SELECT
-             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
-             |        THEN y*x0 ELSE 0 END) AS g0,
-             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
-             |        THEN y*x1 ELSE 0 END) AS g1,
-             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
-             |        THEN y*x2 ELSE 0 END) AS g2,
-             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
-             |        THEN y*x3 ELSE 0 END) AS g3,
-             |    count(*) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0) AS m,
-             |    count(*) AS n
-             |  FROM f CROSS JOIN w2),
-             |w3_ AS (SELECT w0+g0 AS w0, w1+g1 AS w1, w2+g2 AS w2,
-             |               w3+g3 AS w3, e3.m AS m, e3.n AS n FROM w2, e3),
-             |e4 AS (SELECT
-             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
-             |        THEN y*x0 ELSE 0 END) AS g0,
-             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
-             |        THEN y*x1 ELSE 0 END) AS g1,
-             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
-             |        THEN y*x2 ELSE 0 END) AS g2,
-             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
-             |        THEN y*x3 ELSE 0 END) AS g3,
-             |    count(*) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0) AS m,
-             |    count(*) AS n
-             |  FROM f CROSS JOIN w3_),
-             |w4 AS (SELECT w0+g0 AS w0, w1+g1 AS w1, w2+g2 AS w2,
-             |              w3+g3 AS w3, e4.m AS m, e4.n AS n FROM w3_, e4),
-             |e5 AS (SELECT
-             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
-             |        THEN y*x0 ELSE 0 END) AS g0,
-             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
-             |        THEN y*x1 ELSE 0 END) AS g1,
-             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
-             |        THEN y*x2 ELSE 0 END) AS g2,
-             |    sum(CASE WHEN y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0
-             |        THEN y*x3 ELSE 0 END) AS g3,
-             |    count(*) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3) <= 0) AS m,
-             |    count(*) AS n
-             |  FROM f CROSS JOIN w4),
-             |w5 AS (SELECT w0+g0 AS w0, w1+g1 AS w1, w2+g2 AS w2,
-             |              w3+g3 AS w3, e5.m AS m, e5.n AS n FROM w4, e5)
-             |SELECT epoch::INT AS epoch, w0::BIGINT AS w_bias,
+      Some(PerceptronCtes + "\n" + """SELECT epoch::INT AS epoch, w0::BIGINT AS w_bias,
              |       w1::BIGINT AS w_toks, w2::BIGINT AS w_long,
              |       w3::BIGINT AS w_chars, m::BIGINT AS mistakes,
              |       round(1.0 - m::DOUBLE / n, 4) AS accuracy
@@ -1326,6 +1406,53 @@ object AnalysisQueries {
              |      SELECT 4, * FROM w4 UNION ALL
              |      SELECT 5, * FROM w5)
              |ORDER BY epoch""".stripMargin)),
+
+    // --- ROC AUC of the trained quality classifier: the calibration audit
+    //     behind any learned data-filtering gate — is the score actually
+    //     discriminative, independent of the 0-threshold q122 reports
+    //     accuracy at? Scores are the EXACT integer dot products w5·x, so
+    //     the tie-aware rank-sum AUC (Mann-Whitney with ties counted half)
+    //     is bit-reproducible across engines. Plan shape: group by score
+    //     (map-side partial agg — the only corpus-sized shuffle), then ONE
+    //     window over the DISTINCT-score frame (bounded by the score range,
+    //     never corpus rows) accumulates negatives-below; the numerator
+    //     Σ p·(2·cumNeg + n) stays integer, one division at the end. At
+    //     100 TB: one scan + one tiny-frame window — no corpus-row global
+    //     sort, which is what a naive per-row rank AUC would cost. ---
+    Q("q130_classifier_auc",
+      (s, dir) => {
+        val feats = perceptronFeatures(s, dir)
+        val xCols = Seq("x0", "x1", "x2", "x3")
+        val w = graft.operators.Perceptron
+          .fit(feats, xCols, "y", epochs = 5).last.w
+        val scored = feats.select(col("y"),
+          xCols.zip(w).map { case (c, wi) => col(c) * lit(wi) }
+            .reduce(_ + _).as("score"))
+        val byScore = scored.groupBy(col("score")).agg(
+          sum(when(col("y") === 1, 1L).otherwise(0L)).as("p"),
+          sum(when(col("y") === -1, 1L).otherwise(0L)).as("n"))
+        val below = Window.orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        byScore
+          .withColumn("cum_n", coalesce(sum(col("n")).over(below), lit(0L)))
+          .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+            round(sum(col("p") * (lit(2L) * col("cum_n") + col("n")))
+                .cast("double")
+              / (lit(2.0) * sum(col("p")) * sum(col("n"))), 6).as("auc"))
+      },
+      Some(PerceptronCtes + ",\n" + """s AS (SELECT y,
+             |       w0*x0 + w1*x1 + w2*x2 + w3*x3 AS score
+             |     FROM f CROSS JOIN w5),
+             |g AS (SELECT score, count(*) FILTER (y = 1) AS p,
+             |             count(*) FILTER (y = -1) AS n
+             |      FROM s GROUP BY score),
+             |c AS (SELECT p, n, coalesce(sum(n) OVER (ORDER BY score
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |        0) AS cum_n FROM g)
+             |SELECT sum(p)::BIGINT AS n_pos, sum(n)::BIGINT AS n_neg,
+             |       round(sum(p * (2*cum_n + n))::DOUBLE
+             |             / (2.0 * sum(p) * sum(n)), 6) AS auc
+             |FROM c""".stripMargin)),
 
     // --- int8 scalar quantization of the embedding column with an
     //     in-engine fidelity gate: per-vector symmetric scale

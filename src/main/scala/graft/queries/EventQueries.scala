@@ -481,6 +481,61 @@ object EventQueries {
              |       (date_diff('day', cohort, wk) // 7)::INT AS offset_wk,
              |       count(DISTINCT user_id) AS n_users
              |FROM e JOIN f USING (user_id)
-             |GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
+             |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // --- zone-map data skipping: the lakehouse min/max file-pruning
+    //     pattern (Delta/Iceberg stats, Moerkotte's small materialized
+    //     aggregates) done with plain parquet. A time-clustered copy of
+    //     events is written as 8 range-partitioned files; a per-file
+    //     (min ts, max ts) zone map — driver metadata, files-sized, the
+    //     thing a table format stores at write time — prunes the file list
+    //     BEFORE the scan, so the range query reads only overlapping
+    //     files (the predicate still reaches the row groups of the
+    //     survivors via normal pushdown). At 100 TB this is the difference
+    //     between scanning a month and scanning four days; correctness is
+    //     oracled against the UNPRUNED table, and ZoneMapSpec pins that
+    //     the plan actually read fewer files than it wrote. ---
+    Q("q133_zonemap_prune",
+      (s, dir) => {
+        val (lo, hi) = (lit("2024-01-10").cast("timestamp"),
+          lit("2024-01-14").cast("timestamp"))
+        val files = zoneMapSurvivors(s, dir, lo, hi)
+        s.read.parquet(files: _*)
+          .filter(col("ts") >= lo && col("ts") < hi)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |       round(sum(value), 2) AS sum_value
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-10'
+             |  AND ts <  TIMESTAMP '2024-01-14'
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
+
+  /** Time-clustered multi-file copy of `events` + its zone map, memoized
+    * per (session, dir) like the ANN fits: 8 files range-partitioned and
+    * sorted on ts (what any time-partitioned ingest produces), then one
+    * stats pass collecting per-file (min ts, max ts) to the driver — the
+    * zone map is file-count-sized metadata by construction. Returns the
+    * files whose [min, max] interval overlaps [lo, hi). Exposed to
+    * ZoneMapSpec so it can count survivors against the file total. */
+  private[queries] def zoneMapSurvivors(s: org.apache.spark.sql.SparkSession,
+      dir: String, lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column): Seq[String] = {
+    val clusteredDir = SimilarityQueries.memoFit(s, dir, "zonemap-events") {
+      val d = java.nio.file.Files.createTempDirectory("graft-zonemap").toString
+      Tables(s, dir, "events")
+        .repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(d)
+      d
+    }
+    val zones = s.read.parquet(clusteredDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+    zones.filter(col("mx") >= lo && col("mn") < hi)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+  }
 }

@@ -494,7 +494,62 @@ object SimilarityQueries {
           .agg((sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
           .orderBy(col("query_id"))
       },
-      None)
+      None),
+
+    // --- matryoshka truncation recall (Kusupati et al. 2022): recall@10
+    //     of cosine top-k computed on the vector PREFIX (dims 8/16/32)
+    //     against the full 64-dim ranking — the measurement behind
+    //     truncating an MRL-trained embedding store to cut the 100 TB
+    //     vector footprint 2-8×. The scored cross frame materializes once
+    //     (localCheckpoint) and feeds all four dims; each dim's top-k is
+    //     the bounded-heap aggregate, and the recall join runs on
+    //     dims×queries×k rows. Fully oracled (dim 64 vs itself pins the
+    //     1.0 anchor). ---
+    Q("q132_matryoshka_recall",
+      (s, dir) => {
+        val dims = Seq(8, 16, 32, 64)
+        val (nQ, k) = (5, 10)
+        val all = vecs(s, dir)
+        val q = all.filter(col("vec_id") < nQ)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val cross = all.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"), col("qv"), col("v"))
+          .localCheckpoint()
+        val perDim = dims.map { d =>
+          rankBySimDesc(
+            cross.select(col("query_id"), col("vec_id"),
+              cosine_sim(slice(col("qv"), 1, d), slice(col("v"), 1, d))
+                .as("sim")), k)
+            .select(lit(d).as("dim"), col("query_id"), col("vec_id"))
+        }.reduce(_ unionByName _).localCheckpoint()
+        val ref = perDim.filter(col("dim") === dims.max)
+          .select(col("query_id"), col("vec_id"))
+        perDim.join(ref, Seq("query_id", "vec_id"), "left_semi")
+          .groupBy(col("dim"))
+          .agg(round(count(lit(1)).cast("double") / (nQ * k), 4)
+            .as("recall_at_10"))
+          .orderBy(col("dim"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |           FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+             |      WHERE vec_id < 5),
+             |d AS (SELECT unnest([8,16,32,64]) AS dim),
+             |s AS (SELECT dim, query_id, vec_id,
+             |        list_cosine_similarity(qv[1:dim], v[1:dim]) AS sim
+             |      FROM e CROSS JOIN q CROSS JOIN d
+             |      WHERE vec_id <> query_id),
+             |r AS (SELECT dim, query_id, vec_id,
+             |        row_number() OVER (PARTITION BY dim, query_id
+             |          ORDER BY sim DESC, vec_id) AS rnk
+             |      FROM s),
+             |tk AS (SELECT dim, query_id, vec_id FROM r WHERE rnk <= 10),
+             |ref AS (SELECT query_id, vec_id FROM tk WHERE dim = 64)
+             |SELECT dim::INT AS dim,
+             |       round(count(*) / 50.0, 4) AS recall_at_10
+             |FROM tk JOIN ref USING (query_id, vec_id)
+             |GROUP BY dim ORDER BY dim""".stripMargin))
   )
 
   private val NumCells    = 8
