@@ -651,6 +651,60 @@ object TextQueries {
       },
       None),
 
+    // --- WordPiece tokenizer training (Schuster & Nakajima 2012, BERT
+    //     variant): the LIKELIHOOD-scored member of the tokenizer family —
+    //     merges maximize n(ab)/(n(a)·n(b)) instead of BPE's raw pair
+    //     count, compared by exact BigInt cross-multiplication so training
+    //     is float-free and a pure function of the word histogram. Same
+    //     scale shape as q107: ONE corpus-scale pass (the word count), the
+    //     merge loop over the vocab-sized weighted histogram. Rows-only
+    //     (iterative training is not SQL-expressible); WordPieceSpec pins
+    //     a hand-computed case where the likelihood criterion overrules
+    //     BPE's frequency pick, plus `##` merge semantics. ---
+    Q("q134_wordpiece_merges",
+      (s, dir) => {
+        import s.implicits._
+        val model = SimilarityQueries.memoFit(s, dir, "wordpiece-100")(
+          graft.operators.WordPiece.fit(
+            fanout(Tables(s, dir, "documents")), nMerges = 100))
+        model.merges.zipWithIndex
+          .map { case ((l, r, m, n), i) => (i, l, r, m, n) }
+          .toDF("rank", "left", "right", "merged", "pair_count")
+          .orderBy(col("rank"))
+      },
+      None),
+
+    // --- WordPiece encode + fertility: greedy longest-match-first against
+    //     the broadcast vocab (NOT merge replay — the BERT contract), `##`
+    //     continuations, whole-word [UNK] degradation. In-engine gates:
+    //     n_roundtrip_fail MUST be 0 for non-UNK words (pieces strip-##
+    //     concatenate to the word) and unk_rate reports the vocab's
+    //     coverage. One mapPartitions pass, per-partition word memo. ---
+    Q("q134b_wordpiece_encode",
+      (s, dir) => {
+        val d = fanout(Tables(s, dir, "documents"))
+        val model = SimilarityQueries.memoFit(s, dir, "wordpiece-100")(
+          graft.operators.WordPiece.fit(d, nMerges = 100))
+        val enc = graft.operators.WordPiece.encode(d, model)
+        val unk = array_contains(col("wp_tokens"),
+          graft.operators.WordPiece.Unk)
+        d.select(col("doc_id"),
+            regexp_replace(col("text"), " ", "").as("squash"),
+            size(split(col("text"), " ")).as("nw"))
+          .join(enc, "doc_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nw")).as("n_words"),
+            sum(size(col("wp_tokens"))).as("n_pieces"),
+            round(sum(size(col("wp_tokens")))
+              / sum(col("nw")).cast("double"), 4).as("pieces_per_word"),
+            round(avg(when(unk, 1.0).otherwise(0.0)), 4).as("unk_doc_rate"),
+            sum(when(!unk &&
+                regexp_replace(concat_ws("", col("wp_tokens")), "##", "")
+                  =!= col("squash"), 1L)
+              .otherwise(0L)).as("n_roundtrip_fail"))
+      },
+      None),
+
     // --- TextRank keywords (Mihalcea & Tarau 2004): weighted PageRank
     //     over the adjacent-token co-occurrence graph, 15 fixed rounds —
     //     the unsupervised keyword scorer for building domain lexicons
