@@ -1105,6 +1105,43 @@ object AnalysisQueries {
              |FROM d JOIN c USING (source) CROSS JOIN m
              |GROUP BY d.source ORDER BY d.source""".stripMargin)),
 
+    // --- temperature-scaled mixture weights (the multilingual sampling
+    //     standard — XLM-R / mT5 use alpha ≈ 0.3-0.7): w_s ∝ n_s^T with
+    //     T = 0.7 upsamples small sources relative to proportional
+    //     sampling without q83's hard floor. Reported per source: raw
+    //     share, tempered weight, and the boost ratio — the table a
+    //     mixture designer reads before an ablation. One partial-agg'd
+    //     count shuffle; the power/normalize math runs on the
+    //     sources-sized frame against one broadcast scalar. ---
+    Q("q137_temperature_mixture",
+      (s, dir) => {
+        // sources-sized; materialized so the corpus count scan runs once,
+        // not once per branch (the scalar frame re-derives from c)
+        val c = fanout(Tables(s, dir, "documents"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .localCheckpoint()
+        val tot = broadcast(c.agg(
+          sum(col("n_docs")).as("tot_n"),
+          sum(pow(col("n_docs"), 0.7)).as("tot_p")))
+        c.crossJoin(tot)
+          .select(col("source"), col("n_docs"),
+            round(col("n_docs") / col("tot_n"), 6).as("raw_share"),
+            round(pow(col("n_docs"), 0.7) / col("tot_p"), 6).as("weight"),
+            round(pow(col("n_docs"), 0.7) / col("tot_p")
+              / (col("n_docs") / col("tot_n")), 4).as("boost"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH c AS (SELECT source, count(*) AS n_docs
+             |           FROM documents GROUP BY source),
+             |m AS (SELECT sum(n_docs) AS tot_n,
+             |             sum(pow(n_docs, 0.7)) AS tot_p FROM c)
+             |SELECT source, n_docs,
+             |       round(n_docs / tot_n, 6) AS raw_share,
+             |       round(pow(n_docs, 0.7) / tot_p, 6) AS weight,
+             |       round(pow(n_docs, 0.7) / tot_p
+             |             / (n_docs / tot_n), 4) AS boost
+             |FROM c CROSS JOIN m ORDER BY source""".stripMargin)),
+
     // --- vocabulary growth (Heaps' law) profile: how many NEW distinct
     //     trigrams each tenth of the corpus contributes, plus the running
     //     vocabulary size. Trigrams, not unigrams: the synthetic corpus

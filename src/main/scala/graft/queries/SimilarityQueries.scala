@@ -549,7 +549,64 @@ object SimilarityQueries {
              |SELECT dim::INT AS dim,
              |       round(count(*) / 50.0, 4) AS recall_at_10
              |FROM tk JOIN ref USING (query_id, vec_id)
-             |GROUP BY dim ORDER BY dim""".stripMargin))
+             |GROUP BY dim ORDER BY dim""".stripMargin)),
+
+    // --- hard-negative mining for contrastive training (the in-batch /
+    //     BM25-negative upgrade path of DPR, Karpukhin et al. 2020): per
+    //     query vector, the top-5 most-similar vectors of a DIFFERENT
+    //     label (the hard negatives) alongside the nearest SAME-label
+    //     vector (the positive), and the margin between them — the
+    //     triplet-mining report that decides whether a contrastive batch
+    //     is trivial or informative. Same broadcast nested-loop shape as
+    //     q40 (queries tiny by contract, corpus never shuffles; bounded-
+    //     heap top_k per (query, side)); the positive join is
+    //     queries-sized. Fully oracled. ---
+    Q("q136_hard_negatives",
+      (s, dir) => {
+        val all = vecs(s, dir)
+        val q = all.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+            col("v").as("qv"))
+        val scored = all.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("qlabel"), col("label"),
+            col("vec_id"),
+            round(cosine_sim(col("qv"), col("v")), 4).as("sim"))
+          .localCheckpoint()
+        val negs = rankBySimDesc(
+          scored.filter(col("label") =!= col("qlabel"))
+            .select(col("query_id"), col("vec_id"), col("sim")), 5)
+        val pos = rankBySimDesc(
+          scored.filter(col("label") === col("qlabel"))
+            .select(col("query_id"), col("vec_id"), col("sim")), 1)
+          .select(col("query_id"), col("sim").as("pos_sim"))
+        negs.join(broadcast(pos), "query_id")
+          .select(col("query_id"), col("rank"), col("vec_id"),
+            col("sim").as("neg_sim"), col("pos_sim"),
+            round(col("pos_sim") - col("sim"), 4).as("margin"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+             |           FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+             |      FROM e WHERE vec_id < 5),
+             |s AS (SELECT query_id, qlabel, label, vec_id,
+             |        round(list_cosine_similarity(qv, v), 4) AS sim
+             |      FROM e CROSS JOIN q WHERE vec_id <> query_id),
+             |n AS (SELECT query_id, vec_id, sim,
+             |        row_number() OVER (PARTITION BY query_id
+             |          ORDER BY sim DESC, vec_id) AS rank
+             |      FROM s WHERE label <> qlabel),
+             |p AS (SELECT query_id, sim AS pos_sim,
+             |        row_number() OVER (PARTITION BY query_id
+             |          ORDER BY sim DESC, vec_id) AS rnk
+             |      FROM s WHERE label = qlabel)
+             |SELECT query_id, rank::INT AS rank, vec_id,
+             |       sim AS neg_sim, pos_sim,
+             |       round(pos_sim - sim, 4) AS margin
+             |FROM n JOIN (SELECT query_id, pos_sim FROM p WHERE rnk = 1)
+             |  USING (query_id)
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
   )
 
   private val NumCells    = 8
