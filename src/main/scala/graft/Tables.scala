@@ -14,12 +14,24 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
-      // default; read nanos as long and truncate to micros (matches
-      // DuckDB's nanos->micros truncation for positive epochs).
+      // The events parquet's ts physical type has varied across testdata
+      // generations: TIMESTAMP(NANOS) (Spark rejects by default — read
+      // nanos as long, truncate to micros like DuckDB), plain TIMESTAMP
+      // micros (use as-is, normalised to session-TZ-free semantics), or a
+      // raw epoch BIGINT. Branch on the decoded Catalyst type so all three
+      // generations produce an identical TIMESTAMP ts column.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          // DuckDB reads the same column as naive TIMESTAMP; cast through
+          // to the session-TZ TimestampType our queries were written for,
+          // pinning UTC semantics (Bench/Verify set session TZ = UTC).
+          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -270,10 +270,18 @@ object EventStreams {
   /** Convenience: stream the testdata events parquet as a file source. */
   def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // File streams need an explicit schema; probe it with a batch read so
+    // the stream tolerates both testdata generations (ts as raw nanos
+    // BIGINT vs. native TIMESTAMP micros) — same normalisation as Tables.
+    val probed = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(probed).parquet(dir)
+    probed("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Run a streaming DataFrame to completion against a memory sink and
