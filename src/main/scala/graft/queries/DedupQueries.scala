@@ -841,7 +841,108 @@ object DedupQueries {
             round(sum(coalesce(col("hit"), lit(0)))
               / greatest(count(lit(1)), lit(1L)), 4).as("recall"))
       },
-      None)
+      None),
+
+    // --- asymmetric containment dedup: Jaccard (q32/q33) under-scores a
+    //     short doc embedded verbatim in a long one (|A∩B|/|A∪B| stays low
+    //     when |B| ≫ |A|), so excerpt/quote/aggregator duplication needs
+    //     the CONTAINMENT score |A∩B|/min(|A|,|B|) (Broder 1997's
+    //     resemblance-vs-containment split). Pairs sharing ≥1 shingle come
+    //     from the shingle-keyed equi-join (never a cartesian); the shared
+    //     count is one agg on the join output; set sizes join back
+    //     id-keyed. At 100 TB candidates route through q32's MinHash-LSH
+    //     first (banding approximates Jaccard; a containment-biased
+    //     variant hashes only the SHORTER doc's bands) and this exact
+    //     score runs on candidates only. ---
+    Q("q140_containment",
+      (s, dir) => {
+        val sh = shingled(Tables(s, dir, "documents"))
+          .select(col("doc_id"), explode(col("shingles")).as("sh"))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val shared = sh.as("a")
+          .join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        shared
+          .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")),
+            "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")),
+            "id_b")
+          .withColumn("containment",
+            round(col("n_shared") / least(col("sz_a"), col("sz_b"))
+              .cast("double"), 4))
+          .filter(col("containment") >= 0.8)
+          .select(col("id_a"), col("id_b"), col("n_shared"),
+            col("sz_a"), col("sz_b"), col("containment"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+             |            FROM documents),
+             |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+             |        for i in range(1, len(toks)-1)]) AS sh FROM t),
+             |sz AS (SELECT doc_id, len(sh)::BIGINT AS sz FROM s),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |        len(list_intersect(a.sh, b.sh))::BIGINT AS n_shared
+             |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |      WHERE len(list_intersect(a.sh, b.sh)) > 0)
+             |SELECT id_a, id_b, n_shared, za.sz AS sz_a, zb.sz AS sz_b,
+             |       round(n_shared / least(za.sz, zb.sz)::DOUBLE, 4)
+             |         AS containment
+             |FROM p JOIN sz za ON za.doc_id = id_a
+             |       JOIN sz zb ON zb.doc_id = id_b
+             |WHERE n_shared / least(za.sz, zb.sz)::DOUBLE >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // --- cross-source contamination matrix: distinct 8-gram overlap
+    //     between every source pair — the corpus-level view of q56's
+    //     doc-level decontamination (which sources share templated or
+    //     copied text, and how much). Per pair: shared distinct 8-grams
+    //     and the overlap coefficient vs the smaller source's 8-gram
+    //     vocabulary. Scale shape: the (source, ngram) frame is DISTINCT'd
+    //     BEFORE the self-join (collapsing repeats map-side), the join key
+    //     is the n-gram, and the matrix output is sources² rows. At
+    //     100 TB the join key drops to the n-gram's 8-byte xxhash64 with
+    //     q89's per-pair verify; source counts stay broadcast-sized. ---
+    Q("q142_contamination_matrix",
+      (s, dir) => {
+        val g = fanout(Tables(s, dir, "documents"))
+          .select(col("source"),
+            explode(graft.functions.word_ngrams(split(col("text"), " "), 8))
+              .as("g"))
+          .distinct()
+        val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+        g.as("a")
+          .join(g.as("b"),
+            col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(sizes.select(col("source").as("source_a"),
+            col("sz").as("sz_a"))), "source_a")
+          .join(broadcast(sizes.select(col("source").as("source_b"),
+            col("sz").as("sz_b"))), "source_b")
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            round(col("n_shared") / least(col("sz_a"), col("sz_b"))
+              .cast("double"), 4).as("overlap_coef"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH t AS (SELECT source, string_split(text,' ') AS toks
+             |            FROM documents),
+             |g AS (SELECT DISTINCT source,
+             |        unnest([array_to_string(toks[i:i+7],' ')
+             |                for i in range(1, len(toks)-6)]) AS g
+             |      FROM t),
+             |sz AS (SELECT source, count(*) AS sz FROM g GROUP BY 1),
+             |p AS (SELECT a.source AS source_a, b.source AS source_b,
+             |        count(*) AS n_shared
+             |      FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+             |      GROUP BY 1,2)
+             |SELECT source_a, source_b, n_shared,
+             |  round(n_shared / least(za.sz, zb.sz)::DOUBLE, 4)
+             |    AS overlap_coef
+             |FROM p JOIN sz za ON za.source = source_a
+             |       JOIN sz zb ON zb.source = source_b
+             |ORDER BY source_a, source_b""".stripMargin))
   )
 
   /** Above-threshold cosine pairs found via trained k-means cells (q90

@@ -512,7 +512,46 @@ object EventQueries {
              |FROM events
              |WHERE ts >= TIMESTAMP '2024-01-10'
              |  AND ts <  TIMESTAMP '2024-01-14'
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- native session windows: Spark's session_window() merge-on-overlap
+    //     operator (the engine-level twin of q62's hand-rolled lag/cumsum
+    //     sessionization — same 30-min gap, but expressed as a first-class
+    //     grouping window, the form that also runs under Structured
+    //     Streaming with state merge). Each event opens [ts, ts+gap);
+    //     overlapping windows fuse, so a session breaks exactly when the
+    //     inter-event gap is ≥ 30 min — the oracle restates that boundary
+    //     with the gap-marker cumsum. One shuffle on (user_id, window);
+    //     the session merge is in-partition state, no second pass. ---
+    Q("q141_session_window",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 2).as("sum_value"))
+          .select(col("user_id"),
+            col("session_window.start").as("s_start"),
+            (col("session_window.end") - expr("INTERVAL 30 MINUTES"))
+              .as("s_last"),
+            col("n_events"), col("sum_value"))
+          .orderBy(col("user_id"), col("s_start"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (
+             |  SELECT user_id, ts, value,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM g)
+             |SELECT user_id, min(ts) AS s_start, max(ts) AS s_last,
+             |       count(*) AS n_events, round(sum(value),2) AS sum_value
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, s_start""".stripMargin))
   )
 
   /** Time-clustered multi-file copy of `events` + its zone map, memoized

@@ -1110,7 +1110,253 @@ object TextQueries {
              |JOIN nrm na ON na.doc_id = id_a
              |JOIN nrm nb ON nb.doc_id = id_b
              |WHERE d/(na.nw*nb.nw) >= 0.85
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // --- corpus-linguistics keyness (Dunning 1993 log-likelihood G²):
+    //     which terms are characteristically OVER-used by each source vs
+    //     the rest of the corpus — the standard signal for source/domain
+    //     profiling and for spotting template contamination (a boilerplate
+    //     phrase keys hard to one crawl source). Per (source, term):
+    //     a = term count in source, b = elsewhere, c/d = token totals;
+    //     G² = 2·(a·ln(a/E1) + b·ln(b/E2)) with 0·ln0 = 0. Scale shape:
+    //     one (source, term) partial+final agg off the token explode; the
+    //     term-global and source-total frames are term-/source-sized
+    //     broadcasts; ranking runs per source on the reduced frame. Ranks
+    //     compare the ROUNDED statistic (ties broken by term) so both
+    //     engines rank identical values, not last-ulp floats. ---
+    Q("q138_keyness",
+      (s, dir) => {
+        val toks = fanout(Tables(s, dir, "documents"))
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val st = toks.groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).cast("double").as("a"))
+        val tot = toks.groupBy(col("tok"))
+          .agg(count(lit(1)).cast("double").as("ab"))
+        val src = toks.groupBy(col("source"))
+          .agg(count(lit(1)).cast("double").as("c"))
+        val all = toks.agg(count(lit(1)).cast("double").as("cd"))
+        val g2 = {
+          val b  = col("ab") - col("a")
+          val d  = col("cd") - col("c")
+          val e1 = col("c") * col("ab") / col("cd")
+          val e2 = d * col("ab") / col("cd")
+          val t1 = when(col("a") > 0, col("a") * log(col("a") / e1))
+            .otherwise(0.0)
+          val t2 = when(b > 0, b * log(b / e2)).otherwise(0.0)
+          round(lit(2.0) * (t1 + t2), 4)
+        }
+        val scored = st
+          .join(broadcast(tot), "tok").join(broadcast(src), "source")
+          .crossJoin(broadcast(all))
+          .filter(col("a") * col("cd") > col("ab") * col("c")) // overused only
+          .select(col("source"), col("tok"), col("a").cast("long").as("n_in"),
+            (col("ab") - col("a")).cast("long").as("n_out"), g2.as("g2"))
+        scored
+          .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+            .orderBy(col("g2").desc, col("tok"))))
+          .filter(col("rk") <= 5)
+          .select(col("source"), col("rk"), col("tok"), col("n_in"),
+            col("n_out"), col("g2"))
+          .orderBy(col("source"), col("rk"))
+      },
+      Some("""WITH toks AS (SELECT source, unnest(string_split(text,' '))
+             |                AS tok FROM documents),
+             |st AS (SELECT source, tok, count(*)::DOUBLE AS a FROM toks
+             |       GROUP BY 1,2),
+             |tot AS (SELECT tok, count(*)::DOUBLE AS ab FROM toks GROUP BY 1),
+             |src AS (SELECT source, count(*)::DOUBLE AS c FROM toks GROUP BY 1),
+             |alln AS (SELECT count(*)::DOUBLE AS cd FROM toks),
+             |sc AS (SELECT source, tok, a::BIGINT AS n_in,
+             |         (ab - a)::BIGINT AS n_out,
+             |         round(2.0 * (
+             |           (CASE WHEN a > 0
+             |             THEN a * ln(a / (c * ab / cd)) ELSE 0 END) +
+             |           (CASE WHEN ab - a > 0
+             |             THEN (ab - a) * ln((ab - a) / ((cd - c) * ab / cd))
+             |             ELSE 0 END)), 4) AS g2
+             |       FROM st JOIN tot USING (tok) JOIN src USING (source)
+             |            CROSS JOIN alln
+             |       WHERE a * cd > ab * c),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY source
+             |        ORDER BY g2 DESC, tok) AS rk FROM sc)
+             |SELECT source, rk::INT AS rk, tok, n_in, n_out, g2
+             |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin)),
+
+    // --- Good-Turing frequency-of-frequencies (Gale & Sampson 1995 shape):
+    //     the count-of-counts table N_r for term frequencies r ≤ 10, the
+    //     Turing-smoothed adjusted count r* = (r+1)·N_{r+1}/N_r, and each
+    //     class's share of total token mass. Row 0 carries the unseen-mass
+    //     estimate P0 = N1/N — the number a smoothed LM (q131's Kneser-Ney)
+    //     reserves for out-of-vocabulary events, and a direct corpus-
+    //     diversity diagnostic (high P0 ⇒ the vocabulary is still growing,
+    //     cf. q87's Heaps curve). Scale shape: term histogram (one token
+    //     agg), then a COUNT-OF-COUNTS agg on the term-sized frame, then a
+    //     self-join on r+1 over an ≤11-row frame — driver-free throughout.
+    //     The event space is TRIGRAMS: the synthetic corpus' unigram vocab
+    //     is tiny and saturated (every type occurs ≫10×, so N_{r≤10} would
+    //     be empty and the gate vacuous); trigrams carry the hapax-rich
+    //     Zipf tail Good-Turing exists for — which is also the real-corpus
+    //     regime (a web-scale corpus has singleton mass at EVERY n). ---
+    Q("q139_good_turing",
+      (s, dir) => {
+        val toks = fanout(Tables(s, dir, "documents"))
+          .select(explode(graft.functions.word_ngrams(
+            split(col("text"), " "), 3)).as("tok"))
+        val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("r"))
+        val nr = tf.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+          .filter(col("r") <= 11)
+        val n = toks.agg(count(lit(1)).as("n"))
+        val next = nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+        nr.filter(col("r") <= 10)
+          .join(next, Seq("r"), "left")
+          .crossJoin(broadcast(n))
+          .select(col("r"), col("n_r"),
+            round((col("r") + 1) * coalesce(col("n_r1"), lit(0L))
+              / col("n_r").cast("double"), 4).as("r_star"),
+            round(col("r") * col("n_r") / col("n").cast("double"), 4)
+              .as("mass_share"))
+          .unionByName(
+            nr.filter(col("r") === 1).crossJoin(broadcast(n))
+              .select(lit(0L).as("r"), lit(0L).as("n_r"),
+                lit(0.0).as("r_star"),
+                round(col("n_r") / col("n").cast("double"), 4)
+                  .as("mass_share")))
+          .orderBy(col("r"))
+      },
+      Some("""WITH t AS (SELECT string_split(text,' ') AS toks
+             |           FROM documents),
+             |toks AS (SELECT unnest([array_to_string(toks[i:i+2],' ')
+             |           for i in range(1, len(toks)-1)]) AS tok FROM t),
+             |tf AS (SELECT tok, count(*) AS r FROM toks GROUP BY 1),
+             |nr AS (SELECT r, count(*) AS n_r FROM tf WHERE r <= 11
+             |       GROUP BY 1),
+             |n AS (SELECT count(*)::DOUBLE AS n FROM toks)
+             |SELECT r, n_r,
+             |  round((r + 1) * coalesce(n1.n_r1, 0) / nr.n_r::DOUBLE, 4)
+             |    AS r_star,
+             |  round(r * n_r / n, 4) AS mass_share
+             |FROM nr LEFT JOIN (SELECT r - 1 AS r, n_r AS n_r1 FROM nr) n1
+             |  USING (r) CROSS JOIN n
+             |WHERE r <= 10
+             |UNION ALL
+             |SELECT 0 AS r, 0 AS n_r, 0.0 AS r_star,
+             |       round(n_r / n, 4) AS mass_share
+             |FROM nr CROSS JOIN n WHERE r = 1
+             |ORDER BY r""".stripMargin)),
+
+    // --- nucleus (top-p) vocabulary coverage: per source, the smallest
+    //     frequency-ranked term set whose cumulative share reaches 90% of
+    //     token mass — the vocabulary-budget planning number (how many
+    //     types a tokenizer/embedding table must carry per domain) and a
+    //     concentration profile to compare sources (low n_p90/total ⇒
+    //     repetitive/templated text; cf. q54's Zipf slope). Integer counts
+    //     throughout; the cumulative window orders by (count desc, term) so
+    //     the prefix is deterministic on both engines. Scale shape: one
+    //     (source, term) agg, then the running-sum window on the
+    //     term-histogram frame (terms-sized, corpus-independent). ---
+    Q("q143_topp_vocab",
+      (s, dir) => {
+        val st = fanout(Tables(s, dir, "documents"))
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("c").desc, col("tok"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy(col("source"))
+        st.withColumn("cum", sum(col("c")).over(w))
+          .withColumn("tot", sum(col("c")).over(tot))
+          .withColumn("n_types", count(lit(1)).over(tot))
+          // a term is INSIDE the nucleus if the mass BEFORE it is < 0.9
+          .filter((col("cum") - col("c")) * 10 < col("tot") * 9)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_p90"), max(col("n_types")).as("n_types"),
+            round(max(col("cum")) / max(col("tot")).cast("double"), 4)
+              .as("coverage"),
+            round(count(lit(1)) / max(col("n_types")).cast("double"), 4)
+              .as("nucleus_frac"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH st AS (SELECT source, tok, count(*) AS c
+             |            FROM (SELECT source,
+             |                    unnest(string_split(text,' ')) AS tok
+             |                  FROM documents)
+             |            GROUP BY 1,2),
+             |cw AS (SELECT source, tok, c,
+             |         sum(c) OVER (PARTITION BY source
+             |           ORDER BY c DESC, tok
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |           AS cum,
+             |         sum(c) OVER (PARTITION BY source) AS tot,
+             |         count(*) OVER (PARTITION BY source) AS n_types
+             |       FROM st)
+             |SELECT source, count(*) AS n_p90, max(n_types) AS n_types,
+             |  round(max(cum) / max(tot)::DOUBLE, 4) AS coverage,
+             |  round(count(*) / max(n_types)::DOUBLE, 4) AS nucleus_frac
+             |FROM cw WHERE (cum - c) * 10 < tot * 9
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // --- rank-stability of term frequencies across domains: Spearman's ρ
+    //     between each source's frequency ranking and the global ranking,
+    //     over the global top-50 terms — the drift gauge for "does this
+    //     domain use the shared vocabulary the way the mixture does"
+    //     (complement to q123's distribution-level JSD: JSD weighs mass,
+    //     ρ weighs ORDER, which is what tokenizer merge tables and
+    //     frequency-bucketed embeddings actually consume). Ranks are
+    //     integers (ties broken by term) so ρ is exact rational arithmetic
+    //     until the final rounding; absent terms rank past the window
+    //     (worst-rank imputation, the standard truncated-list treatment).
+    //     Scale shape: global top-50 is a sort-limit broadcast; per-source
+    //     counts for 50 terms are a semi-joined agg; the ρ aggregation is
+    //     sources×50 rows. ---
+    Q("q144_rank_stability",
+      (s, dir) => {
+        val toks = fanout(Tables(s, dir, "documents"))
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("cg"))
+          .orderBy(col("cg").desc, col("tok")).limit(50)
+          .withColumn("rg", row_number().over(
+            Window.orderBy(col("cg").desc, col("tok"))))
+        val sc = toks.join(broadcast(top.select("tok")), "tok")
+          .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cs"))
+        // every (source, top-term) pair, absent terms at worst rank 51
+        val grid = top.crossJoin(
+            toks.select(col("source")).distinct())
+          .join(sc.select(col("source"), col("tok"), col("cs"),
+            lit(1).as("present")), Seq("source", "tok"), "left")
+          .withColumn("rs", when(col("present").isNull, lit(51))
+            .otherwise(row_number().over(Window.partitionBy(col("source"))
+              .orderBy(col("present").isNull, col("cs").desc, col("tok")))))
+        grid.groupBy(col("source"))
+          .agg(round(corr(col("rg").cast("double"),
+            col("rs").cast("double")), 4).as("spearman_rho"),
+            sum(when(col("present").isNull, 1).otherwise(0)).as("n_absent"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (SELECT source, unnest(string_split(text,' '))
+             |                AS tok FROM documents),
+             |g AS (SELECT tok, count(*) AS cg FROM toks GROUP BY 1
+             |      ORDER BY cg DESC, tok LIMIT 50),
+             |top AS (SELECT tok, cg, row_number() OVER
+             |          (ORDER BY cg DESC, tok) AS rg FROM g),
+             |sc AS (SELECT source, tok, count(*) AS cs FROM toks
+             |       WHERE tok IN (SELECT tok FROM top) GROUP BY 1,2),
+             |srcs AS (SELECT DISTINCT source FROM toks),
+             |grid AS (SELECT s.source, t.tok, t.rg, sc.cs,
+             |           (sc.tok IS NULL) AS absent
+             |         FROM top t CROSS JOIN srcs s
+             |         LEFT JOIN sc ON sc.source = s.source
+             |           AND sc.tok = t.tok),
+             |rk AS (SELECT source, tok, rg,
+             |         CASE WHEN absent THEN 51 ELSE
+             |           row_number() OVER (PARTITION BY source
+             |             ORDER BY absent, cs DESC, tok) END AS rs,
+             |         absent
+             |       FROM grid)
+             |SELECT source, round(corr(rg::DOUBLE, rs::DOUBLE), 4)
+             |         AS spearman_rho,
+             |       sum(CASE WHEN absent THEN 1 ELSE 0 END)::BIGINT
+             |         AS n_absent
+             |FROM rk GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** Exact TF-IDF cosine pairs (q86 body). Zero-weight rows are filtered
