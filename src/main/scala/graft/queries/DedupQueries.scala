@@ -856,25 +856,46 @@ object DedupQueries {
     //     score runs on candidates only. ---
     Q("q140_containment",
       (s, dir) => {
-        val sh = shingled(Tables(s, dir, "documents"))
-          .select(col("doc_id"), explode(col("shingles")).as("sh"))
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val shared = sh.as("a")
-          .join(sh.as("b"),
-            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        // Three-stage exact plan. (1) Shared counts ride the shingle's
+        // 8-byte xxhash64 through the self-join — shingle text never
+        // crosses an exchange, and because equal strings always hash
+        // equal, the hash-keyed count n_shared' ≥ true n_shared (a
+        // collision can only ADD). (2) The ≥ 0.8 filter on the
+        // over-approximation therefore yields a candidate SUPERSET —
+        // per-doc set sizes are a docs-sized broadcast, so this is
+        // map-side. (3) Survivors (output-sized, ~tens of pairs) are
+        // re-scored exactly with an in-row array_intersect on the two
+        // docs' shingle arrays, pruning any collision-inflated pair —
+        // the result is oracle-exact at hash-join cost.
+        val sh = shingled(Tables(s, dir, "documents")).localCheckpoint()
+        val keys = sh.select(col("doc_id"),
+            explode(col("shingles")).as("s0"))
+          .select(col("doc_id"), xxhash64(col("s0")).as("h"))
+        val sizes = sh.select(col("doc_id"),
+          size(col("shingles")).cast("long").as("sz"))
+        val approx = keys.as("a")
+          .join(keys.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .agg(count(lit(1)).as("n_shared"))
-        shared
-          .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")),
+          .agg(count(lit(1)).as("ns_approx"))
+          .join(broadcast(sizes.select(col("doc_id").as("id_a"),
+            col("sz").as("sz_a"))), "id_a")
+          .join(broadcast(sizes.select(col("doc_id").as("id_b"),
+            col("sz").as("sz_b"))), "id_b")
+          .filter(col("ns_approx") * 10 >= least(col("sz_a"), col("sz_b")) * 8)
+        approx
+          .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")),
             "id_a")
-          .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")),
+          .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")),
             "id_b")
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+              .as("n_shared"),
+            col("sz_a"), col("sz_b"))
           .withColumn("containment",
             round(col("n_shared") / least(col("sz_a"), col("sz_b"))
               .cast("double"), 4))
           .filter(col("containment") >= 0.8)
-          .select(col("id_a"), col("id_b"), col("n_shared"),
-            col("sz_a"), col("sz_b"), col("containment"))
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
