@@ -963,7 +963,49 @@ object DedupQueries {
              |    AS overlap_coef
              |FROM p JOIN sz za ON za.source = source_a
              |       JOIN sz zb ON zb.source = source_b
-             |ORDER BY source_a, source_b""".stripMargin))
+             |ORDER BY source_a, source_b""".stripMargin)),
+
+    // --- ingest-order novelty profile: per document, the share of its
+    //     distinct 8-grams whose FIRST corpus occurrence (min doc_id) is
+    //     this document — the signal dedup-aware data ordering reads
+    //     (novelty collapsing toward 0 over ingest order ⇒ the stream has
+    //     gone stale; also the per-doc complement of q87's corpus-level
+    //     Heaps curve). Scale shape: one (gram → min doc_id) partial+final
+    //     agg — map-side min collapses repeats before the shuffle — then a
+    //     gram-keyed join back; at 100 TB both legs key on the gram's
+    //     8-byte hash (first-owner attribution tolerates the 2⁻⁶⁴
+    //     collision: a collision only steals novelty from one gram). ---
+    Q("q146_novelty",
+      (s, dir) => {
+        val g = fanout(Tables(s, dir, "documents"))
+          .select(col("doc_id"),
+            explode(array_distinct(graft.functions.word_ngrams(
+              split(col("text"), " "), 8))).as("g"))
+        val first = g.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+        g.join(first, "g")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"),
+            round(sum(when(col("first_doc") === col("doc_id"), 1L)
+              .otherwise(0L)) / count(lit(1)).cast("double"), 4)
+              .as("novelty"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+             |            FROM documents),
+             |g AS (SELECT DISTINCT doc_id,
+             |        unnest([array_to_string(toks[i:i+7],' ')
+             |                for i in range(1, len(toks)-6)]) AS g
+             |      FROM t),
+             |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1)
+             |SELECT doc_id, count(*) AS n_grams,
+             |  sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_novel,
+             |  round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+             |    / count(*)::DOUBLE, 4) AS novelty
+             |FROM g JOIN f USING (g)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** Above-threshold cosine pairs found via trained k-means cells (q90

@@ -551,7 +551,84 @@ object EventQueries {
              |SELECT user_id, min(ts) AS s_start, max(ts) AS s_last,
              |       count(*) AS n_events, round(sum(value),2) AS sum_value
              |FROM s GROUP BY user_id, sid
-             |ORDER BY user_id, s_start""".stripMargin))
+             |ORDER BY user_id, s_start""".stripMargin)),
+
+    // --- strict-order 3-step funnel (q67 generalized): click, then the
+    //     first view AFTER that click, then the first purchase AFTER that
+    //     view — order-sensitive per-user matching, the product-analytics
+    //     shape windowless conversion counts get wrong (q67's min/max
+    //     trick can't express ordered middle steps). Three user-keyed
+    //     conditional aggregations, each over the events table joined to
+    //     the prior step's per-user anchor timestamp — every shuffle is on
+    //     user_id, intermediate frames are one row per qualifying user,
+    //     and the final output is one row at any scale. ---
+    Q("q148_strict_funnel",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val v = ev.filter(col("event_type") === "view")
+          .join(c, "user_id").filter(col("ts") > col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(v, "user_id").filter(col("ts") > col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+        c.join(v.select(col("user_id"), lit(1).as("s2")), Seq("user_id"), "left")
+          .join(p.select(col("user_id"), lit(1).as("s3")), Seq("user_id"), "left")
+          .agg(count(lit(1)).as("n_click"),
+            sum(coalesce(col("s2"), lit(0))).cast("long").as("n_click_view"),
+            sum(coalesce(col("s3"), lit(0))).cast("long")
+              .as("n_click_view_purchase"))
+      },
+      Some("""WITH c AS (SELECT user_id, min(ts) AS t_click FROM events
+             |           WHERE event_type = 'click' GROUP BY 1),
+             |v AS (SELECT e.user_id, min(ts) AS t_view
+             |      FROM events e JOIN c USING (user_id)
+             |      WHERE e.event_type = 'view' AND e.ts > c.t_click
+             |      GROUP BY 1),
+             |p AS (SELECT e.user_id, min(ts) AS t_purchase
+             |      FROM events e JOIN v USING (user_id)
+             |      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+             |      GROUP BY 1)
+             |SELECT count(*) AS n_click,
+             |  sum(CASE WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_click_view,
+             |  sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_click_view_purchase
+             |FROM c LEFT JOIN v USING (user_id)
+             |       LEFT JOIN p USING (user_id)""".stripMargin)),
+
+    // --- burst detection over daily event volume: days where a type's
+    //     count exceeds its own mean by 2 population-σ — the monitoring
+    //     primitive for traffic anomalies / crawler loops / spam floods
+    //     (the batch twin of what a streaming job alerts on). The daily
+    //     pre-agg is the only corpus-scale shuffle (output days×types);
+    //     per-type mean/σ are computed over that tiny frame and joined
+    //     back broadcast. z-scores compare integer day counts against
+    //     4-dp-rounded thresholds on both engines. ---
+    Q("q149_burst_days",
+      (s, dir) => {
+        val daily = Tables(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val st = daily.groupBy(col("event_type"))
+          .agg(avg(col("n")).as("mu"), stddev_pop(col("n")).as("sigma"))
+        daily.join(broadcast(st), "event_type")
+          .withColumn("z", round((col("n") - col("mu")) / col("sigma"), 4))
+          .filter(col("z") >= 2.0)
+          .select(col("event_type"), col("day"), col("n"), col("z"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+             |                  count(*) AS n
+             |           FROM events GROUP BY 1,2),
+             |st AS (SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sigma
+             |       FROM d GROUP BY 1)
+             |SELECT event_type, day, n, round((n - mu) / sigma, 4) AS z
+             |FROM d JOIN st USING (event_type)
+             |WHERE round((n - mu) / sigma, 4) >= 2.0
+             |ORDER BY event_type, day""".stripMargin))
   )
 
   /** Time-clustered multi-file copy of `events` + its zone map, memoized

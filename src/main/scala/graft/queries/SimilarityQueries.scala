@@ -606,7 +606,66 @@ object SimilarityQueries {
              |       round(pos_sim - sim, 4) AS margin
              |FROM n JOIN (SELECT query_id, pos_sim FROM p WHERE rnk = 1)
              |  USING (query_id)
-             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // --- embedding-space label separation WITHOUT touching pairs: for
+    //     unit vectors the mean pairwise intra-label cosine has the closed
+    //     form (‖Σv‖² − n)/(n(n−1)) and the label↔rest mean cosine is
+    //     (Σℓ·(Σtot−Σℓ))/(nℓ·(N−nℓ)) — the cluster-quality report
+    //     (silhouette's two ingredients) from ONE pass of d-dimensional
+    //     sums, no N² join anywhere. Scale shape: posexplode to
+    //     (label, dim, x) and partial+final sum — the only shuffle carries
+    //     labels×d rows; everything after runs on the labels-sized frame.
+    //     The report says whether labels form tight, separated clusters
+    //     (high intra − inter margin ⇒ label-conditioned sampling and the
+    //     q41/q121 centroid machinery are meaningful on this corpus). ---
+    Q("q147_label_separation",
+      (s, dir) => {
+        val u = unitVecs(s, dir)
+        val sums = u
+          .select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy(col("label"), col("d")).agg(sum(col("x")).as("sx"))
+          .localCheckpoint()
+        val perLabel = sums.groupBy(col("label"))
+          .agg(sum(col("sx") * col("sx")).as("s2"))
+          .join(u.groupBy(col("label")).agg(count(lit(1)).as("n")), "label")
+        val cross = sums.groupBy(col("d")).agg(sum(col("sx")).as("st"))
+        val dotTot = sums.join(broadcast(cross), "d")
+          .groupBy(col("label"))
+          .agg(sum(col("sx") * col("st")).as("dot_tot"))
+        val nTot = u.agg(count(lit(1)).as("n_tot"))
+        perLabel.join(dotTot, "label").crossJoin(broadcast(nTot))
+          .select(col("label"), col("n"),
+            round((col("s2") - col("n")) / (col("n") * (col("n") - 1)), 4)
+              .as("intra_mean"),
+            round((col("dot_tot") - col("s2"))
+              / (col("n") * (col("n_tot") - col("n"))), 4).as("inter_mean"),
+            round((col("s2") - col("n")) / (col("n") * (col("n") - 1))
+              - (col("dot_tot") - col("s2"))
+                / (col("n") * (col("n_tot") - col("n"))), 4).as("margin"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |            embedding::DOUBLE[] AS v FROM embeddings),
+             |u AS (SELECT vec_id, label,
+             |        [x / sqrt(list_sum([y*y for y in v])) for x in v] AS v
+             |      FROM e),
+             |ex AS (SELECT label, generate_subscripts(v, 1) AS d,
+             |         unnest(v) AS x FROM u),
+             |sums AS (SELECT label, d, sum(x) AS sx FROM ex GROUP BY 1,2),
+             |pl AS (SELECT label, sum(sx*sx) AS s2 FROM sums GROUP BY 1),
+             |nl AS (SELECT label, count(*) AS n FROM u GROUP BY 1),
+             |tot AS (SELECT d, sum(sx) AS st FROM sums GROUP BY 1),
+             |dt AS (SELECT label, sum(sx*st) AS dot_tot
+             |       FROM sums JOIN tot USING (d) GROUP BY 1),
+             |nt AS (SELECT count(*) AS n_tot FROM u)
+             |SELECT label, n,
+             |  round((s2 - n) / (n * (n - 1)), 4) AS intra_mean,
+             |  round((dot_tot - s2) / (n * (n_tot - n)), 4) AS inter_mean,
+             |  round((s2 - n) / (n * (n - 1))
+             |    - (dot_tot - s2) / (n * (n_tot - n)), 4) AS margin
+             |FROM pl JOIN nl USING (label) JOIN dt USING (label)
+             |  CROSS JOIN nt ORDER BY label""".stripMargin))
   )
 
   private val NumCells    = 8

@@ -1356,7 +1356,100 @@ object TextQueries {
              |         AS spearman_rho,
              |       sum(CASE WHEN absent THEN 1 ELSE 0 END)::BIGINT
              |         AS n_absent
-             |FROM rk GROUP BY source ORDER BY source""".stripMargin))
+             |FROM rk GROUP BY source ORDER BY source""".stripMargin)),
+
+    // --- reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    //     systems: BM25 (q84's scorer) and raw TF-IDF dot product, fused
+    //     as Σ 1/(60+rank) — the standard zero-training hybrid-retrieval
+    //     combiner (in production the second system is the ANN dense
+    //     ranking of q49c; here both rankings are sparse so the whole
+    //     fusion is DuckDB-checkable). Both systems rank the SAME
+    //     candidate set (docs matching ≥1 query term), scores rounded
+    //     BEFORE ranking (ties → doc_id) so ranks are engine-stable.
+    //     Scale shape: candidate frames are query-bounded; the ranking
+    //     windows partition by qid over candidates — at corpus scale the
+    //     per-system rankings come from bounded-heap top-k lists (RRF on
+    //     top-1000 is the deployed form) and fusion stays list-sized. ---
+    Q("q145_rrf_fusion",
+      (s, dir) => {
+        import s.implicits._
+        val qterms = Seq(
+          "qA" -> Seq("spark", "join", "filter"),
+          "qB" -> Seq("stream", "table", "hash"),
+          "qC" -> Seq("merge", "group", "sort"))
+        val qdf = qterms.flatMap { case (q, ts) => ts.map(q -> _) }
+          .toDF("qid", "tok")
+        val allTerms = qterms.flatMap(_._2).distinct
+        val perDoc = fanout(Tables(s, dir, "documents"))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), size(col("toks")).as("dl"),
+            filter(col("toks"), t => t.isInCollection(allTerms)).as("qtoks"))
+          .localCheckpoint()
+        val stats = perDoc.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+        val tf = perDoc.select(col("doc_id"), explode(col("qtoks")).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val df0 = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val scored = tf.join(broadcast(df0), "tok")
+          .join(broadcast(qdf), "tok")
+          .join(perDoc.select(col("doc_id"), col("dl")), "doc_id")
+          .crossJoin(broadcast(stats))
+          .groupBy(col("qid"), col("doc_id"))
+          .agg(
+            round(sum(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+              * col("tf") * lit(1.2 + 1)
+              / (col("tf") + lit(1.2) * (lit(1 - 0.75)
+                + lit(0.75) * col("dl") / col("avgdl")))), 4).as("bm25"),
+            round(sum(col("tf") * log(col("n") / col("df"))), 4).as("tfidf"))
+        val byQ = Window.partitionBy(col("qid"))
+        val ranked = scored
+          .withColumn("r1", row_number().over(
+            byQ.orderBy(col("bm25").desc, col("doc_id"))))
+          .withColumn("r2", row_number().over(
+            byQ.orderBy(col("tfidf").desc, col("doc_id"))))
+          .withColumn("rrf",
+            round(lit(1.0) / (lit(60) + col("r1"))
+              + lit(1.0) / (lit(60) + col("r2")), 6))
+        ranked
+          .withColumn("rank", row_number().over(
+            byQ.orderBy(col("rrf").desc, col("doc_id"))))
+          .filter(col("rank") <= 10)
+          .select(col("qid"), col("rank"), col("doc_id"), col("r1"),
+            col("r2"), col("rrf"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH q(qid, tok) AS (VALUES
+             |  ('qA','spark'),('qA','join'),('qA','filter'),
+             |  ('qB','stream'),('qB','table'),('qB','hash'),
+             |  ('qC','merge'),('qC','group'),('qC','sort')),
+             |toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+             |         FROM documents),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+             |st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+             |       WHERE tok IN (SELECT tok FROM q) GROUP BY 1,2),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT qid, doc_id,
+             |         round(sum(ln((n - df + 0.5)/(df + 0.5) + 1) * tf
+             |           * (1.2 + 1)
+             |           / (tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl))), 4) AS bm25,
+             |         round(sum(tf * ln(n / df)), 4) AS tfidf
+             |       FROM tf JOIN df USING (tok) JOIN q USING (tok)
+             |            JOIN dl USING (doc_id) CROSS JOIN st
+             |       GROUP BY 1,2),
+             |rk AS (SELECT qid, doc_id, bm25, tfidf,
+             |         row_number() OVER (PARTITION BY qid
+             |           ORDER BY bm25 DESC, doc_id) AS r1,
+             |         row_number() OVER (PARTITION BY qid
+             |           ORDER BY tfidf DESC, doc_id) AS r2
+             |       FROM sc),
+             |f AS (SELECT qid, doc_id, r1, r2,
+             |        round(1.0/(60 + r1) + 1.0/(60 + r2), 6) AS rrf
+             |      FROM rk),
+             |fr AS (SELECT *, row_number() OVER (PARTITION BY qid
+             |         ORDER BY rrf DESC, doc_id) AS rank FROM f)
+             |SELECT qid, rank::INT AS rank, doc_id, r1::INT AS r1,
+             |       r2::INT AS r2, rrf
+             |FROM fr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin))
   )
 
   /** Exact TF-IDF cosine pairs (q86 body). Zero-weight rows are filtered
