@@ -539,7 +539,7 @@ object EventQueries {
       Some("""WITH g AS (
              |  SELECT user_id, ts, value,
              |    CASE WHEN lag(ts) OVER w IS NULL
-             |      OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+             |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
              |    THEN 1 ELSE 0 END AS brk
              |  FROM events
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
