@@ -1005,7 +1005,44 @@ object DedupQueries {
              |  round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
              |    / count(*)::DOUBLE, 4) AS novelty
              |FROM g JOIN f USING (g)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    // --- near-dup cluster SIZE distribution: how duplication is shaped —
+    //     many pairs (size-2 templates) vs few giant boilerplate
+    //     components — which decides the dedup policy (keep-best per pair
+    //     vs aggressive cluster collapse) and is the first thing to read
+    //     off a new crawl. q36's connected-components machinery, then two
+    //     tiny aggs: component → size → histogram; output is
+    //     max-cluster-size rows. Oracle reconstructs clusters with the
+    //     recursive min-label CTE. ---
+    Q("q152_cluster_sizes",
+      (s, dir) => {
+        val pairs = lshVerifiedPairs(Tables(s, dir, "documents"), 0.7)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        graft.operators.Dedup.connectedComponents(pairs)
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+          .orderBy(col("sz"))
+      },
+      Some("""WITH RECURSIVE
+             |t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+             |        for i in range(1, len(toks)-1)]) AS sh FROM t),
+             |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+             |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |      WHERE len(list_intersect(a.sh,b.sh))::DOUBLE
+             |        / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.7),
+             |e AS (SELECT ida AS a, idb AS b FROM p
+             |      UNION SELECT idb, ida FROM p),
+             |r AS (SELECT a AS id, a AS lbl FROM e
+             |      UNION SELECT a AS id, b AS lbl FROM e
+             |      UNION
+             |      SELECT e.a AS id, r.lbl FROM e JOIN r ON r.id = e.b),
+             |cc AS (SELECT id, min(lbl) AS cluster_id FROM r GROUP BY 1),
+             |cs AS (SELECT cluster_id, count(*) AS sz FROM cc GROUP BY 1)
+             |SELECT sz, count(*) AS n_clusters FROM cs
+             |GROUP BY sz ORDER BY sz""".stripMargin))
   )
 
   /** Above-threshold cosine pairs found via trained k-means cells (q90

@@ -551,7 +551,8 @@ object EventQueries {
              |SELECT user_id, min(ts) AS s_start, max(ts) AS s_last,
              |       count(*) AS n_events, round(sum(value),2) AS sum_value
              |FROM s GROUP BY user_id, sid
-             |ORDER BY user_id, s_start""".stripMargin)),
+             |ORDER BY user_id, s_start""".stripMargin),
+      bench = true),
 
     // --- strict-order 3-step funnel (q67 generalized): click, then the
     //     first view AFTER that click, then the first purchase AFTER that
@@ -628,7 +629,76 @@ object EventQueries {
              |SELECT event_type, day, n, round((n - mu) / sigma, 4) AS z
              |FROM d JOIN st USING (event_type)
              |WHERE round((n - mu) / sigma, 4) >= 2.0
-             |ORDER BY event_type, day""".stripMargin))
+             |ORDER BY event_type, day""".stripMargin)),
+
+    // --- RANGE-frame window (the §2.5 frame type rows-frames can't
+    //     express): per event, how many of the same user's events fall in
+    //     the trailing hour — a VALUE-bounded frame over event time, so
+    //     co-timed events are peers regardless of row order (rate limiting
+    //     / velocity checks read exactly this). One shuffle on user_id;
+    //     the frame is evaluated with a sliding pointer inside the sorted
+    //     partition. user_id < 50 bounds the gate's output. ---
+    Q("q150_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").cast("long"))
+          .rangeBetween(-3599, 0)
+        Tables(s, dir, "events")
+          .filter(col("user_id") < 50)
+          .withColumn("n_trailing_1h", count(lit(1)).over(w))
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("n_trailing_1h"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, ts,
+             |  count(*) OVER (PARTITION BY user_id
+             |    ORDER BY (epoch_us(ts) // 1000000)
+             |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+             |    AS n_trailing_1h
+             |FROM events WHERE user_id < 50
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // --- engagement stickiness (DAU/WAU/MAU): average daily active users
+    //     over the span, weekly/monthly actives, and the DAU/MAU ratio —
+    //     the product-analytics headline the events table exists for.
+    //     Every frame is a distinct-user aggregate keyed by a calendar
+    //     bucket (partial agg collapses repeats map-side); outputs are
+    //     day-/week-/one-row-sized regardless of event volume. ---
+    Q("q153_stickiness",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+            date_trunc("week", col("ts")).as("week"))
+          .localCheckpoint()
+        val dau = ev.groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+        val wau = ev.groupBy(col("week"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+        val tot = ev.agg(countDistinct(col("user_id")).as("total_users"),
+          countDistinct(col("day")).as("n_days"))
+        dau.agg(round(avg(col("dau")), 4).as("avg_dau"),
+            max(col("dau")).as("max_dau"))
+          .crossJoin(wau.agg(round(avg(col("wau")), 4).as("avg_wau")))
+          .crossJoin(tot)
+          .select(col("avg_dau"), col("max_dau"), col("avg_wau"),
+            col("total_users"), col("n_days"),
+            round(col("avg_dau") / col("total_users"), 4).as("stickiness"))
+      },
+      Some("""WITH e AS (SELECT user_id, date_trunc('day', ts) AS day,
+             |                  date_trunc('week', ts) AS week FROM events),
+             |d AS (SELECT day, count(DISTINCT user_id) AS dau FROM e
+             |      GROUP BY 1),
+             |w AS (SELECT week, count(DISTINCT user_id) AS wau FROM e
+             |      GROUP BY 1),
+             |t AS (SELECT count(DISTINCT user_id) AS total_users,
+             |             count(DISTINCT day) AS n_days FROM e)
+             |SELECT round(avg(dau), 4) AS avg_dau,
+             |       max(dau) AS max_dau,
+             |       (SELECT round(avg(wau), 4) FROM w) AS avg_wau,
+             |       total_users, n_days,
+             |       round(avg(dau) / total_users, 4) AS stickiness
+             |FROM d CROSS JOIN t
+             |GROUP BY total_users, n_days""".stripMargin))
   )
 
   /** Time-clustered multi-file copy of `events` + its zone map, memoized

@@ -1449,7 +1449,39 @@ object TextQueries {
              |         ORDER BY rrf DESC, doc_id) AS rank FROM f)
              |SELECT qid, rank::INT AS rank, doc_id, r1::INT AS r1,
              |       r2::INT AS r2, rrf
-             |FROM fr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin))
+             |FROM fr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
+
+    // --- chars→tokens OLS calibration per source: the regression a
+    //     token-budget planner uses to convert byte/char counts (free from
+    //     file metadata) into token estimates without tokenizing 100 TB —
+    //     slope ≈ tokens per char, R² says how safe the shortcut is for
+    //     that source. Closed-form OLS from one aggregate pass
+    //     (covar_pop/var_pop/corr — Spark and DuckDB expose identical
+    //     population forms); the token count rides the TokenCountRewrite
+    //     byte-scan kernel. Output is sources-sized. ---
+    Q("q151_token_regression",
+      (s, dir) => {
+        val d = fanout(Tables(s, dir, "documents"))
+          .select(col("source"), col("n_chars").cast("double").as("x"),
+            size(split(col("text"), " ")).cast("double").as("y"))
+        d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            round(covar_pop(col("x"), col("y")) / var_pop(col("x")), 6)
+              .as("slope"),
+            round(avg(col("y")) - covar_pop(col("x"), col("y"))
+              / var_pop(col("x")) * avg(col("x")), 4).as("intercept"),
+            round(pow(corr(col("x"), col("y")), 2), 4).as("r2"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT source, n_chars::DOUBLE AS x,
+             |            len(string_split(text,' '))::DOUBLE AS y
+             |           FROM documents)
+             |SELECT source, count(*) AS n,
+             |  round(covar_pop(x, y) / var_pop(x), 6) AS slope,
+             |  round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 4)
+             |    AS intercept,
+             |  round(corr(x, y) ^ 2, 4) AS r2
+             |FROM d GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** Exact TF-IDF cosine pairs (q86 body). Zero-weight rows are filtered
