@@ -698,7 +698,79 @@ object EventQueries {
              |       total_users, n_days,
              |       round(avg(dau) / total_users, 4) AS stickiness
              |FROM d CROSS JOIN t
-             |GROUP BY total_users, n_days""".stripMargin))
+             |GROUP BY total_users, n_days""".stripMargin)),
+
+    // --- first-significant-digit (Benford) audit of the value column:
+    //     the classic fabricated/synthetic-data screen — natural
+    //     multiplicative data follows log10(1+1/d), uniform or injected
+    //     data doesn't. Digit extraction is string-free integer/log
+    //     arithmetic (floor(v / 10^floor(log10 v))); per-digit shares
+    //     compare against the Benford expectation with the deviation per
+    //     digit. One groupBy on 9 keys — partial agg makes the shuffle
+    //     9×partitions rows at any scale. (The harness values are uniform
+    //     on [0,100), so the EXPECTED verdict here is "not Benford" —
+    //     the query is the audit, not a fit assertion.) ---
+    Q("q156_benford",
+      (s, dir) => {
+        val v = Tables(s, dir, "events")
+          .filter(col("value") > 0)
+          .select(floor(col("value")
+            / pow(lit(10.0), floor(log10(col("value")))))
+            .cast("int").as("d"))
+        val tot = Window.partitionBy()
+        v.groupBy(col("d")).agg(count(lit(1)).as("n"))
+          .withColumn("share",
+            round(col("n") / sum(col("n")).over(tot).cast("double"), 4))
+          .withColumn("benford",
+            round(log10(lit(1.0) + lit(1.0) / col("d")), 4))
+          .withColumn("deviation", round(col("share") - col("benford"), 4))
+          .select(col("d"), col("n"), col("share"), col("benford"),
+            col("deviation"))
+          .orderBy(col("d"))
+      },
+      Some("""WITH v AS (SELECT floor(value
+             |             / power(10, floor(log10(value))))::INT AS d
+             |           FROM events WHERE value > 0),
+             |c AS (SELECT d, count(*) AS n FROM v GROUP BY 1)
+             |SELECT d, n,
+             |  round(n / (sum(n) OVER ())::DOUBLE, 4) AS share,
+             |  round(log10(1.0 + 1.0 / d), 4) AS benford,
+             |  round(n / (sum(n) OVER ())::DOUBLE
+             |    - log10(1.0 + 1.0 / d), 4) AS deviation
+             |FROM c ORDER BY d""".stripMargin)),
+
+    // --- engagement concentration (Gini coefficient): how unequally
+    //     events distribute over users — the one-number skew summary that
+    //     says whether per-user work needs salting (q66/q85's decision
+    //     input) and whether "active users" metrics hide a whale economy.
+    //     Exact Gini from the sorted per-user counts via the rank
+    //     identity G = (2·Σᵢ i·cᵢ)/(n·Σc) − (n+1)/n — one groupBy to
+    //     counts (the only corpus-scale shuffle), then rank + two sums on
+    //     the users-sized frame; integer arithmetic until the final
+    //     division. ---
+    Q("q157_user_gini",
+      (s, dir) => {
+        val counts = Tables(s, dir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        counts
+          .withColumn("i", row_number().over(
+            Window.orderBy(col("c"), col("user_id"))))
+          .agg(count(lit(1)).as("n_users"), sum(col("c")).as("n_events"),
+            max(col("c")).as("max_events"),
+            round(lit(2.0) * sum(col("i") * col("c"))
+              / (count(lit(1)) * sum(col("c")).cast("double"))
+              - (count(lit(1)) + 1) / count(lit(1)).cast("double"), 4)
+              .as("gini"))
+      },
+      Some("""WITH c AS (SELECT user_id, count(*) AS c FROM events
+             |           GROUP BY 1),
+             |r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i
+             |      FROM c)
+             |SELECT count(*) AS n_users, sum(c)::BIGINT AS n_events,
+             |  max(c)::BIGINT AS max_events,
+             |  round(2.0 * sum(i * c) / (count(*) * sum(c)::DOUBLE)
+             |    - (count(*) + 1) / count(*)::DOUBLE, 4) AS gini
+             |FROM r""".stripMargin))
   )
 
   /** Time-clustered multi-file copy of `events` + its zone map, memoized

@@ -1481,7 +1481,131 @@ object TextQueries {
              |  round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 4)
              |    AS intercept,
              |  round(corr(x, y) ^ 2, 4) AS r2
-             |FROM d GROUP BY source ORDER BY source""".stripMargin))
+             |FROM d GROUP BY source ORDER BY source""".stripMargin)),
+
+    // --- token entropy rate per source: unigram entropy H(W) and the
+    //     conditional bigram entropy H(W₂|W₁) = H(W₁W₂) − H(W₁) — how
+    //     much the next token is constrained by the previous one. The
+    //     gap H(W) − H(W₂|W₁) is the corpus' first-order predictability:
+    //     near 0 ⇒ token-shuffled/noisy text, large ⇒ templated text —
+    //     the information-theoretic complement of q103's char entropy and
+    //     q82's model-based NLL (this one is model-free). Plug-in
+    //     estimates from two count frames (tokens and adjacent pairs, the
+    //     q98 zip projection — no self-join); entropy sums run on the
+    //     vocab-/bigram-vocab-sized frames. ---
+    Q("q154_entropy_rate",
+      (s, dir) => {
+        val docs = fanout(Tables(s, dir, "documents"))
+          .select(col("source"), split(col("text"), " ").as("toks"))
+        val uni = docs.select(col("source"), explode(col("toks")).as("w"))
+          .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        val bi = docs.select(col("source"),
+            explode(zip_with(
+              slice(col("toks"), lit(1), size(col("toks")) - 1),
+              slice(col("toks"), lit(2), size(col("toks")) - 1),
+              (a, b) => concat_ws(" ", a, b))).as("b"))
+          .groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+        def entropy(cnt: DataFrame): DataFrame = {
+          val tot = Window.partitionBy(col("source"))
+          cnt.withColumn("t", sum(col("c")).over(tot))
+            .groupBy(col("source"))
+            .agg((-sum(col("c") / col("t")
+              * log(col("c") / col("t")))).as("h"))
+        }
+        entropy(uni).withColumnRenamed("h", "h1")
+          .join(entropy(bi).withColumnRenamed("h", "h12"), "source")
+          .select(col("source"), round(col("h1"), 4).as("h_unigram"),
+            round(col("h12") - col("h1"), 4).as("h_cond_bigram"),
+            round(col("h1") - (col("h12") - col("h1")), 4)
+              .as("predictability_gain"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT source, string_split(text,' ') AS toks
+             |           FROM documents),
+             |u AS (SELECT source, unnest(toks) AS w FROM d),
+             |uc AS (SELECT source, w, count(*) AS c FROM u GROUP BY 1,2),
+             |h1 AS (SELECT source,
+             |         -sum((c / t) * ln(c / t)) AS h1
+             |       FROM (SELECT source, c,
+             |               sum(c) OVER (PARTITION BY source)::DOUBLE AS t
+             |             FROM uc) GROUP BY 1),
+             |b AS (SELECT source,
+             |        unnest([toks[i] || ' ' || toks[i+1]
+             |                for i in range(1, len(toks))]) AS bg
+             |      FROM d),
+             |bc AS (SELECT source, bg, count(*) AS c FROM b GROUP BY 1,2),
+             |h12 AS (SELECT source,
+             |          -sum((c / t) * ln(c / t)) AS h12
+             |        FROM (SELECT source, c,
+             |                sum(c) OVER (PARTITION BY source)::DOUBLE AS t
+             |              FROM bc) GROUP BY 1)
+             |SELECT source, round(h1, 4) AS h_unigram,
+             |       round(h12 - h1, 4) AS h_cond_bigram,
+             |       round(h1 - (h12 - h1), 4) AS predictability_gain
+             |FROM h1 JOIN h12 USING (source) ORDER BY source""".stripMargin)),
+
+    // --- type-token ratio at fixed budgets: lexical diversity TTR is
+    //     length-confounded (more tokens ⇒ lower ratio), so the standard
+    //     fix is TTR at FIXED token budgets per source — comparable across
+    //     sources of different size, and the within-source diversity
+    //     curve. Token order is the corpus order (doc_id, position); a
+    //     token counts as a type if it's the term's FIRST occurrence in
+    //     its source (one min-position agg), so TTR@N = first-occurrences
+    //     ≤ N / N with no distinct-over-prefix anywhere. Scale shape: the
+    //     global position is one cumulative device per source — computed
+    //     here with a doc-offset join (per-doc lengths are docs-sized)
+    //     rather than a token-level window. ---
+    Q("q155_ttr_curve",
+      (s, dir) => {
+        val toks = fanout(Tables(s, dir, "documents"))
+          .select(col("source"), col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+        val docLen = toks.groupBy(col("source"), col("doc_id"))
+          .agg(count(lit(1)).as("len"))
+        val offs = docLen.withColumn("off",
+          coalesce(sum(col("len")).over(Window.partitionBy(col("source"))
+            .orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val pos = toks.join(offs.select(col("source"), col("doc_id"),
+            col("off")), Seq("source", "doc_id"))
+          .select(col("source"), col("w"), (col("off") + col("p") + 1).as("gp"))
+        val firsts = pos.groupBy(col("source"), col("w"))
+          .agg(min(col("gp")).as("fp"))
+        val budgets = Seq(100, 1000, 10000)
+        val ttrs = budgets.map { n =>
+          round(sum(when(col("fp") <= n, 1L).otherwise(0L))
+            / lit(n.toDouble), 4).as(s"ttr_$n")
+        }
+        firsts.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_types"),
+            (ttrs: Seq[org.apache.spark.sql.Column]): _*)
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (SELECT source, doc_id,
+             |             generate_subscripts(string_split(text,' '), 1)
+             |               AS p,
+             |             unnest(string_split(text,' ')) AS w
+             |           FROM documents),
+             |dl AS (SELECT source, doc_id, count(*) AS len FROM t
+             |       GROUP BY 1,2),
+             |o AS (SELECT source, doc_id,
+             |        coalesce(sum(len) OVER (PARTITION BY source
+             |          ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |          0) AS off
+             |      FROM dl),
+             |pos AS (SELECT t.source, w, off + p AS gp
+             |        FROM t JOIN o ON t.source = o.source
+             |          AND t.doc_id = o.doc_id),
+             |f AS (SELECT source, w, min(gp) AS fp FROM pos GROUP BY 1,2)
+             |SELECT source, count(*) AS n_types,
+             |  round(sum(CASE WHEN fp <= 100 THEN 1 ELSE 0 END)
+             |    / 100.0, 4) AS ttr_100,
+             |  round(sum(CASE WHEN fp <= 1000 THEN 1 ELSE 0 END)
+             |    / 1000.0, 4) AS ttr_1000,
+             |  round(sum(CASE WHEN fp <= 10000 THEN 1 ELSE 0 END)
+             |    / 10000.0, 4) AS ttr_10000
+             |FROM f GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** Exact TF-IDF cosine pairs (q86 body). Zero-weight rows are filtered
