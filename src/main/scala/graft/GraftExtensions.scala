@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the oracle gate on every query using the idiom
     ext.injectOptimizerRule(_ => graft.plans.TokenCountRewrite)
 
+    // physical planning for the interval-stabbing join operator
+    // (plans/RangeJoin — the custom LogicalPlan + SparkPlan pair)
+    ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
+
     ext.injectFunction((FunctionIdentifier("token_count"),
       info("token_count", "token_count(str) - space-delimited token count, equal to size(split(str, ' ', -1)) without materializing the array."),
       (exprs: Seq[Expression]) => graft.functions.TokenCount(exprs.head)))

@@ -770,7 +770,37 @@ object EventQueries {
              |  max(c)::BIGINT AS max_events,
              |  round(2.0 * sum(i * c) / (count(*) * sum(c)::DOUBLE)
              |    - (count(*) + 1) / count(*)::DOUBLE, 4) AS gini
-             |FROM r""".stripMargin))
+             |FROM r""".stripMargin)),
+
+    // --- the custom interval-stabbing JOIN operator (plans/RangeJoin —
+    //     logical node + planner strategy + exec, injected via
+    //     GraftExtensions): every event matched to the overlapping
+    //     value-band intervals with NO equi key. Vanilla Spark plans this
+    //     join shape as BroadcastNestedLoopJoin (O(points×intervals));
+    //     the custom exec broadcasts the intervals sorted with a
+    //     prefix-max index and binary-searches per row — O(log m + hits),
+    //     point side never shuffles. Inclusive bounds; bands overlap
+    //     (stride 2, length 3) so boundary and multi-match paths are
+    //     exercised; RangeJoinSpec pins naive-join equivalence and that
+    //     the plan really runs RangePointJoinExec. ---
+    Q("q158_range_join",
+      (s, dir) => {
+        val intervals = s.range(64).select(col("id").as("bucket"),
+          (col("id") * 2.0).as("lo"), (col("id") * 2.0 + 3.0).as("hi"))
+        val ev = Tables(s, dir, "events")
+          .select(col("value"), col("event_type"))
+        graft.operators.RangeJoin
+          .pointInInterval(ev, intervals, "value", "lo", "hi")
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH iv AS (SELECT i AS bucket, i*2.0 AS lo, i*2.0+3.0 AS hi
+             |            FROM range(64) t(i))
+             |SELECT bucket, count(*) AS n, round(sum(value),2) AS sum_value
+             |FROM events e JOIN iv ON e.value >= lo AND e.value <= hi
+             |GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 
   /** Time-clustered multi-file copy of `events` + its zone map, memoized
