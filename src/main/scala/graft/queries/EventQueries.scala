@@ -800,7 +800,8 @@ object EventQueries {
              |            FROM range(64) t(i))
              |SELECT bucket, count(*) AS n, round(sum(value),2) AS sum_value
              |FROM events e JOIN iv ON e.value >= lo AND e.value <= hi
-             |GROUP BY bucket ORDER BY bucket""".stripMargin))
+             |GROUP BY bucket ORDER BY bucket""".stripMargin),
+      bench = true)
   )
 
   /** Time-clustered multi-file copy of `events` + its zone map, memoized
