@@ -1042,8 +1042,93 @@ object DedupQueries {
              |cc AS (SELECT id, min(lbl) AS cluster_id FROM r GROUP BY 1),
              |cs AS (SELECT cluster_id, count(*) AS sz FROM cc GROUP BY 1)
              |SELECT sz, count(*) AS n_clusters FROM cs
-             |GROUP BY sz ORDER BY sz""".stripMargin))
+             |GROUP BY sz ORDER BY sz""".stripMargin)),
+
+    // --- prefix-filtered set-similarity join (AllPairs/PPJoin family,
+    //     Bayardo et al. 2007 / Xiao et al. 2008): the EXACT middle path
+    //     between brute force (q33) and probabilistic MinHash-LSH (q32).
+    //     Under one global token order (rarest first), a pair with
+    //     Jaccard ≥ t MUST share a token inside both docs' first
+    //     |d| − ⌈t·|d|⌉ + 1 tokens — so only prefixes are indexed and
+    //     joined, the frequent-token tail (which drives the candidate
+    //     blowup of a naive shingle join) never enters the equi-join, and
+    //     NO true pair can be missed (unlike LSH there is no recall
+    //     loss). Candidates are then exact-verified id-keyed. Scale
+    //     shape: the df frame is vocab-sized; per-doc prefix extraction
+    //     is an in-row sort + slice; the only corpus-scale shuffles are
+    //     the prefix equi-join (a bounded subset of q33's fanout —
+    //     PrefixFilterSpec measures the pruning) and the verify joins.
+    //     At 100 TB the prefix join key drops to the shingle's 8-byte
+    //     hash exactly as in q89/q140. ---
+    Q("q159_prefix_filter_join",
+      (s, dir) => {
+        prefixFilteredPairs(Tables(s, dir, "documents"), 0.5)
+          .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+             |        for i in range(1, len(toks)-1)]) AS sh FROM t),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |        len(list_intersect(a.sh,b.sh))::DOUBLE
+             |          / len(list_distinct(list_concat(a.sh,b.sh))) AS jac
+             |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, round(jac,4) AS jac FROM p
+             |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin))
   )
+
+  /** Prefix-filter candidate pairs (exposed to PrefixFilterSpec so it can
+    * count candidates against the unfiltered shingle-join fanout). */
+  private[queries] def prefixFilterCandidates(docs: DataFrame,
+      t: Double): DataFrame = {
+    val sh = shingled(docs).localCheckpoint()
+    val toks = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val dfreq = toks.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // per-doc tokens sorted rarest-first under ONE global total order
+    // (df, then token) — the order every doc must share for the prefix
+    // guarantee to hold
+    val sorted = toks.join(dfreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("ord"),
+        count(lit(1)).as("sz"))
+    val pref = sorted.select(col("doc_id"),
+      slice(transform(col("ord"), e => e.getField("sh")), lit(1),
+        (col("sz") - ceil(col("sz") * t) + 1).cast("int")).as("prefix"))
+    val cand = pref.select(col("doc_id"), explode(col("prefix")).as("sh"))
+    cand.as("a")
+      .join(cand.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** q159 body: prefix-filtered candidates, verified in two stages (the
+    * q140 staging): candidate pairs first score an over-approximate
+    * Jaccard on 8-byte shingle-HASH arrays (equal strings always hash
+    * equal, and Jaccard is increasing in the intersection size, so
+    * jac_hash ≥ jac_true — the ≥ t filter keeps a superset), then the
+    * output-sized survivors are re-scored exactly on the string arrays.
+    * The corpus-wide candidate join never moves shingle text. */
+  private[queries] def prefixFilteredPairs(docs: DataFrame,
+      t: Double): DataFrame = {
+    val sh = shingled(docs).localCheckpoint()
+    val shh = sh.select(col("doc_id"),
+      transform(col("shingles"), xxhash64(_)).as("h"))
+    val approx = prefixFilterCandidates(docs, t)
+      .join(shh.select(col("doc_id").as("id_a"), col("h").as("h_a")), "id_a")
+      .join(shh.select(col("doc_id").as("id_b"), col("h").as("h_b")), "id_b")
+      .filter(size(array_intersect(col("h_a"), col("h_b"))).cast("double")
+        / size(array_union(col("h_a"), col("h_b"))) >= t)
+      .select(col("id_a"), col("id_b"))
+    approx
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")),
+        "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= t)
+  }
 
   /** Above-threshold cosine pairs found via trained k-means cells (q90
     * body): (id_a, id_b, sim), exact-verified. Each vector is keyed to its
