@@ -801,7 +801,82 @@ object EventQueries {
              |SELECT bucket, count(*) AS n, round(sum(value),2) AS sum_value
              |FROM events e JOIN iv ON e.value >= lo AND e.value <= hi
              |GROUP BY bucket ORDER BY bucket""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // --- relative-rank windows (percent_rank + cume_dist — the §2.5
+    //     functions not exercised elsewhere): each user placed within the
+    //     engagement distribution. Unique ordering (count, then user_id)
+    //     makes both functions deterministic; the window runs on the
+    //     users-sized aggregate, never on raw events. ---
+    Q("q160_percent_rank",
+      (s, dir) => {
+        val counts = Tables(s, dir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        val w = Window.orderBy(col("n_events"), col("user_id"))
+        counts
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .filter(col("user_id") < 100)
+          .select(col("user_id"), col("n_events"), col("pr"), col("cd"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (SELECT user_id, count(*) AS n_events FROM events
+             |           GROUP BY 1)
+             |SELECT user_id, n_events,
+             |  round(percent_rank() OVER (ORDER BY n_events, user_id), 6)
+             |    AS pr,
+             |  round(cume_dist() OVER (ORDER BY n_events, user_id), 6)
+             |    AS cd
+             |FROM c QUALIFY user_id < 100
+             |ORDER BY user_id""".stripMargin)),
+
+    // --- time-to-convert distribution: for users completing q148's
+    //     click→view→purchase chain, the click→purchase latency summary
+    //     with EXACT interpolated percentiles (Spark `percentile` ==
+    //     DuckDB `quantile_cont`, the q75 parity). The chain frames are
+    //     one row per qualifying user; the percentile aggregate runs on
+    //     that users-sized frame. ---
+    Q("q161_time_to_convert",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val v = ev.filter(col("event_type") === "view")
+          .join(c, "user_id").filter(col("ts") > col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("t_click")).as("t_click"),
+            min(col("ts")).as("t_view"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(v, "user_id").filter(col("ts") > col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("t_click")).as("t_click"),
+            min(col("ts")).as("t_purchase"))
+        p.select((col("t_purchase").cast("long")
+            - col("t_click").cast("long")).as("d"))
+          .agg(count(lit(1)).as("n_converted"),
+            min(col("d")).as("min_s"),
+            round(expr("percentile(d, 0.5)"), 4).as("p50_s"),
+            round(expr("percentile(d, 0.9)"), 4).as("p90_s"),
+            max(col("d")).as("max_s"))
+      },
+      Some("""WITH c AS (SELECT user_id, min(ts) AS t_click FROM events
+             |           WHERE event_type = 'click' GROUP BY 1),
+             |v AS (SELECT e.user_id, min(t_click) AS t_click,
+             |             min(ts) AS t_view
+             |      FROM events e JOIN c USING (user_id)
+             |      WHERE e.event_type = 'view' AND e.ts > c.t_click
+             |      GROUP BY 1),
+             |p AS (SELECT e.user_id, min(t_click) AS t_click,
+             |             min(ts) AS t_purchase
+             |      FROM events e JOIN v USING (user_id)
+             |      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+             |      GROUP BY 1),
+             |d AS (SELECT (epoch_us(t_purchase) // 1000000)
+             |             - (epoch_us(t_click) // 1000000) AS d FROM p)
+             |SELECT count(*) AS n_converted, min(d) AS min_s,
+             |  round(quantile_cont(d, 0.5), 4) AS p50_s,
+             |  round(quantile_cont(d, 0.9), 4) AS p90_s,
+             |  max(d) AS max_s
+             |FROM d""".stripMargin))
   )
 
   /** Time-clustered multi-file copy of `events` + its zone map, memoized
