@@ -1295,6 +1295,39 @@ object TextQueries {
              |FROM cw WHERE (cum - c) * 10 < tot * 9
              |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // --- the SQL surface inside the driver gate: this query is PURE SQL
+    //     text planned through the GraftExtensions-registered function
+    //     library (word_ngrams, token_count — the TokenCountRewrite
+    //     kernel) — proving a spark.sql()/JDBC/notebook user gets the
+    //     same oracled semantics and the same Catalyst plans as the
+    //     Column API (GraftExtensionsSpec pins plan equality; this pins
+    //     result equality under the DuckDB gate). ---
+    Q("q162_sql_surface",
+      (s, dir) => {
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_sqlv")
+        s.sql("""
+          SELECT source, n_tokens, n_distinct_trigrams
+          FROM (SELECT source, sum(token_count(text)) AS n_tokens
+                FROM documents_sqlv GROUP BY source) t
+          JOIN (SELECT source, count(DISTINCT g) AS n_distinct_trigrams
+                FROM (SELECT source,
+                        explode(word_ngrams(split(text, ' '), 3)) AS g
+                      FROM documents_sqlv)
+                GROUP BY source) g USING (source)
+          ORDER BY source""")
+      },
+      Some("""WITH t AS (SELECT source, string_split(text,' ') AS toks
+             |           FROM documents),
+             |tk AS (SELECT source, sum(len(toks))::BIGINT AS n_tokens FROM t
+             |       GROUP BY source),
+             |g AS (SELECT source, unnest([array_to_string(toks[i:i+2],' ')
+             |        for i in range(1, len(toks)-1)]) AS g FROM t),
+             |gg AS (SELECT source, count(DISTINCT g) AS n_distinct_trigrams
+             |       FROM g GROUP BY source)
+             |SELECT source, n_tokens, n_distinct_trigrams
+             |FROM tk JOIN gg USING (source)
+             |ORDER BY source""".stripMargin)),
+
     // --- rank-stability of term frequencies across domains: Spearman's ρ
     //     between each source's frequency ranking and the global ranking,
     //     over the global top-50 terms — the drift gauge for "does this
