@@ -41,7 +41,11 @@ object EventQueries {
           .select(col("window.start").as("bucket"), col("event_type"), col("n"))
           .orderBy(col("bucket"), col("event_type"))
       },
-      Some("""SELECT make_timestamp(((epoch(ts)::BIGINT // 21600) * 21600) * 1000000) AS bucket,
+      // epoch_us + integer floor division: epoch(ts)::BIGINT ROUNDS
+      // half-even in DuckDB, which mis-buckets events within 0.5 s below
+      // a window boundary (surfaced by the sf0.1 oracle sweep — two
+      // cells off; sf0.01 never sampled the hazard window)
+      Some("""SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS bucket,
              |event_type, count(*) AS n
              |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
 
