@@ -1526,6 +1526,107 @@ object AnalysisQueries {
             round(avg(col("cos")), 6).as("avg_cosine"),
             (min(col("cos")) >= 0.999).as("fidelity_ok"))
       },
-      None)
+      None),
+
+    // --- two-sample Kolmogorov–Smirnov distance per source: each source's
+    //     doc-length (n_chars) distribution vs the REST of the corpus —
+    //     the distribution-shift screen behind "does this source look like
+    //     the mix?" (complements q123's JSD over term mass: KS sees shape,
+    //     JSD sees vocabulary). No per-doc windows anywhere: docs reduce to
+    //     a (source × distinct length) grid of counts, every source's CDF
+    //     and the complement CDF come from integer cumulative sums over
+    //     that grid, and the sup-norm is one max per source. Exact integer
+    //     arithmetic until the final division. ---
+    Q("q165_ks_distance",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val perSrcLen = docs.groupBy(col("source"), col("n_chars"))
+          .agg(count(lit(1)).as("c"))
+        val lens = docs.groupBy(col("n_chars"))
+          .agg(count(lit(1)).as("g"))
+        val sources = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+        val total = docs.count()
+        val grid = broadcast(sources).crossJoin(lens)
+          .join(perSrcLen, Seq("source", "n_chars"), "left")
+          .na.fill(0L, Seq("c"))
+        val wCum = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid
+          .withColumn("cs", sum(col("c")).over(wCum))
+          .withColumn("cg", sum(col("g")).over(wCum))
+          .select(col("source"), col("n_docs"),
+            abs(col("cs") / col("n_docs")
+              - (col("cg") - col("cs")) / (lit(total) - col("n_docs")))
+              .as("d"))
+          .groupBy(col("source"), col("n_docs"))
+          .agg(round(max(col("d")), 6).as("ks"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH sl AS (SELECT source, n_chars, count(*) AS c
+             |            FROM documents GROUP BY 1, 2),
+             |l AS (SELECT n_chars, count(*) AS g FROM documents GROUP BY 1),
+             |s AS (SELECT source, count(*) AS n_docs FROM documents
+             |      GROUP BY 1),
+             |tot AS (SELECT count(*) AS t FROM documents),
+             |grid AS (
+             |  SELECT s.source, s.n_docs, l.n_chars, l.g,
+             |         coalesce(sl.c, 0) AS c
+             |  FROM s CROSS JOIN l
+             |  LEFT JOIN sl ON sl.source = s.source
+             |    AND sl.n_chars = l.n_chars),
+             |cum AS (
+             |  SELECT source, n_docs,
+             |    sum(c) OVER w AS cs, sum(g) OVER w AS cg
+             |  FROM grid
+             |  WINDOW w AS (PARTITION BY source ORDER BY n_chars
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT source, n_docs,
+             |  round(max(abs(cs / n_docs
+             |    - (cg - cs) / ((SELECT t FROM tot) - n_docs))), 6) AS ks
+             |FROM cum GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // --- robust outlier gate: per-source modified z-score (Iglewicz–
+    //     Hoaglin, 0.6745·|x−median|/MAD > 3.5) over doc lengths — the
+    //     scanner that survives the heavy tails that wreck mean/stddev
+    //     gates (one 10 MB doc moves a source's σ, not its MAD). Median
+    //     and MAD are two exact-percentile aggregates on the sources-sized
+    //     frame, each joined back broadcast; docs are scanned, never
+    //     windowed. Spark `percentile` and DuckDB `quantile_cont` share
+    //     interpolation (the q75 parity). ---
+    Q("q167_mad_outliers",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("source"), col("n_chars").cast("double").as("x"))
+        val med = docs.groupBy(col("source"))
+          .agg(expr("percentile(x, 0.5)").as("med"))
+        val dev = docs.join(broadcast(med), "source")
+          .withColumn("ad", abs(col("x") - col("med")))
+        val mad = dev.groupBy(col("source"))
+          .agg(expr("percentile(ad, 0.5)").as("mad"))
+        dev.join(broadcast(mad), "source")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(first(col("med")), 4).as("med"),
+            round(first(col("mad")), 4).as("mad"),
+            sum(when(lit(0.6745) * col("ad") / col("mad") > 3.5, 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT source, n_chars::DOUBLE AS x
+             |           FROM documents),
+             |m AS (SELECT source, quantile_cont(x, 0.5) AS med FROM d
+             |      GROUP BY 1),
+             |dev AS (SELECT d.source, d.x, m.med, abs(d.x - m.med) AS ad
+             |        FROM d JOIN m USING (source)),
+             |md AS (SELECT source, quantile_cont(ad, 0.5) AS mad FROM dev
+             |       GROUP BY 1)
+             |SELECT dev.source, count(*) AS n_docs,
+             |  round(any_value(dev.med), 4) AS med,
+             |  round(any_value(md.mad), 4) AS mad,
+             |  sum(CASE WHEN 0.6745 * dev.ad / md.mad > 3.5
+             |      THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+             |FROM dev JOIN md USING (source)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -880,7 +880,116 @@ object EventQueries {
              |  round(quantile_cont(d, 0.5), 4) AS p50_s,
              |  round(quantile_cont(d, 0.9), 4) AS p90_s,
              |  max(d) AS max_s
-             |FROM d""".stripMargin))
+             |FROM d""".stripMargin)),
+
+    // --- sequential path mining: the 25 most frequent contiguous 3-step
+    //     event-type sequences across users (the contiguous-k-gram slice
+    //     of PrefixSpan — what "which journeys dominate" actually asks).
+    //     One user-keyed shuffle for the lead() windows, then a
+    //     paths-keyed aggregate on 3-token rows; n_users is exact
+    //     count_distinct on the same shuffle. Fully deterministic order
+    //     (count desc, then lexicographic) so LIMIT is engine-stable. ---
+    Q("q163_event_paths",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("e1"))
+          .withColumn("e2", lead(col("e1"), 1).over(w))
+          .withColumn("e3", lead(col("e1"), 2).over(w))
+          .filter(col("e3").isNotNull)
+          .groupBy(col("e1"), col("e2"), col("e3"))
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("user_id")).as("n_users"))
+          .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+          .limit(25)
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, event_type AS e1,
+             |    lead(event_type, 1) OVER w AS e2,
+             |    lead(event_type, 2) OVER w AS e3
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT e1, e2, e3, count(*) AS n,
+             |       count(DISTINCT user_id) AS n_users
+             |FROM p WHERE e3 IS NOT NULL
+             |GROUP BY 1, 2, 3
+             |ORDER BY n DESC, e1, e2, e3 LIMIT 25""".stripMargin)),
+
+    // --- first-order Markov transition matrix over event types: P(next |
+    //     current) from consecutive per-user pairs. The transition counts
+    //     are a types²-sized frame, so the per-state normalisation join is
+    //     broadcast; only the lead() window touches corpus-scale rows.
+    //     This is the chain the q62/q141 sessionizers feed, and the input
+    //     to any next-event simulator. ---
+    Q("q164_markov_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("cur"))
+          .withColumn("next", lead(col("cur"), 1).over(w))
+          .filter(col("next").isNotNull)
+        val counts = pairs.groupBy(col("cur"), col("next"))
+          .agg(count(lit(1)).as("n"))
+        val totals = counts.groupBy(col("cur"))
+          .agg(sum(col("n")).as("tot"))
+        counts.join(broadcast(totals), "cur")
+          .select(col("cur"), col("next"), col("n"),
+            round(col("n") / col("tot"), 6).as("p"))
+          .orderBy(col("cur"), col("next"))
+      },
+      Some("""WITH pr AS (
+             |  SELECT event_type AS cur,
+             |    lead(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS next
+             |  FROM events),
+             |c AS (SELECT cur, next, count(*) AS n FROM pr
+             |      WHERE next IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT cur, sum(n) AS tot FROM c GROUP BY 1)
+             |SELECT c.cur, c.next, c.n,
+             |       round(c.n / t.tot, 6) AS p
+             |FROM c JOIN t USING (cur) ORDER BY 1, 2""".stripMargin)),
+
+    // --- running distinct-type count per user: after each event, how many
+    //     distinct event types has this user produced so far? Expressed as
+    //     first-occurrence flags (row_number over (user, type) == 1) summed
+    //     by a running frame — windows never carry sets, only 0/1 ints, so
+    //     state per row is constant. Batch twin of the streaming
+    //     transformWithState processor (EventStreams.runningDistinctTypes),
+    //     which holds the seen-set in keyed state instead. Output bounded
+    //     to users < 20 (the gate frame); the windows run corpus-wide. ---
+    Q("q168_running_distinct",
+      (s, dir) => {
+        val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val wRun = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("is_new",
+            when(row_number().over(wFirst) === 1, 1).otherwise(0))
+          .withColumn("k_types", sum(col("is_new")).over(wRun))
+          .filter(col("user_id") < 20)
+          .select(col("user_id"), col("event_id"), col("k_types"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN row_number() OVER (PARTITION BY user_id,
+             |        event_type ORDER BY ts, event_id) = 1
+             |      THEN 1 ELSE 0 END AS is_new
+             |  FROM events)
+             |SELECT user_id, event_id,
+             |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             |    AS k_types
+             |FROM f QUALIFY user_id < 20
+             |ORDER BY user_id, event_id""".stripMargin))
   )
 
   /** Time-clustered multi-file copy of `events` + its zone map, memoized

@@ -1638,7 +1638,49 @@ object TextQueries {
              |    / 1000.0, 4) AS ttr_1000,
              |  round(sum(CASE WHEN fp <= 10000 THEN 1 ELSE 0 END)
              |    / 10000.0, 4) AS ttr_10000
-             |FROM f GROUP BY source ORDER BY source""".stripMargin))
+             |FROM f GROUP BY source ORDER BY source""".stripMargin)),
+
+    // --- distinct-n diversity (the self-BLEU-lite generation/repetition
+    //     screen): per source and n ∈ {1,2,3}, distinct n-grams over total
+    //     n-grams. Templated or model-generated text collapses distinct-2/3
+    //     long before distinct-1 moves — the corpus-level complement of
+    //     q57's within-doc repetition gate and q146's ingest-order novelty.
+    //     Each n is one Generate + one (source, gram) partial+final agg;
+    //     the three unioned branches share the scan. count_distinct is
+    //     exact here because the gate demands it; the 100 TB screen swaps
+    //     in approx_count_distinct on the same plan. ---
+    Q("q166_distinct_ngrams",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val toks = split(col("text"), " ")
+        val perN = (1 to 3).map { n =>
+          docs.select(col("source"),
+              explode(word_ngrams(toks, n)).as("gram"))
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_grams"),
+              count_distinct(col("gram")).as("n_distinct"))
+            .select(col("source"), lit(n).as("n"), col("n_grams"),
+              col("n_distinct"),
+              round(col("n_distinct") / col("n_grams"), 6).as("diversity"))
+        }
+        perN.reduce(_ unionAll _).orderBy(col("source"), col("n"))
+      },
+      Some("""WITH t AS (SELECT source, string_split(text, ' ') AS toks
+             |           FROM documents),
+             |g AS (
+             |  SELECT source, 1 AS n, unnest(toks) AS gram FROM t
+             |  UNION ALL
+             |  SELECT source, 2 AS n,
+             |    unnest([array_to_string(toks[i:i+1], ' ')
+             |            for i in range(1, len(toks))]) AS gram FROM t
+             |  UNION ALL
+             |  SELECT source, 3 AS n,
+             |    unnest([array_to_string(toks[i:i+2], ' ')
+             |            for i in range(1, len(toks) - 1)]) AS gram FROM t)
+             |SELECT source, n, count(*) AS n_grams,
+             |  count(DISTINCT gram) AS n_distinct,
+             |  round(count(DISTINCT gram) / count(*), 6) AS diversity
+             |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** Exact TF-IDF cosine pairs (q86 body). Zero-weight rows are filtered

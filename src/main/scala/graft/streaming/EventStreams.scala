@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** Structured Streaming surface (green-field extension — the reference is
   * batch-only, SURVEY §2.9). Transform builders take unbounded DataFrames
@@ -151,6 +151,51 @@ object EventStreams {
             SessionOut(userId, next.nEvents, (next.lastTs - next.start) / 1000)
           }
       }
+  }
+
+  final case class DistinctOut(user_id: Long, event_id: Long, k_types: Long)
+
+  /** Arbitrary keyed state via the Spark 4 `transformWithState` API
+    * (StatefulProcessor + typed state variables, the successor to
+    * [[sessionize]]'s mapGroupsWithState): after each event, emit how many
+    * DISTINCT event types the user has produced so far. The seen-set lives
+    * in a [[MapState]] keyed by event type — adding a type writes ONE state
+    * row instead of rewriting a serialized set blob, which is the point of
+    * the new API (RocksDB-backed point writes; at 100 TB the state is
+    * (users × types) tiny rows, never a per-user monolith). Rows within a
+    * micro-batch are folded in (ts, event_id) order so replays and batch
+    * boundaries can't reorder the running count. Requires the RocksDB state
+    * store provider (`spark.sql.streaming.stateStore.providerClass`);
+    * batch twin (DuckDB-oracled): q168_running_distinct. */
+  class RunningDistinctProcessor
+      extends StatefulProcessor[Long, Event, DistinctOut] {
+    @transient private var seen: MapState[String, Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getMapState[String, Boolean]("seen_types",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[DistinctOut] = {
+      var k = seen.keys().size.toLong
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).iterator.map { e =>
+        if (!seen.containsKey(e.event_type)) {
+          seen.updateValue(e.event_type, true)
+          k += 1
+        }
+        DistinctOut(key, e.event_id, k)
+      }
+    }
+  }
+
+  def runningDistinctTypes(events: Dataset[Event])(
+      implicit spark: SparkSession): Dataset[DistinctOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningDistinctProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** The built-in session_window twin of [[sessionize]]: event-time gap

@@ -293,4 +293,47 @@ class EventStreamsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed == batch && streamed.values.sum > 0)
   }
+
+  test("transformWithState running-distinct survives batches and reorders") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store; scope it to
+    // this query so the other suites keep the default provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStreams.Event]
+      val out = EventStreams.runningDistinctTypes(input.toDS())
+      val q = out.writeStream.format("memory").queryName("run_distinct")
+        .outputMode(OutputMode.Update()).start()
+      // batch 1, deliberately out of ts order within the batch: the
+      // processor's (ts, event_id) sort must still count click first
+      input.addData(
+        EventStreams.Event(2, ts(10), 100, "view", 1.0),
+        EventStreams.Event(1, ts(0), 100, "click", 1.0),
+        EventStreams.Event(5, ts(3), 200, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: repeat type (no increment) then a new type — state must
+      // have persisted across the micro-batch boundary
+      input.addData(
+        EventStreams.Event(3, ts(20), 100, "click", 1.0),
+        EventStreams.Event(4, ts(30), 100, "purchase", 1.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("run_distinct").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set(
+        (100L, 1L, 1L), (100L, 2L, 2L), (100L, 3L, 2L), (100L, 4L, 3L),
+        (200L, 5L, 1L)))
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
