@@ -50,6 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // physical planning for the interval-stabbing join operator
     // (plans/RangeJoin — the custom LogicalPlan + SparkPlan pair)
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
 
     ext.injectFunction((FunctionIdentifier("token_count"),
       info("token_count", "token_count(str) - space-delimited token count, equal to size(split(str, ' ', -1)) without materializing the array."),

@@ -989,7 +989,148 @@ object EventQueries {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
              |    AS k_types
              |FROM f QUALIFY user_id < 20
-             |ORDER BY user_id, event_id""".stripMargin))
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // --- NATIVE as-of join (plans/AsOfJoin.scala — the second custom
+    //     LogicalPlan + Strategy + SparkPlan triple after q158): each
+    //     purchase matched to the user's last click AT OR BEFORE it.
+    //     Unlike the q65 window composition, the purchase side never
+    //     shuffles and never sorts — clicks broadcast as per-user sorted
+    //     arrays, one binary search per probe row. Oracled against
+    //     DuckDB's own native ASOF LEFT JOIN; build side distinct'd on
+    //     (user, ts) so both engines' tie behavior is irrelevant. ---
+    Q("q173_asof_native",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .distinct()
+        graft.operators.AsOfJoin.backward(purchases, clicks,
+            col("user_id"), col("ts"), col("c_user"), col("c_ts"))
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("c_ts").as("last_click_ts"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT p.user_id, p.event_id, p.ts, c.c_ts AS last_click_ts
+             |FROM (SELECT user_id, event_id, ts FROM events
+             |      WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN
+             |     (SELECT DISTINCT user_id AS c_user, ts AS c_ts
+             |      FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.c_user AND p.ts >= c.c_ts
+             |ORDER BY p.user_id, p.event_id""".stripMargin),
+      bench = true),
+
+    // --- EWMA (α = 0.3) over each event type's daily volume — the
+    //     smoothed trend line behind q149's burst gate. The recursion
+    //     y_t = αx_t + (1−α)y_{t−1} is closed-formed into cumulative sums
+    //     (y_t = α(1−α)^t · Σ x_i(1−α)^(−i) + (1−α)^t x_0) so the window
+    //     is one running sum over the (type × day) pre-aggregate — no
+    //     sequential recursion, no UDAF; the only corpus-scale shuffle is
+    //     the daily count. Day index is the row_number over OBSERVED days
+    //     (gaps don't decay), identical on both engines. ---
+    Q("q171_ewma_daily",
+      (s, dir) => {
+        val daily = Tables(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("double").as("x"))
+        val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        val a = 0.3
+        val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("i", row_number().over(wOrd) - 1)
+          .withColumn("u",
+            when(col("i") === 0, 0.0)
+              .otherwise(col("x") * pow(lit(1 - a), -col("i"))))
+          .withColumn("x0", first(col("x")).over(wCum))
+          .withColumn("ewma",
+            round(lit(a) * pow(lit(1 - a), col("i")) * sum(col("u")).over(wCum)
+              + pow(lit(1 - a), col("i")) * col("x0"), 4))
+          .withColumn("rn_back", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("day").desc)))
+          .filter(col("rn_back") <= 5)
+          .select(col("event_type"), col("day"), col("x").cast("long").as("n"),
+            col("ewma"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, ts::DATE AS day, count(*)::DOUBLE AS x
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT *, row_number() OVER (PARTITION BY event_type
+             |    ORDER BY day) - 1 AS i FROM daily),
+             |u AS (
+             |  SELECT *, CASE WHEN i = 0 THEN 0.0
+             |    ELSE x * power(0.7, -i) END AS u FROM idx),
+             |e AS (
+             |  SELECT event_type, day, x, i,
+             |    first(x) OVER w AS x0, sum(u) OVER w AS su,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY day DESC) AS rn_back
+             |  FROM u
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_type, day, x::BIGINT AS n,
+             |  round(0.3 * power(0.7, i) * su + power(0.7, i) * x0, 4)
+             |    AS ewma
+             |FROM e WHERE rn_back <= 5
+             |ORDER BY event_type, day""".stripMargin)),
+
+    // --- market-basket association rules over orders: part-pair support /
+    //     confidence / lift from lineitem baskets (the co-purchase signal
+    //     behind "frequently bought together"). Pair generation is the
+    //     standard orderkey self-join — baskets are a handful of items, so
+    //     the fan-out is Σ|basket|², not |corpus|²; per-part totals join
+    //     broadcast. Minimum support 3 then top-20 by lift with full
+    //     deterministic tie-break. ---
+    Q("q172_basket_rules",
+      (s, dir) => {
+        val items = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+          .distinct()
+        val nOrders = items.select(col("okey")).distinct().count()
+        val partCounts = items.groupBy(col("part"))
+          .agg(count(lit(1)).as("n_part"))
+        val pairs = items.as("a")
+          .join(items.withColumnRenamed("part", "part_b").as("b"), "okey")
+          .filter(col("part") < col("part_b"))
+          .groupBy(col("part"), col("part_b"))
+          .agg(count(lit(1)).as("n_pair"))
+          .filter(col("n_pair") >= 3)
+        pairs
+          .join(broadcast(partCounts), "part")
+          .join(broadcast(partCounts
+            .withColumnRenamed("part", "part_b")
+            .withColumnRenamed("n_part", "n_part_b")), "part_b")
+          .select(col("part"), col("part_b"), col("n_pair"),
+            round(col("n_pair") / lit(nOrders.toDouble), 6).as("support"),
+            round(col("n_pair") / col("n_part"), 6).as("confidence"),
+            round(col("n_pair") * lit(nOrders.toDouble)
+              / (col("n_part") * col("n_part_b")), 4).as("lift"))
+          .orderBy(col("lift").desc, col("part"), col("part_b"))
+          .limit(20)
+      },
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+             |  FROM lineitem),
+             |n AS (SELECT count(DISTINCT okey) AS n_orders FROM items),
+             |pc AS (SELECT part, count(*) AS n_part FROM items GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.part, b.part AS part_b, count(*) AS n_pair
+             |  FROM items a JOIN items b ON a.okey = b.okey
+             |    AND a.part < b.part
+             |  GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT p.part, p.part_b, p.n_pair,
+             |  round(p.n_pair / (SELECT n_orders FROM n), 6) AS support,
+             |  round(p.n_pair / pa.n_part, 6) AS confidence,
+             |  round(p.n_pair * (SELECT n_orders FROM n)
+             |    / (pa.n_part * pb.n_part), 4) AS lift
+             |FROM pairs p
+             |JOIN pc pa ON pa.part = p.part
+             |JOIN pc pb ON pb.part = p.part_b
+             |ORDER BY lift DESC, p.part, p.part_b LIMIT 20""".stripMargin))
   )
 
   /** Time-clustered multi-file copy of `events` + its zone map, memoized
