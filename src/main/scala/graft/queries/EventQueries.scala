@@ -1130,7 +1130,56 @@ object EventQueries {
              |FROM pairs p
              |JOIN pc pa ON pa.part = p.part
              |JOIN pc pb ON pb.part = p.part_b
-             |ORDER BY lift DESC, p.part, p.part_b LIMIT 20""".stripMargin))
+             |ORDER BY lift DESC, p.part, p.part_b LIMIT 20""".stripMargin)),
+
+    // --- single-pass column profiler (operators/Profile.scala): per
+    //     column, nulls / exact distinct / rows from ONE scan — the
+    //     multi-distinct agg plans as one Expand, proven in ProfileSpec.
+    //     The ANALYZE TABLE surface every ingest pipeline runs first. ---
+    Q("q174_profile",
+      (s, dir) => {
+        graft.operators.Profile
+          .profile(Tables(s, dir, "events"),
+            Seq("user_id", "event_type", "value", "props"))
+          .orderBy(col("col_name"))
+      },
+      Some("""SELECT 'event_type' AS col_name,
+             |  count(*) - count(event_type) AS null_count,
+             |  count(DISTINCT event_type) AS n_distinct,
+             |  count(*) AS n_rows FROM events
+             |UNION ALL SELECT 'props', count(*) - count(props),
+             |  count(DISTINCT props), count(*) FROM events
+             |UNION ALL SELECT 'user_id', count(*) - count(user_id),
+             |  count(DISTINCT user_id), count(*) FROM events
+             |UNION ALL SELECT 'value', count(*) - count(value),
+             |  count(DISTINCT value), count(*) FROM events
+             |ORDER BY col_name""".stripMargin)),
+
+    // --- mergeable-sketch cardinality (Datasketches HLL): per-event-type
+    //     user sketches unioned into a global distinct-user estimate — the
+    //     incremental/distributed counting architecture (persist per-shard
+    //     sketches, merge on read; at 100 TB the nightly union touches
+    //     sketch bytes, never raw ids). Self-verifying rows-only gate: the
+    //     merged estimate must EQUAL the single global sketch's estimate
+    //     (union exactness) and sit within 5% of the exact count. ---
+    Q("q169_hll_union",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val perType = ev.groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val merged = perType
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+        val direct = ev
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+            .as("est_direct"),
+            count_distinct(col("user_id")).as("n_exact"))
+        merged.crossJoin(direct)
+          .select(col("n_exact"), col("est_merged"), col("est_direct"),
+            (col("est_merged") === col("est_direct")).as("merge_consistent"),
+            (abs(col("est_merged") - col("n_exact"))
+              / col("n_exact") <= 0.05).as("within_5pct"))
+      },
+      None)
   )
 
   /** Time-clustered multi-file copy of `events` + its zone map, memoized

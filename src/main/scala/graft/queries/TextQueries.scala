@@ -1645,25 +1645,24 @@ object TextQueries {
     //     n-grams. Templated or model-generated text collapses distinct-2/3
     //     long before distinct-1 moves — the corpus-level complement of
     //     q57's within-doc repetition gate and q146's ingest-order novelty.
-    //     Each n is one Generate + one (source, gram) partial+final agg;
-    //     the three unioned branches share the scan. count_distinct is
-    //     exact here because the gate demands it; the 100 TB screen swaps
-    //     in approx_count_distinct on the same plan. ---
+    //     ONE scan, one Generate (everygrams n ∈ [1,3] flattened in-row,
+    //     gram order recovered as its token count), one (source, n)
+    //     multi-distinct agg — not a union of per-n branches re-reading
+    //     the corpus. count_distinct is exact here because the gate
+    //     demands it; the 100 TB screen swaps in approx_count_distinct on
+    //     the same plan. ---
     Q("q166_distinct_ngrams",
       (s, dir) => {
-        val docs = Tables(s, dir, "documents")
-        val toks = split(col("text"), " ")
-        val perN = (1 to 3).map { n =>
-          docs.select(col("source"),
-              explode(word_ngrams(toks, n)).as("gram"))
-            .groupBy(col("source"))
-            .agg(count(lit(1)).as("n_grams"),
-              count_distinct(col("gram")).as("n_distinct"))
-            .select(col("source"), lit(n).as("n"), col("n_grams"),
-              col("n_distinct"),
-              round(col("n_distinct") / col("n_grams"), 6).as("diversity"))
-        }
-        perN.reduce(_ unionAll _).orderBy(col("source"), col("n"))
+        Tables(s, dir, "documents")
+          .select(col("source"),
+            explode(everygrams(split(col("text"), " "), 1, 3)).as("gram"))
+          .withColumn("n", size(split(col("gram"), " ")))
+          .groupBy(col("source"), col("n"))
+          .agg(count(lit(1)).as("n_grams"),
+            count_distinct(col("gram")).as("n_distinct"))
+          .select(col("source"), col("n"), col("n_grams"), col("n_distinct"),
+            round(col("n_distinct") / col("n_grams"), 6).as("diversity"))
+          .orderBy(col("source"), col("n"))
       },
       Some("""WITH t AS (SELECT source, string_split(text, ' ') AS toks
              |           FROM documents),
