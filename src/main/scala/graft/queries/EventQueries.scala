@@ -1179,7 +1179,128 @@ object EventQueries {
             (abs(col("est_merged") - col("n_exact"))
               / col("n_exact") <= 0.05).as("within_5pct"))
       },
-      None)
+      None),
+
+    // --- RFM segmentation: users placed into recency / frequency /
+    //     monetary quintiles (the standard engagement cube). All three
+    //     ntile windows run on the users-sized aggregate, never raw
+    //     events; output is the 5³-bounded segment histogram. ntile on a
+    //     UNIQUELY ordered frame (metric, then user_id) is engine-stable. ---
+    Q("q175_rfm_segments",
+      (s, dir) => {
+        val perUser = Tables(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(max(col("ts")).as("last_ts"),
+            count(lit(1)).as("freq"),
+            round(sum(col("value")), 2).as("monetary"))
+        def tile(c: String, desc0: Boolean) = ntile(5).over(
+          Window.orderBy(
+            (if (desc0) col(c).desc else col(c).asc), col("user_id")))
+        perUser
+          .withColumn("r", tile("last_ts", desc0 = true))
+          .withColumn("f", tile("freq", desc0 = true))
+          .withColumn("m", tile("monetary", desc0 = true))
+          .groupBy(col("r"), col("f"), col("m"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("r"), col("f"), col("m"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+             |         round(sum(value), 2) AS monetary
+             |  FROM events GROUP BY 1),
+             |t AS (
+             |  SELECT
+             |    ntile(5) OVER (ORDER BY last_ts DESC, user_id) AS r,
+             |    ntile(5) OVER (ORDER BY freq DESC, user_id) AS f,
+             |    ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m
+             |  FROM u)
+             |SELECT r, f, m, count(*) AS n_users FROM t
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // --- CUSUM changepoint screen: for each event type's daily volume,
+    //     the day maximising |cumulative deviation from the type's mean| —
+    //     where the level shift happened, and its normalized magnitude.
+    //     Two windows over the (type × day) pre-aggregate; the daily count
+    //     is the only corpus-scale shuffle (the q149/q171 family's third
+    //     member: burst days, smoothed trend, now the changepoint). ---
+    Q("q176_cusum_changepoint",
+      (s, dir) => {
+        val daily = Tables(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("double").as("x"))
+        val byType = Window.partitionBy(col("event_type"))
+        val cum = byType.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val scored = daily
+          .withColumn("mu", avg(col("x")).over(byType))
+          .withColumn("sd", stddev_pop(col("x")).over(byType))
+          .withColumn("cusum", sum(col("x") - col("mu")).over(cum))
+          .withColumn("score", abs(col("cusum")) / col("sd"))
+        val top = Window.partitionBy(col("event_type"))
+          .orderBy(col("score").desc, col("day"))
+        scored
+          .withColumn("rn", row_number().over(top))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("day").as("cp_day"),
+            round(col("score"), 4).as("cp_score"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, ts::DATE AS day, count(*)::DOUBLE AS x
+             |  FROM events GROUP BY 1, 2),
+             |s AS (
+             |  SELECT event_type, day, x,
+             |    avg(x) OVER (PARTITION BY event_type) AS mu,
+             |    stddev_pop(x) OVER (PARTITION BY event_type) AS sd
+             |  FROM daily),
+             |c AS (
+             |  SELECT event_type, day, sd,
+             |    sum(x - mu) OVER (PARTITION BY event_type ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cusum
+             |  FROM s),
+             |r AS (
+             |  SELECT event_type, day, abs(cusum) / sd AS score,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY abs(cusum) / sd DESC, day) AS rn
+             |  FROM c)
+             |SELECT event_type, day AS cp_day, round(score, 4) AS cp_score
+             |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
+    // --- equi-width value histogram per event type: the one-pass
+    //     distribution sketch (bounds from a first tiny agg, broadcast
+    //     back). The bucket formula is spelled out IDENTICALLY on both
+    //     sides (DuckDB has no width_bucket, and matching another
+    //     engine's float rounding inside a builtin is exactly the hazard
+    //     the explicit form removes); one corpus-scale shuffle on
+    //     (type, bucket). ---
+    Q("q177_value_histogram",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val bounds = ev.groupBy(col("event_type"))
+          .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        ev.join(broadcast(bounds), "event_type")
+          .withColumn("bucket",
+            least(floor((col("value") - col("lo"))
+              / ((col("hi") - col("lo")) / 10.0)).cast("long") + 1,
+              lit(10L)))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(min(col("value")), 4).as("lo_val"),
+            round(max(col("value")), 4).as("hi_val"))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type, min(value) AS lo, max(value) AS hi
+             |  FROM events GROUP BY 1)
+             |SELECT e.event_type,
+             |  least(floor((e.value - b.lo) / ((b.hi - b.lo) / 10.0))::BIGINT
+             |    + 1, 10) AS bucket,
+             |  count(*) AS n,
+             |  round(min(e.value), 4) AS lo_val,
+             |  round(max(e.value), 4) AS hi_val
+             |FROM events e JOIN b USING (event_type)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** Time-clustered multi-file copy of `events` + its zone map, memoized

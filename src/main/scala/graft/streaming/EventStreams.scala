@@ -198,6 +198,71 @@ object EventStreams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class OpenSession(nEvents: Long, firstMs: Long, lastMs: Long,
+      timerMs: Long)
+
+  /** Event-time sessionization on transformWithState TIMERS: a session
+    * closes when the WATERMARK passes lastTs + gap — deterministic in
+    * event time (replay-stable), unlike [[sessionize]]'s processing-time
+    * timeouts which fire on the wall clock. Each batch extends the open
+    * session, deletes the previously registered timer, and re-arms at the
+    * new expiry; `handleExpiredTimer` emits the closed session and clears
+    * state — so state is exactly one small row per OPEN session, evicted
+    * by the engine's timer sweep, and output is Append-clean. The q62
+    * batch sessionizer is the oracled twin of the same gap semantics. */
+  class EventTimeSessionProcessor(gapSecs: Long)
+      extends StatefulProcessor[Long, Event, SessionOut] {
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open_session",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[SessionOut] = {
+      val tsMs = rows.map(_.ts.getTime).toSeq
+      val prev = if (open.exists()) Some(open.get()) else None
+      prev.foreach(s => getHandle.deleteTimer(s.timerMs))
+      val next = prev match {
+        case Some(s) => OpenSession(s.nEvents + tsMs.size,
+          s.firstMs, math.max(s.lastMs, tsMs.max), 0L)
+        case None => OpenSession(tsMs.size, tsMs.min, tsMs.max, 0L)
+      }
+      val expiry = next.lastMs + gapSecs * 1000
+      open.update(next.copy(timerMs = expiry))
+      getHandle.registerTimer(expiry)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionOut] = {
+      val out = if (open.exists()) {
+        val s = open.get()
+        // only the CURRENT timer closes the session (a stale timer from a
+        // since-extended session may still sweep through)
+        if (s.timerMs == expired.getExpiryTimeInMs()) {
+          open.clear()
+          Iterator.single(
+            SessionOut(key, s.nEvents, (s.lastMs - s.firstMs) / 1000))
+        } else Iterator.empty
+      } else Iterator.empty
+      out
+    }
+  }
+
+  /** See [[EventTimeSessionProcessor]]; `events` must carry a watermark on
+    * `ts` before the keyed transform. */
+  def eventTimeSessions(events: Dataset[Event], gapSecs: Long = 1800)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new EventTimeSessionProcessor(gapSecs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** The built-in session_window twin of [[sessionize]]: event-time gap
     * sessions closed by the WATERMARK (not processing-time timeouts), so
     * results are deterministic in event time and late data inside the

@@ -294,6 +294,51 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch && streamed.values.sum > 0)
   }
 
+  test("event-time timers close sessions when the watermark passes the gap") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStreams.Event]
+      val out = EventStreams.eventTimeSessions(input.toDS(), gapSecs = 1800)
+      val q = out.writeStream.format("memory").queryName("et_sessions")
+        .outputMode(OutputMode.Append()).start()
+      // batch 1: user 100 at 10:00 and 10:10; user 200 at 10:05
+      input.addData(
+        EventStreams.Event(1, ts(0), 100, "click", 1.0),
+        EventStreams.Event(2, ts(10), 100, "view", 1.0),
+        EventStreams.Event(3, ts(5), 200, "click", 1.0))
+      q.processAllAvailable()
+      // watermark is still 10:10 — nothing may close yet
+      assert(spark.table("et_sessions").isEmpty)
+      // batch 2: an 11:30 event for user 300 pushes the watermark past
+      // both 10:10+30min and 10:05+30min — users 100 and 200 close;
+      // user 300's own session stays open (its timer is at 12:00)
+      input.addData(EventStreams.Event(4,
+        Timestamp.valueOf("2024-01-01 11:30:00"), 300, "click", 1.0))
+      q.processAllAvailable()
+      // the watermark advances one batch behind the data; run an empty
+      // extra batch so the timer sweep sees 11:30
+      input.addData(EventStreams.Event(5,
+        Timestamp.valueOf("2024-01-01 11:31:00"), 300, "click", 1.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("et_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((100L, 2L, 600L), (200L, 1L, 0L)))
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState running-distinct survives batches and reorders") {
     implicit val sq = spark.sqlContext
     implicit val sp = spark
