@@ -72,6 +72,16 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  // one probe row in, one joined row out, in place: the probe side's
+  // partitioning and per-partition order survive, so downstream stages
+  // keyed the same way need no new exchange
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+  override def outputOrdering
+      : Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] =
+    left.outputOrdering
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)

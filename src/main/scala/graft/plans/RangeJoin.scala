@@ -59,6 +59,15 @@ case class RangePointJoinExec(
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
+  // the point side streams in place (each row expands to its matches),
+  // so its partitioning and per-partition order are preserved
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+  override def outputOrdering
+      : Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] =
+    left.outputOrdering
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): RangePointJoinExec =
     copy(left = newLeft, right = newRight)

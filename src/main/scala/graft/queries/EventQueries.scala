@@ -1087,9 +1087,14 @@ object EventQueries {
     //     deterministic tie-break. ---
     Q("q172_basket_rules",
       (s, dir) => {
+        // one basket frame, hash-partitioned on okey and checkpointed so
+        // BOTH self-join sides reuse the same partitioning (no re-shuffle
+        // per side — the q32 banded-keys pattern)
         val items = Tables(s, dir, "lineitem")
           .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
           .distinct()
+          .repartition(col("okey"))
+          .localCheckpoint()
         val nOrders = items.select(col("okey")).distinct().count()
         val partCounts = items.groupBy(col("part"))
           .agg(count(lit(1)).as("n_part"))
