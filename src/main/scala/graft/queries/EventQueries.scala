@@ -1305,7 +1305,58 @@ object EventQueries {
              |  round(min(e.value), 4) AS lo_val,
              |  round(max(e.value), 4) AS hi_val
              |FROM events e JOIN b USING (event_type)
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // --- triangle counting on the co-purchase graph (q172's edge set,
+    //     support ≥ 3): the standard two-hop motif join with edges
+    //     oriented a < b < c so each triangle counts once. Edge lists are
+    //     support-thresholded aggregates (graph-sized, not corpus-sized);
+    //     the hop joins shuffle on the shared endpoint — the same shape
+    //     GraphFrames plans. Output: triangle total + the 10 most
+    //     triangle-dense parts (the "clique hub" detector). ---
+    Q("q178_triangles",
+      (s, dir) => {
+        val items = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+          .distinct()
+          .repartition(col("okey"))
+          .localCheckpoint()
+        val edges = items.as("a")
+          .join(items.withColumnRenamed("part", "part_b").as("b"), "okey")
+          .filter(col("part") < col("part_b"))
+          .groupBy(col("part"), col("part_b"))
+          .agg(count(lit(1)).as("n_pair"))
+          .filter(col("n_pair") >= 2)
+          .select(col("part").as("u"), col("part_b").as("v"))
+          .localCheckpoint()
+        val tri = edges.as("e1")
+          .join(edges.select(col("u").as("v"), col("v").as("w")).as("e2"), "v")
+          .join(edges.select(col("u"), col("v").as("w")).as("e3"),
+            Seq("u", "w"))
+          .select(col("u"), col("v"), col("w"))
+        tri.select(explode(array(col("u"), col("v"), col("w"))).as("part"))
+          .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
+          .orderBy(col("n_triangles").desc, col("part"))
+          .limit(10)
+      },
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+             |  FROM lineitem),
+             |edges AS (
+             |  SELECT a.part AS u, b.part AS v
+             |  FROM items a JOIN items b ON a.okey = b.okey
+             |    AND a.part < b.part
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |tri AS (
+             |  SELECT e1.u, e1.v, e2.w
+             |  FROM edges e1
+             |  JOIN (SELECT u AS v, v AS w FROM edges) e2 USING (v)
+             |  JOIN (SELECT u, v AS w FROM edges) e3
+             |    ON e3.u = e1.u AND e3.w = e2.w),
+             |nodes AS (
+             |  SELECT unnest([u, v, w]) AS part FROM tri)
+             |SELECT part, count(*) AS n_triangles FROM nodes
+             |GROUP BY 1 ORDER BY n_triangles DESC, part LIMIT 10""".stripMargin))
   )
 
   /** Time-clustered multi-file copy of `events` + its zone map, memoized
