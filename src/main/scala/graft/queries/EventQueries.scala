@@ -1356,7 +1356,36 @@ object EventQueries {
              |nodes AS (
              |  SELECT unnest([u, v, w]) AS part FROM tri)
              |SELECT part, count(*) AS n_triangles FROM nodes
-             |GROUP BY 1 ORDER BY n_triangles DESC, part LIMIT 10""".stripMargin))
+             |GROUP BY 1 ORDER BY n_triangles DESC, part LIMIT 10""".stripMargin)),
+
+    // --- exponentially time-decayed engagement score (half-life 7 days):
+    //     Σ value · 2^(−age/half_life), aged against the corpus max ts —
+    //     the recency-weighted ranking signal (leaderboards, champion
+    //     selection, freshness-aware retrieval). One scan + one users-key
+    //     agg; the anchor max(ts) is a 1-row broadcast. Ages are exact
+    //     integer seconds before the one float op, and the decay term is
+    //     spelled identically on both engines. ---
+    Q("q179_decayed_engagement",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val anchor = ev.agg(max(col("ts")).as("t_max"))
+        ev.crossJoin(broadcast(anchor))
+          .withColumn("age_s",
+            col("t_max").cast("long") - col("ts").cast("long"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")
+              * pow(lit(2.0), -col("age_s") / (7.0 * 86400))), 4)
+              .as("decayed_score"))
+          .orderBy(col("user_id"))
+          .limit(200)
+      },
+      Some("""WITH a AS (SELECT max(ts) AS t_max FROM events)
+             |SELECT user_id, count(*) AS n_events,
+             |  round(sum(value * power(2.0,
+             |    -(epoch_us(t_max) // 1000000 - epoch_us(ts) // 1000000)
+             |      / (7.0 * 86400))), 4) AS decayed_score
+             |FROM events, a GROUP BY 1 ORDER BY 1 LIMIT 200""".stripMargin))
   )
 
   /** Time-clustered multi-file copy of `events` + its zone map, memoized
