@@ -1385,7 +1385,83 @@ object EventQueries {
              |  round(sum(value * power(2.0,
              |    -(epoch_us(t_max) // 1000000 - epoch_us(ts) // 1000000)
              |      / (7.0 * 86400))), 4) AS decayed_score
-             |FROM events, a GROUP BY 1 ORDER BY 1 LIMIT 200""".stripMargin))
+             |FROM events, a GROUP BY 1 ORDER BY 1 LIMIT 200""".stripMargin)),
+
+    // --- inter-event time distribution: per event type, exact percentiles
+    //     of the gap between a user's consecutive events of that type —
+    //     the recurrence-cadence profile (retention half-life, re-purchase
+    //     cycle). One (user, type) window computes gaps; the percentile
+    //     aggregate reduces to a types-sized frame. Gaps are exact integer
+    //     seconds; Spark `percentile` == DuckDB `quantile_cont` (q75
+    //     parity). ---
+    Q("q181_interevent_gaps",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"))
+          .withColumn("gap_s",
+            col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+          .filter(col("gap_s").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_gaps"),
+            round(expr("percentile(gap_s, 0.5)"), 2).as("p50_s"),
+            round(expr("percentile(gap_s, 0.9)"), 2).as("p90_s"),
+            max(col("gap_s")).as("max_s"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type,
+             |    epoch_us(ts) // 1000000
+             |      - epoch_us(lag(ts) OVER (PARTITION BY user_id,
+             |          event_type ORDER BY ts, event_id)) // 1000000
+             |      AS gap_s
+             |  FROM events)
+             |SELECT event_type, count(*) AS n_gaps,
+             |  round(quantile_cont(gap_s, 0.5), 2) AS p50_s,
+             |  round(quantile_cont(gap_s, 0.9), 2) AS p90_s,
+             |  max(gap_s) AS max_s
+             |FROM g WHERE gap_s IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- abandoned-intent cohort: users with a click but NO purchase
+    //     within 1 hour after ANY of their clicks — the time-bounded
+    //     NOT EXISTS shape (plain anti-join can't say "not within the
+    //     window"). Per-user click/purchase minutes join once on user_id;
+    //     the existence test is an interval-conditioned left-anti join.
+    //     Output bounded to user_id < 300 for the gate. ---
+    Q("q182_abandoned_intent",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        val converted = clicks.join(purchases,
+            col("user_id") === col("p_user") &&
+              col("p_ts") > col("c_ts") &&
+              col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+            "left_semi")
+          .select(col("user_id")).distinct()
+        clicks.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_clicks"))
+          .join(converted, Seq("user_id"), "left_anti")
+          .filter(col("user_id") < 300)
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (SELECT user_id, ts AS c_ts FROM events
+             |           WHERE event_type = 'click'),
+             |conv AS (
+             |  SELECT DISTINCT c.user_id
+             |  FROM c JOIN events p ON p.user_id = c.user_id
+             |    AND p.event_type = 'purchase'
+             |    AND p.ts > c.c_ts
+             |    AND p.ts <= c.c_ts + INTERVAL 1 HOUR)
+             |SELECT user_id, count(*) AS n_clicks FROM c
+             |WHERE user_id NOT IN (SELECT user_id FROM conv)
+             |  AND user_id < 300
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Time-clustered multi-file copy of `events` + its zone map, memoized

@@ -464,6 +464,92 @@ object Relational {
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
              |                        (l_returnflag), ())
-             |ORDER BY rf, ls""".stripMargin))
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // --- TPC-H Q5-shaped star join: revenue (Σ extprice·(1−disc)) by
+    //     customer nation and order year. The fact chain is lineitem ⋈
+    //     orders ⋈ customer with every dimension (customer→nation→region)
+    //     broadcast; the only corpus-scale shuffles are the two fact-key
+    //     exchanges and the final (nation, year) agg — the canonical
+    //     data-warehouse plan at any scale. ---
+    Q("q180_revenue_by_nation_year",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("rev"))
+        val ord = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).as("yr"))
+        val cust = Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val nat = Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("yr"))
+          .agg(round(sum(col("rev")), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("n_name"), col("yr"))
+      },
+      Some("""SELECT n_name, year(o_orderdate) AS yr,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+             |    AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // --- revenue concentration: the share of each nation's total revenue
+    //     held by its top-5 customers (the account-concentration risk
+    //     metric). Ranking and shares run on the customers-sized revenue
+    //     aggregate — the corpus-scale work is the same fact chain as
+    //     q180 reduced per customer first. ---
+    Q("q183_revenue_concentration",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("rev"))
+        val ord = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val cust = Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val nat = Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        val perCust = li
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("c_custkey"))
+          .agg(sum(col("rev")).as("crev"))
+        val w = Window.partitionBy(col("n_name"))
+          .orderBy(col("crev").desc, col("c_custkey"))
+        perCust
+          .withColumn("rk", row_number().over(w))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum(when(col("rk") <= 5, col("crev")).otherwise(0.0))
+              / sum(col("crev")), 4).as("top5_share"))
+          .orderBy(col("n_name"))
+      },
+      Some("""WITH pc AS (
+             |  SELECT n_name, c_custkey,
+             |         sum(l_extendedprice * (1.0 - l_discount)) AS crev
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY 1, 2),
+             |r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY n_name
+             |    ORDER BY crev DESC, c_custkey) AS rk FROM pc)
+             |SELECT n_name, count(*) AS n_customers,
+             |  round(sum(CASE WHEN rk <= 5 THEN crev ELSE 0.0 END)
+             |    / sum(crev), 4) AS top5_share
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
