@@ -1627,6 +1627,45 @@ object AnalysisQueries {
              |  sum(CASE WHEN 0.6745 * dev.ad / md.mad > 3.5
              |      THEN 1 ELSE 0 END)::BIGINT AS n_outliers
              |FROM dev JOIN md USING (source)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- epoch budgeting under a token budget (the data-constrained
+    //     scaling allocation, Muennighoff 2023's practical face): given a
+    //     training budget of 2× the corpus tokens, an equal per-source
+    //     share, and a 4-epoch repetition cap, how many epochs does each
+    //     source run and how much of the budget goes unused by capped
+    //     sources? Token totals come off the TokenCountRewrite kernel in
+    //     one scan; the allocation arithmetic runs on the sources-sized
+    //     frame. Integer token counts keep everything exact until the
+    //     final rounding. ---
+    Q("q184_epoch_budget",
+      (s, dir) => {
+        val perSrc = Tables(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(sum(size(split(col("text"), " ")).cast("long"))
+            .as("tokens"))
+        val nSrc = count(lit(1)).over(Window.partitionBy())
+        val totTokens = sum(col("tokens")).over(Window.partitionBy())
+        perSrc
+          .withColumn("share", lit(2.0) * totTokens / nSrc)
+          .withColumn("epochs_raw", col("share") / col("tokens"))
+          .withColumn("epochs", least(col("epochs_raw"), lit(4.0)))
+          .select(col("source"), col("tokens"),
+            round(col("epochs"), 4).as("epochs"),
+            (col("epochs_raw") > 4.0).as("capped"),
+            round(col("epochs") * col("tokens"), 2).as("alloc_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source,
+             |         sum(len(string_split(text, ' ')))::BIGINT AS tokens
+             |  FROM documents GROUP BY 1),
+             |g AS (SELECT count(*) AS n_src, sum(tokens) AS tot FROM t)
+             |SELECT source, tokens,
+             |  round(least(2.0 * tot / n_src / tokens, 4.0), 4) AS epochs,
+             |  (2.0 * tot / n_src / tokens > 4.0) AS capped,
+             |  round(least(2.0 * tot / n_src / tokens, 4.0) * tokens, 2)
+             |    AS alloc_tokens
+             |FROM t, g ORDER BY source""".stripMargin))
   )
 }

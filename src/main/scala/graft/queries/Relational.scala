@@ -501,7 +501,8 @@ object Relational {
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
              |JOIN nation ON c_nationkey = n_nationkey
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      bench = true),
 
     // --- revenue concentration: the share of each nation's total revenue
     //     held by its top-5 customers (the account-concentration risk

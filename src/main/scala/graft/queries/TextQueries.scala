@@ -1679,7 +1679,8 @@ object TextQueries {
              |SELECT source, n, count(*) AS n_grams,
              |  count(DISTINCT gram) AS n_distinct,
              |  round(count(DISTINCT gram) / count(*), 6) AS diversity
-             |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      bench = true)
   )
 
   /** Exact TF-IDF cosine pairs (q86 body). Zero-weight rows are filtered
