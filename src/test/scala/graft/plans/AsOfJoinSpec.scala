@@ -76,6 +76,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(a.nonEmpty && (a sameElements b))
   }
 
+  test("matches a naive reference on randomized keys/timestamps") {
+    // deterministic pseudo-random frames: colliding keys, duplicate probe
+    // timestamps, sparse build side — every match class exercised
+    val probe2 = (0 until 500).map { i =>
+      (i.toLong, (i * 2654435761L % 7).abs, ((i * 97) % 50).toDouble)
+    }.toDF("pid", "k", "t")
+    val build2 = (0 until 60).map { j =>
+      (((j * 31) % 9).toLong, (j * 13 % 50).toDouble, s"p$j")
+    }.toDF("bk", "bt", "v")
+      .groupBy("bk", "bt").agg(min(col("v")).as("v")) // unique (key, ts)
+    val fast = AsOfJoin.backward(probe2, build2,
+        col("k"), col("t"), col("bk"), col("bt"))
+      .select("pid", "v").as[(Long, Option[String])].collect().toMap
+    // naive: for each probe row, argmax build ts <= t over the full build
+    val buildRows = build2.as[(Long, Double, String)].collect()
+    val slow = probe2.as[(Long, Long, Double)].collect().map {
+      case (pid, k, t) =>
+        val cands = buildRows.filter(b => b._1 == k && b._2 <= t)
+        pid -> (if (cands.isEmpty) None
+                else Some(cands.maxBy(_._2)._3))
+    }.toMap
+    assert(fast.size == 500 && fast == slow)
+  }
+
   test("plan executes AsOfJoinExec, not a nested-loop fallback") {
     val df = AsOfJoin.backward(probe, build,
       col("k"), col("t"), col("bk"), col("bt"))
