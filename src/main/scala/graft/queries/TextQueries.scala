@@ -1657,9 +1657,15 @@ object TextQueries {
           .select(col("source"),
             explode(everygrams(split(col("text"), " "), 1, 3)).as("gram"))
           .withColumn("n", size(split(col("gram"), " ")))
+          // two-level agg instead of count_distinct: the gram-level
+          // partial combine collapses duplicates map-side BEFORE the
+          // shuffle, and no Expand doubles the exploded rows (the
+          // multi-distinct plan ships every gram twice)
+          .groupBy(col("source"), col("n"), col("gram"))
+          .agg(count(lit(1)).as("cnt"))
           .groupBy(col("source"), col("n"))
-          .agg(count(lit(1)).as("n_grams"),
-            count_distinct(col("gram")).as("n_distinct"))
+          .agg(sum(col("cnt")).as("n_grams"),
+            count(lit(1)).as("n_distinct"))
           .select(col("source"), col("n"), col("n_grams"), col("n_distinct"),
             round(col("n_distinct") / col("n_grams"), 6).as("diversity"))
           .orderBy(col("source"), col("n"))
