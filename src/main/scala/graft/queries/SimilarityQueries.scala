@@ -665,8 +665,69 @@ object SimilarityQueries {
              |  round((s2 - n) / (n * (n - 1))
              |    - (dot_tot - s2) / (n * (n_tot - n)), 4) AS margin
              |FROM pl JOIN nl USING (label) JOIN dt USING (label)
-             |  CROSS JOIN nt ORDER BY label""".stripMargin))
+             |  CROSS JOIN nt ORDER BY label""".stripMargin)),
+
+    // --- 1-bit binary quantization + Hamming shortlist + exact re-rank:
+    //     the 64-d unit vector packs its SIGN BITS into ONE long (64× the
+    //     512-byte vector's compression; the modern BQ retrieval trick —
+    //     on the unit sphere sign agreement tracks cosine). Candidate
+    //     scoring is xor + popcount over a single long column — the
+    //     cheapest scan any index here runs; true vectors move only in
+    //     the id-keyed re-rank join of the shortlist (q49c's two-stage
+    //     staging). Engine-internal bit layout → rows-only; q185b is the
+    //     self-verifying recall gate. ---
+    Q("q185_bq_topk",
+      (s, dir) => bqTopK(s, dir, nQueries = 5, k = 10, shortlist = 150)
+        .orderBy(col("query_id"), col("rank")),
+      None),
+
+    // --- recall@10 of the BQ shortlist+rerank vs brute-force cosine (the
+    //     acceptance bar for shipping 8-byte signatures instead of
+    //     512-byte vectors) ---
+    Q("q185b_bq_recall",
+      (s, dir) => {
+        val exact = knn(s, dir, nQueries = 5, k = 10)
+          .select(col("query_id"), col("vec_id"))
+        val bq = bqTopK(s, dir, nQueries = 5, k = 10, shortlist = 150)
+          .select(col("query_id"), col("vec_id"))
+        exact.join(bq.withColumn("hit", lit(1)),
+            Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"))
+          .agg((sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
+          .orderBy(col("query_id"))
+      },
+      None)
   )
+
+  /** Sign-bit packing: dim i of the unit vector sets bit i of one long
+    * (64 dims == 64 bits exactly). SQL-lambda form because shiftleft's
+    * bit count must be the lambda variable. */
+  private val BqBitsSql =
+    "aggregate(sequence(0, 63), 0L, (acc, i) -> " +
+      "acc | IF(v[i] > CAST(0 AS DOUBLE), shiftleft(1L, i), 0L))"
+
+  /** Binary-quantized top-k (see q185): Hamming shortlist over packed
+    * sign bits, then exact cosine re-rank of the shortlist only. */
+  private def bqTopK(s: SparkSession, dir: String, nQueries: Int, k: Int,
+      shortlist: Int): DataFrame = {
+    val all = unitVecs(s, dir).select(col("vec_id"), col("v"))
+    val packed = all.withColumn("bits", expr(BqBitsSql))
+    val q = packed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("bits").as("q_bits"))
+    val ham = packed.drop("v").crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr("CAST(bit_count(bits ^ q_bits) AS DOUBLE)").as("adc"))
+    val short = rankByAdcAsc(ham, shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val qv = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    rankBySimDesc(
+      short.join(all, "vec_id").join(broadcast(qv), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          round(cosine_sim(col("qv"), col("v")), 4).as("sim")),
+      k)
+  }
 
   private val NumCells    = 8
   private val CoarseIters = 3
