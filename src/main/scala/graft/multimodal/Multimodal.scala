@@ -148,4 +148,33 @@ object Multimodal {
         }
       }
   }
+
+  /** Fixed-stride frame sampling over opaque binary payloads — the video
+    * (or audio-window) decode SHAPE with the codec stubbed (the count-based
+    * typed twin is [[sampleFrames]]): frame i is the
+    * byte slice [i·stride, i·stride + frameLen) of the payload, tagged
+    * with its offset, actual length, and a 64-bit content fingerprint. A
+    * real deployment swaps the slice for a codec call inside the same
+    * plan; everything Spark-side — schema, per-frame fan-out, the no-
+    * shuffle guarantee — is what production runs. Pure Catalyst (sequence
+    * + posexplode + binary substring + xxhash64), whole-stage codegen'd,
+    * payloads never cross a shuffle. */
+  def strideFrames(media: DataFrame, frameLen: Int, stride: Int): DataFrame = {
+    require(frameLen > 0 && stride > 0, "frameLen and stride must be positive")
+    media
+      .select(col("media_id"), col("payload"),
+        length(col("payload")).as("n_bytes"))
+      .select(col("media_id"), col("payload"), col("n_bytes"),
+        posexplode(sequence(lit(0),
+          greatest(ceil(col("n_bytes").cast("double") / stride).cast("int") - 1,
+            lit(0)))).as(Seq("frame_idx", "off0")))
+      .select(col("media_id"), col("frame_idx"),
+        (col("frame_idx") * stride).as("offset"),
+        least(lit(frameLen), col("n_bytes") - col("frame_idx") * stride)
+          .as("frame_len"),
+        xxhash64(col("payload").substr(
+          (col("frame_idx") * stride + 1).cast("int"), lit(frameLen)))
+          .as("frame_hash"))
+      .filter(col("frame_len") > 0)
+  }
 }

@@ -50,6 +50,36 @@ object MultimodalQueries {
       Some("""SELECT doc_id AS media_id,
              |16 + doc_id % 32 AS width,
              |16 + doc_id % 17 AS height
-             |FROM documents ORDER BY media_id""".stripMargin))
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // --- fixed-stride frame sampling (the video/audio-window decode
+    //     SHAPE, codec stubbed as a byte slice): per-frame fan-out from
+    //     one Generate, payloads never shuffled. The gate verifies the
+    //     sampling GEOMETRY (frame count, offsets, tail-frame lengths)
+    //     against byte-length arithmetic DuckDB can reproduce; the
+    //     in-plan frame fingerprints are pinned by MultimodalSpec. ---
+    Q("q186_frame_sample",
+      (s, dir) => {
+        Multimodal.strideFrames(
+            Multimodal.documentsAsMedia(s, dir).toDF(),
+            frameLen = 128, stride = 96)
+          .filter(col("media_id") < 50)
+          .select(col("media_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            col("offset").cast("long").as("offset"),
+            col("frame_len").cast("long").as("frame_len"))
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+             |             octet_length(encode(text)) AS n_bytes
+             |           FROM documents WHERE doc_id < 50),
+             |f AS (SELECT media_id, n_bytes,
+             |        unnest(range(0, greatest(
+             |          ceil(n_bytes / 96.0)::BIGINT, 1))) AS frame_idx
+             |      FROM m)
+             |SELECT media_id, frame_idx, frame_idx * 96 AS offset,
+             |  least(128, n_bytes - frame_idx * 96) AS frame_len
+             |FROM f WHERE least(128, n_bytes - frame_idx * 96) > 0
+             |ORDER BY media_id, frame_idx""".stripMargin))
   )
 }

@@ -53,6 +53,26 @@ class MultimodalSpec extends SparkSpec {
     assert(back.sameElements(payload)) // evenly-spaced slices cover exactly
   }
 
+  test("strideFrames slices bytes exactly and fingerprints match the slice") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val payload = Array.tabulate[Byte](250)(_.toByte)
+    val media = Seq(Multimodal.MediaRow(1L, "video", payload),
+      Multimodal.MediaRow(2L, "video", Array[Byte]())).toDS().toDF()
+    val frames = Multimodal.strideFrames(media, frameLen = 100, stride = 80)
+      .orderBy("media_id", "frame_idx").collect()
+    // 250 bytes, stride 80 -> offsets 0, 80, 160, 240
+    assert(frames.map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((1L, 0, 0, 100), (1L, 1, 80, 100), (1L, 2, 160, 90),
+        (1L, 3, 240, 10)))
+    // fingerprint = xxhash64 of the actual slice (recomputed independently)
+    val expected = Seq(0, 80, 160, 240).map { off =>
+      val slice = payload.slice(off, math.min(off + 100, 250))
+      spark.range(1).select(xxhash64(lit(slice))).collect()(0).getLong(0)
+    }
+    assert(frames.map(_.getLong(4)).toSeq == expected)
+  }
+
   test("ImageIoDecoder reads real PNG and JPEG dimensions without pixel decode") {
     def encoded(fmt: String, w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
