@@ -46,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // scan (see plans/TokenCountRewrite); semantics-identical, proven by
     // the oracle gate on every query using the idiom
     ext.injectOptimizerRule(_ => graft.plans.TokenCountRewrite)
+    // probe-side predicate pushdown through the custom join nodes (built-in
+    // PushDownPredicates stops at unknown logical plans)
+    ext.injectOptimizerRule(_ => graft.plans.PushThroughGraftJoins)
 
     // physical planning for the interval-stabbing join operator
     // (plans/RangeJoin — the custom LogicalPlan + SparkPlan pair)

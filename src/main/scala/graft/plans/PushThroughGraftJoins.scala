@@ -1,0 +1,46 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{And, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Predicate pushdown THROUGH the custom join nodes — the optimizer
+  * integration a custom operator owes the rest of the planner: Catalyst's
+  * `PushDownPredicates` stops at any `LogicalPlan` node it doesn't know,
+  * so without this rule a probe-side filter written after
+  * `AsOfJoin.backward(...)` / `RangeJoin.pointInInterval(...)` sits ABOVE
+  * the join and the parquet scan reads every row group.
+  *
+  * Probe-side conjuncts always commute with both joins: each probe row is
+  * processed independently (AsOfJoin is per-row left-outer lookup,
+  * RangePointJoin expands each row to its matches), so dropping a probe
+  * row before or after the join yields the same rows. Build-side and
+  * mixed conjuncts stay above. Injected into the operator-optimization
+  * batch (GraftExtensions), so it interleaves to fixed point with the
+  * built-in rules: they carry the filter down through projects to the
+  * join, this rule hops it over the join, and they carry it onward into
+  * the scan's PushedFilters.
+  */
+object PushThroughGraftJoins extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, j: AsOfJoin) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic &&
+          p.references.subsetOf(j.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+    case f @ Filter(cond, j: RangePointJoin) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic &&
+          p.references.subsetOf(j.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}

@@ -1461,7 +1461,45 @@ object EventQueries {
              |SELECT user_id, count(*) AS n_clicks FROM c
              |WHERE user_id NOT IN (SELECT user_id FROM conv)
              |  AND user_id < 300
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- day-of-week seasonality index per event type: each weekday's
+    //     daily volume relative to the type's average day (the
+    //     multiplicative seasonal factor behind capacity planning and the
+    //     q149/q176 anomaly baselines). Two tiny aggs over the daily
+    //     pre-aggregate; dayofweek mapped to ISO (1 = Monday) identically
+    //     on both engines. ---
+    Q("q187_dow_seasonality",
+      (s, dir) => {
+        val daily = Tables(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("double").as("x"))
+        val byDow = daily
+          .withColumn("dow", dayofweek(col("day")))
+          // Spark dayofweek: 1 = Sunday; re-base to ISO 1 = Monday
+          .withColumn("dow", when(col("dow") === 1, 7)
+            .otherwise(col("dow") - 1))
+          .groupBy(col("event_type"), col("dow"))
+          .agg(avg(col("x")).as("dow_avg"), count(lit(1)).as("n_days"))
+        val overall = daily.groupBy(col("event_type"))
+          .agg(avg(col("x")).as("all_avg"))
+        byDow.join(broadcast(overall), "event_type")
+          .select(col("event_type"), col("dow"), col("n_days"),
+            round(col("dow_avg") / col("all_avg"), 4).as("index"))
+          .orderBy(col("event_type"), col("dow"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, ts::DATE AS day, count(*)::DOUBLE AS x
+             |  FROM events GROUP BY 1, 2),
+             |d AS (SELECT event_type, isodow(day) AS dow,
+             |        avg(x) AS dow_avg, count(*) AS n_days
+             |      FROM daily GROUP BY 1, 2),
+             |o AS (SELECT event_type, avg(x) AS all_avg FROM daily
+             |      GROUP BY 1)
+             |SELECT event_type, dow, n_days,
+             |  round(dow_avg / all_avg, 4) AS index
+             |FROM d JOIN o USING (event_type)
+             |ORDER BY event_type, dow""".stripMargin))
   )
 
   /** Time-clustered multi-file copy of `events` + its zone map, memoized
