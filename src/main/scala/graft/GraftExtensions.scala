@@ -49,6 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // probe-side predicate pushdown through the custom join nodes (built-in
     // PushDownPredicates stops at unknown logical plans)
     ext.injectOptimizerRule(_ => graft.plans.PushThroughGraftJoins)
+    ext.injectOptimizerRule(_ => graft.plans.PruneThroughGraftJoins)
 
     // physical planning for the interval-stabbing join operator
     // (plans/RangeJoin — the custom LogicalPlan + SparkPlan pair)

@@ -56,4 +56,22 @@ class PushThroughGraftJoinsSpec extends SparkSpec {
       RangeJoin.pointInInterval(ev.filter(col("user_id") < 10), intervals,
         "value", "lo", "hi").count())
   }
+
+  test("column pruning narrows the probe ReadSchema through the join") {
+    // read the full 6-column events parquet, but project only event_id
+    // after the as-of join: the scan must read just the columns the join
+    // and the projection need
+    val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    val clicks = Seq((100L, 5.0)).toDF("bk", "bt")
+    val out = AsOfJoin.backward(ev, clicks,
+        col("user_id"), col("value"), col("bk"), col("bt"))
+      .select(col("event_id"), col("bt"))
+    val scan = out.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).get
+    assert(!scan.contains("props") && !scan.contains("event_type"),
+      s"probe scan not pruned: $scan")
+    assert(scan.contains("event_id") && scan.contains("user_id")
+      && scan.contains("value"))
+    assert(out.count() > 0)
+  }
 }
