@@ -75,6 +75,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           exprs.tail,
           exprs.head.eval(null).asInstanceOf[Number].longValue())))
 
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity (prefix scale 0.1, cap 4, boost when jaro > 0.7; empty -> 0)."),
+      (exprs: Seq[Expression]) => graft.functions.JaroWinkler(exprs(0), exprs(1))))
+
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two array<double> vectors (codegen'd kernel)."),
       (exprs: Seq[Expression]) => graft.functions.VecDot(exprs(0), exprs(1))))

@@ -95,4 +95,62 @@ object TextKernels {
     }
     c
   }
+
+  /** Jaro-Winkler similarity, standard Winkler parameterisation (prefix
+    * scale 0.1, prefix cap 4, boost only when jaro > 0.7) with the common
+    * conventions used by SQL engines (match window `max(|a|,|b|)/2 - 1`
+    * floored at 0; either side empty -> 0.0). Record-linkage kernel for
+    * the blocked fuzzy-match join; two stack-local boolean arrays, no
+    * allocation beyond them, char-indexed (synthetic corpus is ASCII so
+    * char vs codepoint indexing cannot diverge).
+    */
+  def jaroWinkler(au: UTF8String, bu: UTF8String): Double = {
+    val a = au.toString
+    val b = bu.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val aMatch = new Array[Boolean](la)
+    val bMatch = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!bMatch(j) && a.charAt(i) == b.charAt(j)) {
+          aMatch(i) = true
+          bMatch(j) = true
+          m += 1
+          found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (aMatch(i)) {
+        while (!bMatch(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    // transpositions = FLOOR of half the out-of-order matches (the
+    // RapidFuzz/DuckDB convention — an odd raw count rounds down, unlike
+    // the fractional t/2 some references use; pinned by the
+    // pennsylvania/pencilvaneya case in JaroWinklerSpec)
+    val jaro = (m.toDouble / la + m.toDouble / lb + (m - t / 2).toDouble / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxL = math.min(4, math.min(la, lb))
+    while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
 }

@@ -310,3 +310,28 @@ case class TokenCount(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): TokenCount =
     copy(child = newChild)
 }
+
+/** Codegen'd Jaro-Winkler similarity (standard Winkler parameters: prefix
+  * scale 0.1, prefix cap 4, boost when jaro > 0.7; empty input -> 0.0).
+  * The record-linkage scorer behind the blocked fuzzy-match join: stays
+  * inside WholeStageCodegen so the candidate-pair scoring loop is one
+  * generated function, not a UDF call per pair.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextKernels.jaroWinkler(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextKernels.jaroWinkler($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}

@@ -151,6 +151,12 @@ package object functions {
 
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
 
+  /** Jaro-Winkler similarity via the codegen'd [[JaroWinkler]] kernel
+    * (standard Winkler parameters — matches DuckDB / Postgres fuzzystrmatch
+    * conventions; either side empty -> 0.0). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    Bridge.column(JaroWinkler(ex(a), ex(b)))
+
   /** Cosine similarity computed in double precision with sequential
     * accumulation (matches DuckDB's list_cosine_similarity fold order). */
   def cosine_sim(a: Column, b: Column): Column =

@@ -127,6 +127,37 @@ object AnalysisQueries {
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
 
+  /** Per-doc Kneser-Ney NLL (q131 body, shared with the q192 perplexity
+    * bucketer): interpolated KN bigram model fit on the corpus itself,
+    * scored per doc; nll rounded to 4 so every downstream consumer works
+    * from the same engine-stable values. */
+  private def knNllPerDoc(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val D = 0.75
+    val perDoc = bigramHistogram(s, dir)
+    val types = perDoc.groupBy(col("bg")).agg(sum(col("c")).as("c12"))
+      .localCheckpoint()
+    val total = broadcast(types.agg(count(lit(1)).as("t")))
+    val byW1 = Window.partitionBy(col("w1"))
+    val byW2 = Window.partitionBy(col("w2"))
+    val model = types
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .withColumn("c1", sum(col("c12")).over(byW1))
+      .withColumn("n1", count(lit(1)).over(byW1))
+      .withColumn("n2", count(lit(1)).over(byW2))
+      .crossJoin(total)
+      .select(col("bg"),
+        log(greatest(col("c12") - lit(D), lit(0.0)) / col("c1")
+          + lit(D) * col("n1") / col("c1") * col("n2") / col("t"))
+          .as("logp"))
+    perDoc.join(model, "bg")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        round(-(sum(col("c") * col("logp")) / sum(col("c"))), 4)
+          .as("nll_kn"))
+  }
+
   /** Integer feature frame for the perceptron family (q122 fit audit, q130
     * AUC): label y = +-1 on lang='en'; features bias, token count,
     * long-token count, n_chars/100. localCheckpoint'ed — the fit scans it
@@ -1021,32 +1052,7 @@ object AnalysisQueries {
     //     bit-for-bit. At 100 TB: one corpus scan (the shared histogram),
     //     two vocab-keyed window shuffles, one broadcast. ---
     Q("q131_kneser_ney_nll",
-      (s, dir) => {
-        val D = 0.75
-        val perDoc = bigramHistogram(s, dir)
-        val types = perDoc.groupBy(col("bg")).agg(sum(col("c")).as("c12"))
-          .localCheckpoint()
-        val total = broadcast(types.agg(count(lit(1)).as("t")))
-        val byW1 = Window.partitionBy(col("w1"))
-        val byW2 = Window.partitionBy(col("w2"))
-        val model = types
-          .withColumn("w1", substring_index(col("bg"), " ", 1))
-          .withColumn("w2", substring_index(col("bg"), " ", -1))
-          .withColumn("c1", sum(col("c12")).over(byW1))
-          .withColumn("n1", count(lit(1)).over(byW1))
-          .withColumn("n2", count(lit(1)).over(byW2))
-          .crossJoin(total)
-          .select(col("bg"),
-            log(greatest(col("c12") - lit(D), lit(0.0)) / col("c1")
-              + lit(D) * col("n1") / col("c1") * col("n2") / col("t"))
-              .as("logp"))
-        perDoc.join(model, "bg")
-          .groupBy(col("doc_id"))
-          .agg(sum(col("c")).as("n_bigrams"),
-            round(-(sum(col("c") * col("logp")) / sum(col("c"))), 4)
-              .as("nll_kn"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => knNllPerDoc(s, dir).orderBy(col("doc_id")),
       Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
              |            FROM documents),
              |b AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1],' ')
@@ -1666,6 +1672,259 @@ object AnalysisQueries {
              |  (2.0 * tot / n_src / tokens > 4.0) AS capped,
              |  round(least(2.0 * tot / n_src / tokens, 4.0) * tokens, 2)
              |    AS alloc_tokens
-             |FROM t, g ORDER BY source""".stripMargin))
+             |FROM t, g ORDER BY source""".stripMargin)),
+
+    // --- l-diversity audit (the release-gate companion to q125's
+    //     k-anonymity): a quasi-identifier group that is k-anonymous can
+    //     still leak its members' sensitive attribute if every member
+    //     shares one value. Per QI group (source, 100-char length bucket):
+    //     group size, DISTINCT count of the sensitive attribute (lang),
+    //     and the 2-diverse flag. One scan, one shuffle on the QI key;
+    //     count_distinct is partial-aggregated map-side. ---
+    Q("q191_l_diversity",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .groupBy(col("source"),
+            floor(col("n_chars") / 100).cast("long").as("len_bucket"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("lang")).as("n_langs"))
+          .withColumn("diverse", (col("n_langs") >= 2).cast("int"))
+          .orderBy(col("source"), col("len_bucket"))
+      },
+      Some("""SELECT source, (n_chars // 100)::BIGINT AS len_bucket,
+             |       count(*) AS n, count(DISTINCT lang) AS n_langs,
+             |       (count(DISTINCT lang) >= 2)::INT AS diverse
+             |FROM documents GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // --- CCNet-style perplexity bucketing: score every doc with the
+    //     corpus-trained KN bigram LM (the q131 frame, shared helper) and
+    //     split the corpus into head/middle/tail thirds by NLL — the
+    //     classic LM-filtering tiering. ntile runs over the ROUNDED NLL
+    //     (stable across engines) with doc_id tiebreak, so bucket edges
+    //     are deterministic; the window is doc-count-sized (id + one
+    //     double), never corpus text, and at 100 TB becomes
+    //     approx-percentile cutpoints + a map-side bucket join — same
+    //     output, no global sort. ---
+    Q("q192_perplexity_buckets",
+      (s, dir) => {
+        val nd = knNllPerDoc(s, dir)
+        val w = Window.orderBy(col("nll_kn"), col("doc_id"))
+        nd.withColumn("bucket", ntile(3).over(w))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(min(col("nll_kn")), 4).as("nll_lo"),
+            round(max(col("nll_kn")), 4).as("nll_hi"),
+            round(avg(col("nll_kn")), 4).as("nll_avg"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+             |            FROM documents),
+             |b AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1],' ')
+             |        for i in range(1, len(toks))]) AS bg FROM t),
+             |h AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1,2),
+             |m AS (SELECT bg, sum(c) AS c12 FROM h GROUP BY bg),
+             |w AS (SELECT bg, c12, string_split(bg,' ')[1] AS w1,
+             |             string_split(bg,' ')[-1] AS w2 FROM m),
+             |p AS (SELECT bg,
+             |        ln(greatest(c12 - 0.75, 0.0)
+             |             / sum(c12) OVER (PARTITION BY w1)
+             |           + 0.75 * count(*) OVER (PARTITION BY w1)
+             |             / sum(c12) OVER (PARTITION BY w1)
+             |             * count(*) OVER (PARTITION BY w2)
+             |             / (SELECT count(*) FROM m)) AS logp
+             |      FROM w),
+             |nd AS (SELECT doc_id,
+             |         round(-(sum(c * logp) / sum(c)), 4) AS nll_kn
+             |       FROM h JOIN p USING (bg) GROUP BY doc_id),
+             |bk AS (SELECT nll_kn,
+             |         ntile(3) OVER (ORDER BY nll_kn, doc_id) AS bucket
+             |       FROM nd)
+             |SELECT bucket, count(*) AS n_docs,
+             |  round(min(nll_kn), 4) AS nll_lo,
+             |  round(max(nll_kn), 4) AS nll_hi,
+             |  round(avg(nll_kn), 4) AS nll_avg
+             |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // --- q192's 100 TB twin: the SAME tiering via exact percentile
+    //     cutpoints (p33/p67 of the rounded NLL) instead of a global-sort
+    //     ntile — two scalar aggregates broadcast back over the frame, so
+    //     the plan is scan + agg + map-side bucket assignment with NO
+    //     single-partition window. Bucket edges use <= on the interpolated
+    //     cutpoint (Spark percentile and DuckDB quantile_cont share the
+    //     p*(n-1) linear-interpolation definition); counts differ from
+    //     q192's rank-split only where NLL values tie across an ntile
+    //     boundary, which the rounded values make engine-stable. ---
+    Q("q192b_perplexity_cuts",
+      (s, dir) => {
+        val nd = knNllPerDoc(s, dir).localCheckpoint()
+        val cuts = broadcast(nd.agg(
+          expr("percentile(nll_kn, 1.0d/3)").as("c1"),
+          expr("percentile(nll_kn, 2.0d/3)").as("c2")))
+        nd.crossJoin(cuts)
+          .select(col("nll_kn"),
+            when(col("nll_kn") <= col("c1"), 1)
+              .when(col("nll_kn") <= col("c2"), 2)
+              .otherwise(3).as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("nll_kn")), 4).as("nll_avg"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+             |            FROM documents),
+             |b AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1],' ')
+             |        for i in range(1, len(toks))]) AS bg FROM t),
+             |h AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1,2),
+             |m AS (SELECT bg, sum(c) AS c12 FROM h GROUP BY bg),
+             |w AS (SELECT bg, c12, string_split(bg,' ')[1] AS w1,
+             |             string_split(bg,' ')[-1] AS w2 FROM m),
+             |p AS (SELECT bg,
+             |        ln(greatest(c12 - 0.75, 0.0)
+             |             / sum(c12) OVER (PARTITION BY w1)
+             |           + 0.75 * count(*) OVER (PARTITION BY w1)
+             |             / sum(c12) OVER (PARTITION BY w1)
+             |             * count(*) OVER (PARTITION BY w2)
+             |             / (SELECT count(*) FROM m)) AS logp
+             |      FROM w),
+             |nd AS (SELECT doc_id,
+             |         round(-(sum(c * logp) / sum(c)), 4) AS nll_kn
+             |       FROM h JOIN p USING (bg) GROUP BY doc_id),
+             |cuts AS (SELECT quantile_cont(nll_kn, 1.0/3) AS c1,
+             |                quantile_cont(nll_kn, 2.0/3) AS c2 FROM nd),
+             |bk AS (SELECT nll_kn,
+             |         CASE WHEN nll_kn <= c1 THEN 1
+             |              WHEN nll_kn <= c2 THEN 2 ELSE 3 END AS bucket
+             |       FROM nd, cuts)
+             |SELECT bucket, count(*) AS n_docs,
+             |  round(avg(nll_kn), 4) AS nll_avg
+             |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // --- grid-density clustering classification (the DBSCAN recipe at
+    //     warehouse scale): quantize the first two embedding axes into
+    //     grid cells, then classify every cell as core (>= minPts points),
+    //     border (non-core touching a core cell), or noise. The
+    //     8-neighborhood test is an EQUI-join — core cells fan out to
+    //     their 9 neighbor coordinates (9x a core-cell-sized frame, tiny)
+    //     and candidates semi-join on the exact cell key — never a
+    //     distance theta-join over points. Cluster merging (connected
+    //     components over adjacent core cells) is the q36 operator reused
+    //     on a cells-sized edge list; this query gates the density
+    //     classification, which is the part DBSCAN adds. ---
+    Q("q194_grid_density",
+      (s, dir) => {
+        val minPts = 10
+        val cells = Tables(s, dir, "embeddings")
+          .select(
+            floor(element_at(col("embedding"), 1).cast("double") * 16)
+              .cast("long").as("cx"),
+            floor(element_at(col("embedding"), 2).cast("double") * 16)
+              .cast("long").as("cy"))
+          .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        val offsets = Seq(-1L, 0L, 1L)
+        val nbrs = cells.filter(col("n") >= minPts)
+          .select(explode(array(offsets.map(lit(_)): _*)).as("dx"),
+            col("cx"), col("cy"))
+          .select(explode(array(offsets.map(lit(_)): _*)).as("dy"),
+            (col("cx") + col("dx")).as("cx"), col("cy"), col("dx"))
+          .select(col("cx"), (col("cy") + col("dy")).as("cy"))
+          .distinct()
+        cells.join(broadcast(nbrs.withColumn("near_core", lit(1))),
+            Seq("cx", "cy"), "left")
+          .select(col("cx"), col("cy"), col("n"),
+            when(col("n") >= minPts, "core")
+              .when(col("near_core").isNotNull, "border")
+              .otherwise("noise").as("cls"))
+          .orderBy(col("cx"), col("cy"))
+      },
+      Some("""WITH pts AS (
+             |  SELECT floor(embedding[1]::DOUBLE * 16)::BIGINT AS cx,
+             |         floor(embedding[2]::DOUBLE * 16)::BIGINT AS cy
+             |  FROM embeddings),
+             |cells AS (SELECT cx, cy, count(*) AS n FROM pts GROUP BY 1, 2),
+             |nbrs AS (
+             |  SELECT DISTINCT c.cx + dx.x AS cx, c.cy + dy.y AS cy
+             |  FROM cells c, unnest([-1, 0, 1]) AS dx(x),
+             |       unnest([-1, 0, 1]) AS dy(y)
+             |  WHERE c.n >= 10)
+             |SELECT c.cx, c.cy, c.n,
+             |  CASE WHEN c.n >= 10 THEN 'core'
+             |       WHEN nb.cx IS NOT NULL THEN 'border'
+             |       ELSE 'noise' END AS cls
+             |FROM cells c LEFT JOIN nbrs nb ON c.cx = nb.cx AND c.cy = nb.cy
+             |ORDER BY c.cx, c.cy""".stripMargin)),
+
+    // --- one-shot data-quality audit: the nightly gate a 100 TB warehouse
+    //     runs before publishing a snapshot. Eight independent checks
+    //     (referential orphans via anti-joins, duplicate keys, empty/null
+    //     payloads, domain violations, embedding-dimension drift), each a
+    //     scan + aggregate producing ONE row, unioned into a fixed-shape
+    //     report. Every frame that reaches the union is a scalar; the
+    //     anti-joins shuffle on their keys (broadcast when the dim side
+    //     fits) and everything else is a map-side predicate count. ---
+    Q("q193_dq_audit",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val ord = Tables(s, dir, "orders")
+        val cust = Tables(s, dir, "customer")
+        val nat = Tables(s, dir, "nation")
+        val docs = Tables(s, dir, "documents")
+        val ev = Tables(s, dir, "events")
+        val emb = Tables(s, dir, "embeddings")
+        def check(name: String, d: org.apache.spark.sql.DataFrame) =
+          d.agg(count(lit(1)).as("n_bad")).select(
+            lit(name).as("check_name"), col("n_bad"))
+        val dimMax = broadcast(
+          emb.agg(max(size(col("embedding"))).as("dmax")))
+        check("customer_orphan_nation",
+            cust.join(nat, cust("c_nationkey") === nat("n_nationkey"),
+              "left_anti"))
+          .unionAll(check("docs_empty_text",
+            docs.filter(col("text").isNull || length(col("text")) === 0)))
+          .unionAll(check("dup_doc_ids",
+            docs.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+              .filter(col("c") > 1)))
+          .unionAll(check("embedding_dim_drift",
+            emb.crossJoin(dimMax)
+              .filter(size(col("embedding")) =!= col("dmax"))))
+          .unionAll(check("events_null_user", ev.filter(col("user_id").isNull)))
+          .unionAll(check("lineitem_nonpositive_qty",
+            li.filter(col("l_quantity") <= 0)))
+          .unionAll(check("lineitem_orphan_order",
+            li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")))
+          .unionAll(check("orders_orphan_customer",
+            ord.join(cust, ord("o_custkey") === cust("c_custkey"),
+              "left_anti")))
+          .orderBy(col("check_name"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'customer_orphan_nation' AS check_name, count(*) AS n_bad
+             |  FROM customer WHERE c_nationkey NOT IN
+             |    (SELECT n_nationkey FROM nation)
+             |  UNION ALL
+             |  SELECT 'docs_empty_text', count(*) FROM documents
+             |  WHERE text IS NULL OR len(text) = 0
+             |  UNION ALL
+             |  SELECT 'dup_doc_ids', count(*) FROM (
+             |    SELECT doc_id FROM documents GROUP BY doc_id
+             |    HAVING count(*) > 1)
+             |  UNION ALL
+             |  SELECT 'embedding_dim_drift', count(*) FROM embeddings
+             |  WHERE len(embedding) <>
+             |    (SELECT max(len(embedding)) FROM embeddings)
+             |  UNION ALL
+             |  SELECT 'events_null_user', count(*) FROM events
+             |  WHERE user_id IS NULL
+             |  UNION ALL
+             |  SELECT 'lineitem_nonpositive_qty', count(*) FROM lineitem
+             |  WHERE l_quantity <= 0
+             |  UNION ALL
+             |  SELECT 'lineitem_orphan_order', count(*) FROM lineitem
+             |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+             |  UNION ALL
+             |  SELECT 'orders_orphan_customer', count(*) FROM orders
+             |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+             |ORDER BY check_name""".stripMargin))
   )
 }

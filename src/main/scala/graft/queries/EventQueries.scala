@@ -1499,7 +1499,85 @@ object EventQueries {
              |SELECT event_type, dow, n_days,
              |  round(dow_avg / all_avg, 4) AS index
              |FROM d JOIN o USING (event_type)
-             |ORDER BY event_type, dow""".stripMargin))
+             |ORDER BY event_type, dow""".stripMargin)),
+
+    // --- PageRank by power iteration over the q178 co-purchase graph
+    //     (symmetrized, support >= 2), damping 0.85, 5 fixed iterations.
+    //     The iteration-invariant state — edges pre-joined with 1/outdeg —
+    //     is materialized ONCE, hash-partitioned on the join key, so each
+    //     iteration moves only the node-sized rank frame: join on u
+    //     (edge side already partitioned; AliasAwareOutputPartitioning
+    //     carries the rank frame's v->u rename, so the groupBy output
+    //     re-enters the join without an extra exchange), then a map-side-
+    //     partial sum into v. Per-iteration cost at 100 TB = one node-sized
+    //     shuffle, never an edge re-scan; the symmetrized graph has no
+    //     dangling nodes, so no dangling-mass redistribution term is
+    //     needed. Oracled by unrolling the same 5 iterations as chained
+    //     CTEs in DuckDB (recursive CTEs disallow the per-level aggregate
+    //     this needs). ---
+    Q("q188_pagerank",
+      (s, dir) => {
+        val items = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+          .distinct()
+          .repartition(col("okey"))
+          .localCheckpoint()
+        val e0 = items.as("a")
+          .join(items.withColumnRenamed("part", "part_b").as("b"), "okey")
+          .filter(col("part") < col("part_b"))
+          .groupBy(col("part"), col("part_b"))
+          .agg(count(lit(1)).as("n_pair"))
+          .filter(col("n_pair") >= 2)
+          .select(col("part").as("u"), col("part_b").as("v"))
+        val edges = e0
+          .union(e0.select(col("v").as("u"), col("u").as("v")))
+          .localCheckpoint()
+        val deg = edges.groupBy(col("u"))
+          .agg(count(lit(1)).cast("double").as("outdeg"))
+        // iteration-invariant: (u, v, 1/outdeg), partitioned on u once
+        val w = edges.join(deg, "u")
+          .select(col("u"), col("v"), (lit(1.0) / col("outdeg")).as("w"))
+          .repartition(col("u"))
+          .localCheckpoint()
+        val n = deg.count().toDouble // node count: a model-sized scalar
+        var ranks = deg.select(col("u"), lit(1.0 / n).as("r"))
+        for (_ <- 1 to 5) {
+          ranks = w.join(ranks, "u")
+            .groupBy(col("v"))
+            .agg((lit(0.15 / n) + lit(0.85) * sum(col("w") * col("r"))).as("r"))
+            .select(col("v").as("u"), col("r"))
+        }
+        ranks
+          .select(col("u").as("part"), round(col("r"), 6).as("rank"))
+          .orderBy(col("rank").desc, col("part"))
+          .limit(20)
+      },
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+             |  FROM lineitem),
+             |e0 AS (
+             |  SELECT a.part AS u, b.part AS v
+             |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+             |deg AS (SELECT u, count(*)::DOUBLE AS outdeg FROM edges GROUP BY 1),
+             |nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+             |w AS (SELECT e.u, e.v, 1.0 / d.outdeg AS w
+             |      FROM edges e JOIN deg d ON e.u = d.u),
+             |r0 AS (SELECT u, 1.0 / nn.n AS r FROM deg, nn),
+             |r1 AS (SELECT w.v AS u, 0.15 / any_value(nn.n) + 0.85 * sum(w.w * r0.r) AS r
+             |       FROM w JOIN r0 ON w.u = r0.u, nn GROUP BY w.v),
+             |r2 AS (SELECT w.v AS u, 0.15 / any_value(nn.n) + 0.85 * sum(w.w * r1.r) AS r
+             |       FROM w JOIN r1 ON w.u = r1.u, nn GROUP BY w.v),
+             |r3 AS (SELECT w.v AS u, 0.15 / any_value(nn.n) + 0.85 * sum(w.w * r2.r) AS r
+             |       FROM w JOIN r2 ON w.u = r2.u, nn GROUP BY w.v),
+             |r4 AS (SELECT w.v AS u, 0.15 / any_value(nn.n) + 0.85 * sum(w.w * r3.r) AS r
+             |       FROM w JOIN r3 ON w.u = r3.u, nn GROUP BY w.v),
+             |r5 AS (SELECT w.v AS u, 0.15 / any_value(nn.n) + 0.85 * sum(w.w * r4.r) AS r
+             |       FROM w JOIN r4 ON w.u = r4.u, nn GROUP BY w.v)
+             |SELECT u AS part, round(r, 6) AS rank FROM r5
+             |ORDER BY rank DESC, part LIMIT 20""".stripMargin),
+      bench = true)
   )
 
   /** Time-clustered multi-file copy of `events` + its zone map, memoized

@@ -551,6 +551,43 @@ object Relational {
              |SELECT n_name, count(*) AS n_customers,
              |  round(sum(CASE WHEN rk <= 5 THEN crev ELSE 0.0 END)
              |    / sum(crev), 4) AS top5_share
-             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // --- 2-D skyline (Pareto frontier): parts minimizing retail price
+    //     while maximizing size. Sort-based plan, NOT the O(n²) dominance
+    //     self-join the textbook NOT EXISTS spells: one groupBy collapses
+    //     the table to (distinct price, max size) — any non-max-size part
+    //     at a price is dominated by its own price group — then a running
+    //     max over the price-ordered GROUP frame keeps exactly the prices
+    //     whose best size strictly beats every cheaper price's best, and a
+    //     broadcast semi-join back tags the surviving rows. The window
+    //     runs over distinct-price GROUPS (already thousands-fold smaller
+    //     than rows; at 100 TB swap in repartitionByRange + two-pass
+    //     prefix-max — same algebra, no single-partition stage). Oracled
+    //     against the quadratic NOT EXISTS definition, which this plan
+    //     must equal row-for-row. ---
+    Q("q189_skyline",
+      (s, dir) => {
+        val p = Tables(s, dir, "part")
+          .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+        val g = p.groupBy(col("p_retailprice"))
+          .agg(max(col("p_size")).as("gmax"))
+        val w = Window.orderBy(col("p_retailprice"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val surv = g.withColumn("prevmax", max(col("gmax")).over(w))
+          .filter(col("prevmax").isNull || col("gmax") > col("prevmax"))
+          .select(col("p_retailprice"), col("gmax"))
+        p.join(broadcast(surv), Seq("p_retailprice"))
+          .filter(col("p_size") === col("gmax"))
+          .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_size, p_retailprice FROM part a
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM part b
+             |  WHERE b.p_retailprice <= a.p_retailprice
+             |    AND b.p_size >= a.p_size
+             |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+             |ORDER BY p_partkey""".stripMargin))
   )
 }

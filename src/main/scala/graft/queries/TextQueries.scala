@@ -1686,6 +1686,62 @@ object TextQueries {
              |  count(DISTINCT gram) AS n_distinct,
              |  round(count(DISTINCT gram) / count(*), 6) AS diversity
              |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      bench = true),
+
+    // --- Blocked record linkage with the codegen'd Jaro-Winkler kernel:
+    //     candidates come from a 2-char-prefix equi-join over the DISTINCT
+    //     token vocabulary (± 1 length band as a residual predicate), so
+    //     the quadratic blow-up is per-block over vocab-sized data — the
+    //     corpus text itself never joins. At 100 TB the only change is a
+    //     longer blocking key (prefix-3/4 + length), not a different plan.
+    //     Deletion variants (every position >= 3, preserving the 2-char
+    //     block key) are the deterministic fixture that gives the matcher
+    //     true pairs to find on the tiny synthetic vocabulary; the
+    //     jaro_winkler expression itself matches DuckDB's
+    //     jaro_winkler_similarity bit-for-bit (same parameterisation),
+    //     pinned by JaroWinklerSpec against engine-quoted values. ---
+    Q("q190_jw_linkage",
+      (s, dir) => {
+        val base = tokens(Tables(s, dir, "documents"))
+          .select(col("token")).distinct()
+          .filter(length(col("token")).between(5, 20))
+        val typos = base
+          .select(explode(expr("""transform(sequence(3, length(token)),
+                 |  i -> concat(substr(token, 1, i - 1),
+                 |              substr(token, i + 1, length(token))))"""
+            .stripMargin)).as("token"))
+        val vocab = base.union(typos).distinct()
+          .select(col("token"), substring(col("token"), 1, 2).as("blk"),
+            length(col("token")).as("len"))
+        vocab.as("a")
+          .join(vocab.as("b"),
+            col("a.blk") === col("b.blk")
+              && abs(col("a.len") - col("b.len")) <= 1
+              && col("a.token") < col("b.token"))
+          .select(col("a.token").as("tok_a"), col("b.token").as("tok_b"),
+            round(graft.functions.jaro_winkler(col("a.token"), col("b.token")), 6)
+              .as("jw"))
+          .filter(col("jw") >= 0.93)
+          .orderBy(col("tok_a"), col("tok_b"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT DISTINCT unnest(string_split(text,' ')) AS token
+             |  FROM documents),
+             |base AS (SELECT token FROM toks WHERE len(token) BETWEEN 5 AND 20),
+             |typos AS (
+             |  SELECT substr(token, 1, i - 1) || substr(token, i + 1) AS token
+             |  FROM base, unnest(range(3, len(token) + 1)) AS t(i)),
+             |v AS (
+             |  SELECT token, substr(token, 1, 2) AS blk, len(token) AS len
+             |  FROM (SELECT DISTINCT token FROM
+             |        (SELECT token FROM base UNION ALL SELECT token FROM typos))),
+             |pairs AS (
+             |  SELECT a.token AS tok_a, b.token AS tok_b,
+             |    round(jaro_winkler_similarity(a.token, b.token), 6) AS jw
+             |  FROM v a JOIN v b ON a.blk = b.blk
+             |    AND abs(a.len - b.len) <= 1 AND a.token < b.token)
+             |SELECT tok_a, tok_b, jw FROM pairs WHERE jw >= 0.93
+             |ORDER BY tok_a, tok_b""".stripMargin),
       bench = true)
   )
 
