@@ -263,6 +263,85 @@ object EventStreams {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  final case class BloomIn(shard: Int, digest: Long, doc_id: Long)
+  final case class BloomOut(doc_id: Long, digest: Long)
+
+  /** All-history streaming dedup with BOUNDED state: a sharded Bloom
+    * filter in keyed ValueState. [[dedupStream]]'s exact state is only
+    * bounded because the watermark evicts it — dedup across the WHOLE
+    * stream history (the training-corpus contract: a document is ingested
+    * once, ever) would grow exact state forever. Here state is fixed at
+    * `shards * mBits/8` bytes total no matter how many documents pass,
+    * traded against a quantifiable false-positive rate (a tiny fraction of
+    * genuinely-new docs dropped as dupes — the right direction for corpus
+    * dedup). k bit positions derive from the digest by splitmix64 steps,
+    * so the filter needs only the one 64-bit content digest the batch
+    * dedup (q30/q31) already computes; shard = floor-mod of the digest
+    * spreads state rows and parallelism. Per active shard and batch the
+    * blob is rewritten once (mBits/8 bytes) — sized so that's a few KB,
+    * not the per-bit MapState extreme. */
+  class BloomDedupProcessor(mBits: Int, k: Int)
+      extends StatefulProcessor[Int, BloomIn, BloomOut] {
+    @transient private var bits: org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      bits = getHandle.getValueState[Array[Byte]]("bloom_bits",
+        org.apache.spark.sql.Encoders.BINARY, TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[BloomIn],
+        timers: TimerValues): Iterator[BloomOut] = {
+      val arr = if (bits.exists()) bits.get() else new Array[Byte](mBits / 8)
+      var dirty = false
+      // deterministic fold order within the batch: replays must drop the
+      // same rows (first occurrence by (digest, doc_id) wins)
+      val out = rows.toSeq.sortBy(r => (r.digest, r.doc_id)).iterator.flatMap { r =>
+        var h = r.digest
+        var seen = true
+        var i = 0
+        val pos = new Array[Int](k)
+        while (i < k) {
+          // splitmix64 mixing per probe
+          h += 0x9e3779b97f4a7c15L
+          var z = h
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z = z ^ (z >>> 31)
+          val p = ((z % mBits) + mBits).toInt % mBits
+          pos(i) = p
+          if ((arr(p >>> 3) & (1 << (p & 7))) == 0) seen = false
+          i += 1
+        }
+        if (seen) Iterator.empty
+        else {
+          var j = 0
+          while (j < k) {
+            val p = pos(j)
+            arr(p >>> 3) = (arr(p >>> 3) | (1 << (p & 7))).toByte
+            j += 1
+          }
+          dirty = true
+          Iterator.single(BloomOut(r.doc_id, r.digest))
+        }
+      }.toVector
+      if (dirty) bits.update(arr)
+      out.iterator
+    }
+  }
+
+  /** See [[BloomDedupProcessor]]. `docs` must carry (doc_id, digest);
+    * shard count fixes both state size and the dedup parallelism. */
+  def bloomDedupStream(docs: Dataset[(Long, Long)], shards: Int = 64,
+      mBits: Int = 1 << 16, k: Int = 5)(
+      implicit spark: SparkSession): Dataset[BloomOut] = {
+    import spark.implicits._
+    docs
+      .map { case (docId, digest) =>
+        BloomIn((((digest % shards) + shards) % shards).toInt, digest, docId) }
+      .groupByKey(_.shard)
+      .transformWithState(new BloomDedupProcessor(mBits, k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** The built-in session_window twin of [[sessionize]]: event-time gap
     * sessions closed by the WATERMARK (not processing-time timeouts), so
     * results are deterministic in event time and late data inside the

@@ -381,4 +381,39 @@ class EventStreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("bloom dedup stream: drops repeats across batches, keeps firsts, bounded state") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Long)]
+      val out = EventStreams.bloomDedupStream(input.toDS(), shards = 8)
+      val q = out.writeStream.format("memory").queryName("bloom_dedup")
+        .outputMode(OutputMode.Update()).start()
+      // batch 1: digests 11,22,33 with an in-batch repeat of 22
+      input.addData((1L, 11L), (2L, 22L), (3L, 22L), (4L, 33L))
+      q.processAllAvailable()
+      // batch 2: cross-batch repeats (11, 33) must be dropped by state
+      // persisted in the shard blobs; 44 and 55 are genuinely new
+      input.addData((5L, 11L), (6L, 44L), (7L, 33L), (8L, 55L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("bloom_dedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // first occurrence of each digest only; in-batch tie broken by
+      // (digest, doc_id) order -> doc 2 wins digest 22
+      assert(got == Set((1L, 11L), (2L, 22L), (4L, 33L), (6L, 44L), (8L, 55L)))
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
