@@ -1710,9 +1710,12 @@ object TextQueries {
                  |  i -> concat(substr(token, 1, i - 1),
                  |              substr(token, i + 1, length(token))))"""
             .stripMargin)).as("token"))
+        // both self-join sides read this frame: materialize the
+        // tokenize+distinct+variant pipeline once (q32's pattern)
         val vocab = base.union(typos).distinct()
           .select(col("token"), substring(col("token"), 1, 2).as("blk"),
             length(col("token")).as("len"))
+          .localCheckpoint()
         vocab.as("a")
           .join(vocab.as("b"),
             col("a.blk") === col("b.blk")
