@@ -1855,6 +1855,84 @@ object AnalysisQueries {
              |FROM cells c LEFT JOIN nbrs nb ON c.cx = nb.cx AND c.cy = nb.cy
              |ORDER BY c.cx, c.cy""".stripMargin)),
 
+    // --- classifier calibration curve (reliability diagram): does a
+    //     predicted probability of 0.8 come true 80% of the time? The
+    //     q122/q130 perceptron's margins pass through a sigmoid, scores
+    //     are grouped FIRST (integer features x fixed weights => discrete
+    //     margins, a model-sized frame), then ntile(10) runs over the
+    //     distinct-score groups — deterministic on both engines and never
+    //     a corpus-sized window. Per bin: examples, mean predicted
+    //     probability, empirical positive rate — the ECE inputs. ---
+    Q("q195_calibration",
+      (s, dir) => {
+        val feats = perceptronFeatures(s, dir)
+        val xCols = Seq("x0", "x1", "x2", "x3")
+        val w = graft.operators.Perceptron
+          .fit(feats, xCols, "y", epochs = 5).last.w
+        val scored = feats.select(col("y"),
+          xCols.zip(w).map { case (c, wi) => col(c) * lit(wi) }
+            .reduce(_ + _).as("score"))
+        val byScore = scored.groupBy(col("score")).agg(
+          sum(when(col("y") === 1, 1L).otherwise(0L)).as("p"),
+          sum(when(col("y") === -1, 1L).otherwise(0L)).as("n"))
+        byScore
+          .withColumn("bin", ntile(10).over(Window.orderBy(col("score"))))
+          .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("score"))))
+          .groupBy(col("bin"))
+          .agg(sum(col("p") + col("n")).as("n_examples"),
+            round(sum((col("p") + col("n")) * col("prob"))
+              / sum(col("p") + col("n")), 6).as("mean_pred"),
+            round(sum(col("p")) / sum(col("p") + col("n")).cast("double"), 6)
+              .as("pos_rate"))
+          .orderBy(col("bin"))
+      },
+      Some(PerceptronCtes + ",\n" + """s AS (SELECT y,
+             |       w0*x0 + w1*x1 + w2*x2 + w3*x3 AS score
+             |     FROM f CROSS JOIN w5),
+             |g AS (SELECT score, count(*) FILTER (y = 1) AS p,
+             |             count(*) FILTER (y = -1) AS n
+             |      FROM s GROUP BY score),
+             |b AS (SELECT score, p, n,
+             |        ntile(10) OVER (ORDER BY score) AS bin,
+             |        1.0 / (1.0 + exp(-score)) AS prob FROM g)
+             |SELECT bin, sum(p + n)::BIGINT AS n_examples,
+             |  round(sum((p + n) * prob) / sum(p + n), 6) AS mean_pred,
+             |  round(sum(p) / sum(p + n)::DOUBLE, 6) AS pos_rate
+             |FROM b GROUP BY bin ORDER BY bin""".stripMargin),
+      bench = false),
+
+    // --- autocorrelation function of the daily event series, lags 1-7:
+    //     the seasonality detector behind q187's day-of-week index (a
+    //     strong lag-7 spike IS weekly seasonality). Daily counts are a
+    //     days-sized frame, so the lag self-join fans out 7 x days rows —
+    //     metadata scale — and corr() partial-aggregates map-side. ---
+    Q("q196_acf",
+      (s, dir) => {
+        val daily = Tables(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("double").as("x"))
+          .localCheckpoint()
+        val lags = (1 to 7).map(lit(_))
+        daily
+          .select(explode(array(lags: _*)).as("lag"), col("day"), col("x"))
+          .as("a")
+          .join(daily.as("b"),
+            expr("a.day = date_add(b.day, a.lag)"))
+          .groupBy(col("lag"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(corr(col("a.x"), col("b.x")), 4).as("acf"))
+          .orderBy(col("lag"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT ts::DATE AS day, count(*)::DOUBLE AS x
+             |  FROM events GROUP BY 1),
+             |l AS (SELECT unnest(range(1, 8)) AS lag)
+             |SELECT l.lag, count(*) AS n_pairs,
+             |  round(corr(a.x, b.x), 4) AS acf
+             |FROM daily a, l, daily b
+             |WHERE a.day = b.day + l.lag::INTEGER
+             |GROUP BY l.lag ORDER BY l.lag""".stripMargin)),
+
     // --- one-shot data-quality audit: the nightly gate a 100 TB warehouse
     //     runs before publishing a snapshot. Eight independent checks
     //     (referential orphans via anti-joins, duplicate keys, empty/null
