@@ -1529,18 +1529,19 @@ object EventQueries {
           .agg(count(lit(1)).as("n_pair"))
           .filter(col("n_pair") >= 2)
           .select(col("part").as("u"), col("part_b").as("v"))
-        val edges = e0
+        // ONE adjacency aggregation gives everything iteration-invariant:
+        // grouped (u, [v...]) is hash-partitioned on u by its own groupBy,
+        // the out-degree is the list size (no separate degree frame, no
+        // join), and the checkpoint materializes it once for all 5 rounds
+        val grouped = e0
           .union(e0.select(col("v").as("u"), col("u").as("v")))
+          .groupBy(col("u")).agg(collect_list(col("v")).as("vs"))
           .localCheckpoint()
-        val deg = edges.groupBy(col("u"))
-          .agg(count(lit(1)).cast("double").as("outdeg"))
-        // iteration-invariant: (u, v, 1/outdeg), partitioned on u once
-        val w = edges.join(deg, "u")
-          .select(col("u"), col("v"), (lit(1.0) / col("outdeg")).as("w"))
-          .repartition(col("u"))
-          .localCheckpoint()
-        val n = deg.count().toDouble // node count: a model-sized scalar
-        var ranks = deg.select(col("u"), lit(1.0 / n).as("r"))
+        val w = grouped
+          .select(col("u"), (lit(1.0) / size(col("vs"))).as("w"),
+            explode(col("vs")).as("v"))
+        val n = grouped.count().toDouble // node count: a model-sized scalar
+        var ranks = grouped.select(col("u"), lit(1.0 / n).as("r"))
         for (_ <- 1 to 5) {
           ranks = w.join(ranks, "u")
             .groupBy(col("v"))

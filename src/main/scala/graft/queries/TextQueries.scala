@@ -1654,15 +1654,22 @@ object TextQueries {
     Q("q166_distinct_ngrams",
       (s, dir) => {
         Tables(s, dir, "documents")
+          // in-row histogram FIRST (ngram_counts): a doc's repeated grams
+          // collapse to one (gram, tf) row inside the generated loop, so
+          // the Generate emits per-doc DISTINCT grams — on repetitive
+          // corpora several times fewer rows than the raw everygrams
+          // explode — and total counts are recovered as sum(tf)
           .select(col("source"),
-            explode(everygrams(split(col("text"), " "), 1, 3)).as("gram"))
-          .withColumn("n", size(split(col("gram"), " ")))
+            explode(graft.functions.ngram_counts(split(col("text"), " "), 3))
+              .as("e"))
+          .select(col("source"), col("e.token").as("gram"), col("e.tf"))
+          .withColumn("n", size(split(col("gram"), " ", -1)))
           // two-level agg instead of count_distinct: the gram-level
           // partial combine collapses duplicates map-side BEFORE the
           // shuffle, and no Expand doubles the exploded rows (the
           // multi-distinct plan ships every gram twice)
           .groupBy(col("source"), col("n"), col("gram"))
-          .agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("tf")).as("cnt"))
           .groupBy(col("source"), col("n"))
           .agg(sum(col("cnt")).as("n_grams"),
             count(lit(1)).as("n_distinct"))
