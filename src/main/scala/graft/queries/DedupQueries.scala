@@ -970,10 +970,10 @@ object DedupQueries {
     //     this document — the signal dedup-aware data ordering reads
     //     (novelty collapsing toward 0 over ingest order ⇒ the stream has
     //     gone stale; also the per-doc complement of q87's corpus-level
-    //     Heaps curve). Scale shape: one (gram → min doc_id) partial+final
-    //     agg — map-side min collapses repeats before the shuffle — then a
-    //     gram-keyed join back; at 100 TB both legs key on the gram's
-    //     8-byte hash (first-owner attribution tolerates the 2⁻⁶⁴
+    //     Heaps curve). Scale shape: one pass — a min-over-gram-partition
+    //     window, so the gram frame shuffles once on g and is never
+    //     recomputed for a join-back; at 100 TB the window keys on the
+    //     gram's 8-byte hash (first-owner attribution tolerates the 2⁻⁶⁴
     //     collision: a collision only steals novelty from one gram). ---
     Q("q146_novelty",
       (s, dir) => {
@@ -981,8 +981,13 @@ object DedupQueries {
           .select(col("doc_id"),
             explode(array_distinct(graft.functions.word_ngrams(
               split(col("text"), " "), 8))).as("g"))
-        val first = g.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
-        g.join(first, "g")
+        // first-owner via a partition window: ONE pass over the gram
+        // frame and one shuffle on g — the agg+join-back shape ran the
+        // scan+ngram pipeline once per join side and paid a second
+        // gram-keyed exchange for the same answer
+        g.withColumn("first_doc",
+            min(col("doc_id")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_grams"),
             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))

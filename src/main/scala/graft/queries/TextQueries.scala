@@ -327,27 +327,32 @@ object TextQueries {
 
     // --- PMI of adjacent token pairs (pointwise mutual information, the
     //     classic collocation / word-association statistic; Church & Hanks
-    //     1990). Pairs are built IN-ROW (two shifted slices zipped — a
-    //     Generate, no shuffle, no window): the plan's shuffles are exactly
-    //     the three the semantics require — (x,y) for pair counts, x and y
-    //     for the unigram joins. The unigram frame is vocab-sized (corpus
-    //     scale-independent), so AQE broadcasts it at any corpus size where
-    //     the vocabulary fits an executor; the two grand totals are 1-row
+    //     1990). Unigram and bigram counts come from ONE in-row 1..2-gram
+    //     histogram pass (a doc's pair counts need only its own row), so
+    //     the corpus is scanned once and the only corpus-sized shuffle is
+    //     the (token) count agg; everything after is vocab-sized. AQE
+    //     broadcasts the unigram legs at any corpus size where the
+    //     vocabulary fits an executor; the two grand totals are 1-row
     //     broadcast cross joins. n_xy >= 10 bounds output to recurring
     //     collocations. ---
     Q("q98_pmi_cooccur",
       (s, dir) => {
-        val t = fanout(Tables(s, dir, "documents"))
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        val pairs = t
-          .select(
-            slice(col("toks"), lit(1), size(col("toks")) - 1).as("xs"),
-            slice(col("toks"), lit(2), size(col("toks")) - 1).as("ys"))
-          .select(explode(arrays_zip(col("xs"), col("ys"))).as("p"))
-          .select(col("p.xs").as("x"), col("p.ys").as("y"))
-        val bi  = pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
-        val uni = t.select(explode(col("toks")).as("tok"))
-          .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        // ONE corpus pass: the in-row 1..2-gram histogram yields unigram
+        // AND bigram counts from a single Generate + (token) shuffle; the
+        // resulting frame is vocab-sized and materialized once for the
+        // four branches that used to re-tokenize the corpus each
+        val counts = fanout(Tables(s, dir, "documents"))
+          .select(explode(
+            graft.functions.ngram_counts(split(col("text"), " "), 2)).as("e"))
+          .select(col("e.token").as("tok"), col("e.tf").as("tf"))
+          .groupBy(col("tok")).agg(sum(col("tf")).as("n"))
+          .localCheckpoint()
+        val bi = counts.filter(col("tok").contains(" "))
+          .select(substring_index(col("tok"), " ", 1).as("x"),
+            substring_index(col("tok"), " ", -1).as("y"),
+            col("n").as("n_xy"))
+        val uni = counts.filter(!col("tok").contains(" "))
+          .select(col("tok"), col("n"))
         val nBi  = bi.agg(sum(col("n_xy")).cast("double").as("n_bi"))
         val nUni = uni.agg(sum(col("n")).cast("double").as("n_uni"))
         bi.filter(col("n_xy") >= 10)
