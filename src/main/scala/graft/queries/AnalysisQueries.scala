@@ -1901,6 +1901,52 @@ object AnalysisQueries {
              |FROM b GROUP BY bin ORDER BY bin""".stripMargin),
       bench = false),
 
+    // --- expected calibration error: the q195 reliability diagram folded
+    //     to its headline scalar, ECE = Σ (n_b/N)·|mean_pred_b − rate_b|
+    //     over the same 10 score bins (computed from the ROUNDED per-bin
+    //     stats so the fold is engine-exact). ---
+    Q("q195b_ece",
+      (s, dir) => {
+        val feats = perceptronFeatures(s, dir)
+        val xCols = Seq("x0", "x1", "x2", "x3")
+        val w = graft.operators.Perceptron
+          .fit(feats, xCols, "y", epochs = 5).last.w
+        val scored = feats.select(col("y"),
+          xCols.zip(w).map { case (c, wi) => col(c) * lit(wi) }
+            .reduce(_ + _).as("score"))
+        val byScore = scored.groupBy(col("score")).agg(
+          sum(when(col("y") === 1, 1L).otherwise(0L)).as("p"),
+          sum(when(col("y") === -1, 1L).otherwise(0L)).as("n"))
+        byScore
+          .withColumn("bin", ntile(10).over(Window.orderBy(col("score"))))
+          .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("score"))))
+          .groupBy(col("bin"))
+          .agg(sum(col("p") + col("n")).as("nb"),
+            round(sum((col("p") + col("n")) * col("prob"))
+              / sum(col("p") + col("n")), 6).as("mp"),
+            round(sum(col("p")) / sum(col("p") + col("n")).cast("double"), 6)
+              .as("pr"))
+          .agg(sum(col("nb")).as("n_examples"),
+            round(sum(col("nb") * abs(col("mp") - col("pr")))
+              / sum(col("nb")), 6).as("ece"))
+      },
+      Some(PerceptronCtes + ",\n" + """s AS (SELECT y,
+             |       w0*x0 + w1*x1 + w2*x2 + w3*x3 AS score
+             |     FROM f CROSS JOIN w5),
+             |g AS (SELECT score, count(*) FILTER (y = 1) AS p,
+             |             count(*) FILTER (y = -1) AS n
+             |      FROM s GROUP BY score),
+             |b AS (SELECT score, p, n,
+             |        ntile(10) OVER (ORDER BY score) AS bin,
+             |        1.0 / (1.0 + exp(-score)) AS prob FROM g),
+             |c AS (SELECT bin, sum(p + n) AS nb,
+             |        round(sum((p + n) * prob) / sum(p + n), 6) AS mp,
+             |        round(sum(p) / sum(p + n)::DOUBLE, 6) AS pr
+             |      FROM b GROUP BY bin)
+             |SELECT sum(nb)::BIGINT AS n_examples,
+             |  round(sum(nb * abs(mp - pr)) / sum(nb), 6) AS ece
+             |FROM c""".stripMargin)),
+
     // --- autocorrelation function of the daily event series, lags 1-7:
     //     the seasonality detector behind q187's day-of-week index (a
     //     strong lag-7 spike IS weekly seasonality). Daily counts are a
