@@ -342,6 +342,71 @@ object EventStreams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class HeavyIn(group: String, item: String)
+  final case class HeavyOut(group: String, item: String, cnt: Long, err: Long)
+
+  /** Streaming heavy hitters via the SpaceSaving sketch in keyed state —
+    * the streaming twin of the q79 approx_top_k batch path. Exact per-item
+    * streaming counts need unbounded state (one row per DISTINCT item,
+    * ever); SpaceSaving caps state at `capacity` counters per group and
+    * guarantees (a) any item with true count > N/capacity is present and
+    * (b) every reported `cnt` overestimates truth by at most its `err`.
+    * The whole summary lives in ONE ValueState blob (parallel arrays via
+    * a product encoder) rewritten once per (group, batch) — per-row
+    * RocksDB point ops would scan `capacity` entries per input row, the
+    * wrong trade for a capacity-sized summary. Rows fold in (item) order
+    * within a batch so replays produce the identical sketch. Emits the
+    * full summary each batch (Update mode); downstream takes top-k. */
+  final case class SSSummary(items: Seq[String], counts: Seq[Long],
+      errs: Seq[Long])
+
+  class SpaceSavingProcessor(capacity: Int)
+      extends StatefulProcessor[String, HeavyIn, HeavyOut] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[SSSummary] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SSSummary]("space_saving",
+        org.apache.spark.sql.Encoders.product[SSSummary], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[HeavyIn],
+        timers: TimerValues): Iterator[HeavyOut] = {
+      val cur = if (state.exists()) state.get() else SSSummary(Nil, Nil, Nil)
+      val counts = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+      cur.items.indices.foreach { i =>
+        counts(cur.items(i)) = (cur.counts(i), cur.errs(i))
+      }
+      rows.toSeq.map(_.item).sorted.foreach { it =>
+        counts.get(it) match {
+          case Some((c, e)) => counts(it) = (c + 1, e)
+          case None if counts.size < capacity => counts(it) = (1L, 0L)
+          case None =>
+            // evict the min-count counter (ties: lexicographic item, so
+            // the choice is deterministic); the newcomer inherits its
+            // count as the overestimate bound
+            val (minItem, (minC, _)) =
+              counts.minBy { case (i2, (c2, _)) => (c2, i2) }
+            counts.remove(minItem)
+            counts(it) = (minC + 1, minC)
+        }
+      }
+      val snap = counts.toSeq
+      state.update(SSSummary(snap.map(_._1), snap.map(_._2._1),
+        snap.map(_._2._2)))
+      snap.iterator.map { case (it, (c, e)) => HeavyOut(key, it, c, e) }
+    }
+  }
+
+  /** See [[SpaceSavingProcessor]]; `items` is (group, item). */
+  def heavyHittersStream(items: Dataset[(String, String)], capacity: Int = 8)(
+      implicit spark: SparkSession): Dataset[HeavyOut] = {
+    import spark.implicits._
+    items
+      .map { case (g, it) => HeavyIn(g, it) }
+      .groupByKey(_.group)
+      .transformWithState(new SpaceSavingProcessor(capacity),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** The built-in session_window twin of [[sessionize]]: event-time gap
     * sessions closed by the WATERMARK (not processing-time timeouts), so
     * results are deterministic in event time and late data inside the

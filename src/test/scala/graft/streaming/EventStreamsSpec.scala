@@ -416,4 +416,47 @@ class EventStreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("space-saving heavy hitters: exact under capacity, bounded error over it") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, String)]
+      val out = EventStreams.heavyHittersStream(input.toDS(), capacity = 3)
+      val q = out.writeStream.format("memory").queryName("heavy_ss")
+        .outputMode(OutputMode.Update()).start()
+      // batch 1: 3 distinct items (= capacity) -> exact counts, err 0
+      input.addData(("g", "a"), ("g", "a"), ("g", "b"), ("g", "b"),
+        ("g", "b"), ("g", "c"))
+      q.processAllAvailable()
+      val b1 = spark.table("heavy_ss").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(b1 == Set(("a", 2L, 0L), ("b", 3L, 0L), ("c", 1L, 0L)))
+      // batch 2: item d overflows capacity -> evicts the min counter (c,
+      // count 1); d enters with cnt 2, err 1 (count overestimates by at
+      // most err); a and b keep exact counts across the batch boundary
+      input.addData(("g", "d"), ("g", "a"))
+      q.processAllAvailable()
+      q.stop()
+      val b2 = spark.sql(
+        "SELECT item, cnt, err FROM heavy_ss").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (k, vs) => vs.maxBy(_._2) }.toSet
+      assert(b2.contains(("a", 3L, 0L)))
+      assert(b2.contains(("d", 2L, 1L)))
+      // SpaceSaving invariant: true count <= cnt <= true count + err
+      // (d's true count is 1: 1 <= 2 <= 1 + 1)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
