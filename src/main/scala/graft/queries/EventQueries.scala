@@ -953,6 +953,76 @@ object EventQueries {
              |       round(c.n / t.tot, 6) AS p
              |FROM c JOIN t USING (cur) ORDER BY 1, 2""".stripMargin)),
 
+    // --- stationary distribution of the q164 event-type Markov chain:
+    //     where does user attention settle in steady state? 8 unrolled
+    //     power-iteration steps over the row-normalized transition matrix
+    //     (transitions restricted to states WITH outgoing edges, then
+    //     renormalized, so rows still sum to 1). The only corpus-scale
+    //     work is the q164 lead-window pair count; the matrix is
+    //     types²-sized and checkpointed once, so each iteration is
+    //     metadata-scale. Oracled with the same 8 iterations as chained
+    //     DuckDB CTEs (the q188 technique). ---
+    Q("q197_markov_stationary",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val counts = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("cur"))
+          .withColumn("next", lead(col("cur"), 1).over(w))
+          .filter(col("next").isNotNull)
+          .groupBy(col("cur"), col("next")).agg(count(lit(1)).as("n"))
+        val states = counts.select(col("cur")).distinct()
+        val trans = counts
+          .join(states.select(col("cur").as("next")), "next")
+          .withColumn("tot",
+            sum(col("n")).over(Window.partitionBy(col("cur"))))
+          .select(col("cur"), col("next"), (col("n") / col("tot")).as("p"))
+          .localCheckpoint()
+        val k = states.count().toDouble // number of types: a tiny scalar
+        var pi = trans.select(col("cur").as("st")).distinct()
+          .withColumn("pi", lit(1.0 / k))
+        for (_ <- 1 to 8) {
+          pi = trans.join(pi, trans("cur") === pi("st"))
+            .groupBy(col("next"))
+            .agg(sum(col("p") * col("pi")).as("pi"))
+            .select(col("next").as("st"), col("pi"))
+        }
+        pi.select(col("st").as("event_type"), round(col("pi"), 6).as("pi"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH pr AS (
+             |  SELECT event_type AS cur,
+             |    lead(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS next
+             |  FROM events),
+             |c AS (SELECT cur, next, count(*) AS n FROM pr
+             |      WHERE next IS NOT NULL GROUP BY 1, 2),
+             |st AS (SELECT DISTINCT cur FROM c),
+             |tr AS (SELECT c.cur, c.next,
+             |         c.n / sum(c.n) OVER (PARTITION BY c.cur) AS p
+             |       FROM c JOIN st ON c.next = st.cur),
+             |kk AS (SELECT count(*)::DOUBLE AS k FROM st),
+             |p0 AS (SELECT cur AS st, 1.0 / kk.k AS pi FROM st, kk),
+             |p1 AS (SELECT tr.next AS st, sum(tr.p * p0.pi) AS pi
+             |       FROM tr JOIN p0 ON tr.cur = p0.st GROUP BY 1),
+             |p2 AS (SELECT tr.next AS st, sum(tr.p * p1.pi) AS pi
+             |       FROM tr JOIN p1 ON tr.cur = p1.st GROUP BY 1),
+             |p3 AS (SELECT tr.next AS st, sum(tr.p * p2.pi) AS pi
+             |       FROM tr JOIN p2 ON tr.cur = p2.st GROUP BY 1),
+             |p4 AS (SELECT tr.next AS st, sum(tr.p * p3.pi) AS pi
+             |       FROM tr JOIN p3 ON tr.cur = p3.st GROUP BY 1),
+             |p5 AS (SELECT tr.next AS st, sum(tr.p * p4.pi) AS pi
+             |       FROM tr JOIN p4 ON tr.cur = p4.st GROUP BY 1),
+             |p6 AS (SELECT tr.next AS st, sum(tr.p * p5.pi) AS pi
+             |       FROM tr JOIN p5 ON tr.cur = p5.st GROUP BY 1),
+             |p7 AS (SELECT tr.next AS st, sum(tr.p * p6.pi) AS pi
+             |       FROM tr JOIN p6 ON tr.cur = p6.st GROUP BY 1),
+             |p8 AS (SELECT tr.next AS st, sum(tr.p * p7.pi) AS pi
+             |       FROM tr JOIN p7 ON tr.cur = p7.st GROUP BY 1)
+             |SELECT st AS event_type, round(pi, 6) AS pi FROM p8
+             |ORDER BY event_type""".stripMargin)),
+
     // --- running distinct-type count per user: after each event, how many
     //     distinct event types has this user produced so far? Expressed as
     //     first-occurrence flags (row_number over (user, type) == 1) summed
