@@ -149,6 +149,114 @@ object Multimodal {
       }
   }
 
+  /** Pattern-PNG corpus for the perceptual-dedup gate (q198): each doc
+    * renders a 9-band horizontal pattern (band boundaries on the SAME
+    * `gx*w/9` grid [[dHash64]] averages over, so each hash cell sees a
+    * constant and the hash is EXACTLY dimension-invariant) whose band
+    * levels walk up/down by the bits of doc_id % 16 — making the dHash
+    * signature literally those bits. Two docs are perceptual duplicates
+    * iff doc_id % 16 matches, REGARDLESS of their (q77-formula) differing
+    * dimensions — which is the point of a perceptual hash, and gives an
+    * expected cluster structure that is pure doc_id arithmetic an SQL
+    * oracle can state without decoding anything. Encode stays
+    * partition-local like [[documentsAsPngMedia]]. */
+  def documentsAsPatternPngMedia(spark: SparkSession,
+      dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (16 + id % 32).toInt
+          val h = (16 + id % 17).toInt
+          val p = (id % 16).toInt
+          // band levels: start mid-gray, step +-8 per band by bit i of p
+          // => dHash bit i == bit i of p, for ANY image dimensions
+          val v = new Array[Int](9)
+          v(0) = 128
+          var i = 0
+          while (i < 8) {
+            v(i + 1) = v(i) + (if (((p >> i) & 1) == 1) 8 else -8)
+            i += 1
+          }
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var gx = 0
+          while (gx < 9) {
+            var x = gx * w / 9
+            val x1 = (gx + 1) * w / 9
+            while (x < x1) {
+              var y = 0
+              val g = v(gx)
+              val rgb = (g << 16) | (g << 8) | g
+              while (y < h) {
+                img.setRGB(x, y, rgb)
+                y += 1
+              }
+              x += 1
+            }
+            gx += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRow(id, "image/png", bos.toByteArray)
+        }
+      }
+  }
+
+  /** 64-bit perceptual difference hash (dHash): REAL pixel decode via
+    * `ImageIO.read`, area-average downscale to a 9x8 grayscale grid, one
+    * sign bit per horizontal neighbor pair. Pixel-identical images hash
+    * identically by construction; near-identical images differ in few
+    * bits (Hamming-bucketable like SimHash — q34's machinery applies
+    * unchanged to the image domain). Pure JVM arithmetic: deterministic
+    * across executors/runs. */
+  def dHash64(payload: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val (gw, gh) = (9, 8)
+    val w = img.getWidth
+    val h = img.getHeight
+    val cell = Array.ofDim[Double](gh, gw)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh
+      val y1 = math.max((gy + 1) * h / gh, y0 + 1)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw
+        val x1 = math.max((gx + 1) * w / gw, x0 + 1)
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            s += img.getRGB(x, y) & 0xff // gray payload: blue == gray
+            x += 1
+          }
+          y += 1
+        }
+        cell(gy)(gx) = s.toDouble / ((y1 - y0) * (x1 - x0))
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    var i = 0
+    gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw - 1) {
+        if (cell(gy)(gx) < cell(gy)(gx + 1)) bits |= 1L << i
+        i += 1
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
   /** Fixed-stride frame sampling over opaque binary payloads — the video
     * (or audio-window) decode SHAPE with the codec stubbed (the count-based
     * typed twin is [[sampleFrames]]): frame i is the

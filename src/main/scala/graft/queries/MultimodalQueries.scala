@@ -80,6 +80,36 @@ object MultimodalQueries {
              |SELECT media_id, frame_idx, frame_idx * 96 AS offset,
              |  least(128, n_bytes - frame_idx * 96) AS frame_len
              |FROM f WHERE least(128, n_bytes - frame_idx * 96) > 0
-             |ORDER BY media_id, frame_idx""".stripMargin))
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // --- perceptual image dedup end-to-end: encode a pattern PNG per doc
+    //     (band walk = bits of doc_id % 16), REAL pixel decode
+    //     (ImageIO.read), area-average 9x8 downscale, 64-bit dHash, group
+    //     identical hashes into duplicate clusters. The pattern is
+    //     hash-grid-aligned, so images sharing doc_id % 16 are perceptual
+    //     duplicates ACROSS their differing dimensions — the oracle states
+    //     the resulting 16-cluster structure as pure doc_id arithmetic,
+    //     and a broken encoder, pixel decoder, downscaler, or hasher all
+    //     break the equality. Payloads are hashed map-side in the same
+    //     typed mapPartitions (only 8-byte hashes reach the shuffle);
+    //     near-dup (small Hamming distance) extends via q34's SimHash
+    //     pigeonhole machinery unchanged. ---
+    Q("q198_phash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.documentsAsPatternPngMedia(s, dir)
+          .mapPartitions(rows =>
+            rows.map(r => (r.media_id, Multimodal.dHash64(r.payload))))
+          .toDF("media_id", "phash")
+          .groupBy(col("phash"))
+          .agg(min(col("media_id")).as("min_id"),
+            count(lit(1)).as("n_images"))
+          .select(col("min_id"), col("n_images"))
+          .orderBy(col("min_id"))
+      },
+      Some("""SELECT min(doc_id) AS min_id, count(*) AS n_images
+             |FROM documents
+             |GROUP BY doc_id % 16
+             |ORDER BY min_id""".stripMargin))
   )
 }

@@ -116,4 +116,36 @@ class MultimodalSpec extends SparkSpec {
       assert(f.n_bytes == viaSql(f.media_id), s"doc ${f.media_id}")
     }
   }
+
+  test("dHash64: dimension-invariant on grid-aligned patterns, signature = pattern bits") {
+    def patternPng(p: Int, w: Int, h: Int): Array[Byte] = {
+      val v = new Array[Int](9)
+      v(0) = 128
+      (0 until 8).foreach(i =>
+        v(i + 1) = v(i) + (if (((p >> i) & 1) == 1) 8 else -8))
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 9).foreach { gx =>
+        (gx * w / 9 until (gx + 1) * w / 9).foreach { x =>
+          val g = v(gx); val rgb = (g << 16) | (g << 8) | g
+          (0 until h).foreach(y => img.setRGB(x, y, rgb))
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    (0 until 16).foreach { p =>
+      val h16 = Multimodal.dHash64(patternPng(p, 16, 16))
+      val h47 = Multimodal.dHash64(patternPng(p, 47, 32))
+      assert(h16 == h47, s"pattern $p not dimension-invariant")
+      // every 8-bit row of the hash is the pattern's bit signature
+      (0 until 8).foreach { row =>
+        assert(((h16 >>> (row * 8)) & 0xff) == p, s"pattern $p row $row")
+      }
+    }
+    // distinct patterns -> distinct hashes (16 clusters, not fewer)
+    val all = (0 until 16).map(p => Multimodal.dHash64(patternPng(p, 20, 18)))
+    assert(all.distinct.size == 16)
+  }
 }
