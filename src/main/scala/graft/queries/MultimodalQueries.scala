@@ -110,6 +110,61 @@ object MultimodalQueries {
       Some("""SELECT min(doc_id) AS min_id, count(*) AS n_images
              |FROM documents
              |GROUP BY doc_id % 16
-             |ORDER BY min_id""".stripMargin))
+             |ORDER BY min_id""".stripMargin)),
+
+    // --- NEAR-duplicate images at small Hamming distance over the q198
+    //     hashes, via a pigeonhole banded join (q34's machinery pointed
+    //     at the image domain). dHash bit columns are the semantic unit
+    //     (column gx compares the same neighbor pair in every row), so
+    //     bands gather COLUMN CLASSES — band r = bits {r, r+8, .., r+56},
+    //     extracted in one mask as (phash >> r) & 0x0101..01. Eight
+    //     column-bands guarantee recall for any pair differing in <= 7
+    //     columns (each differing bit dirties at most one band) — which
+    //     covers both arbitrary Hamming <= 7 and the column-concentrated
+    //     differences dHash produces on vertically-uniform content, the
+    //     case gated here: pattern hashes repeat the 8-bit signature in
+    //     all rows, so Hamming = 8 * popcount(sig XOR sig') and the
+    //     <= 8 near-dups are exactly the 1-column-apart signatures,
+    //     stated arithmetically by the DuckDB oracle via bit_count.
+    //     Candidates are cluster-representative-sized; exact popcount
+    //     verification removes band false positives. ---
+    Q("q198b_phash_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val reps = Multimodal.documentsAsPatternPngMedia(s, dir)
+          .mapPartitions(rows =>
+            rows.map(r => (r.media_id, Multimodal.dHash64(r.payload))))
+          .toDF("media_id", "phash")
+          .groupBy(col("phash")).agg(min(col("media_id")).as("min_id"))
+          .localCheckpoint()
+        val colMask = 0x0101010101010101L
+        val banded = reps.select(col("min_id"), col("phash"),
+          explode(array((0 until 8).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("phash"), b).bitwiseAND(lit(colMask))
+                .as("bh"))): _*)).as("k"))
+          .select(col("min_id"), col("phash"),
+            col("k.band").as("band"), col("k.bh").as("bh"))
+        banded.as("a")
+          .join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+              && col("a.min_id") < col("b.min_id"))
+          .select(col("a.min_id").as("id_a"), col("b.min_id").as("id_b"),
+            col("a.phash").as("ha"), col("b.phash").as("hb"))
+          .distinct()
+          .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 8)
+          .select(col("id_a"), col("id_b"),
+            bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
+              .as("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id % 16 AS p, min(doc_id) AS min_id
+             |  FROM documents GROUP BY 1)
+             |SELECT a.min_id AS id_a, b.min_id AS id_b,
+             |  8 * bit_count(xor(a.p, b.p)) AS hamming
+             |FROM r a JOIN r b ON a.min_id < b.min_id
+             |WHERE 8 * bit_count(xor(a.p, b.p)) <= 8
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }
