@@ -165,6 +165,104 @@ object MultimodalQueries {
              |  8 * bit_count(xor(a.p, b.p)) AS hamming
              |FROM r a JOIN r b ON a.min_id < b.min_id
              |WHERE 8 * bit_count(xor(a.p, b.p)) <= 8
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // --- windowed signal energy (the audio VAD shape, codec stubbed as
+    //     byte frames per the multimodal policy): 64-byte frames, RMS of
+    //     the sample values per frame, silence flag at the median-split
+    //     threshold. The per-frame math runs IN-ROW (sequence + transform
+    //     + aggregate HOFs over the frame slice — no per-sample explode,
+    //     no shuffle); frames of a doc never leave its row until the
+    //     final narrow projection. Corpus text is pure ASCII, so
+    //     char-indexed substr == byte offsets on both engines and the
+    //     oracle states the identical arithmetic. Bounded to 20 docs —
+    //     the gate checks MATH, not scale; the plan is a single Generate
+    //     at any corpus size. ---
+    Q("q199_frame_energy",
+      (s, dir) => {
+        graft.Tables(s, dir, "documents")
+          .filter(col("doc_id") < 20)
+          .select(col("doc_id").as("media_id"), col("text"))
+          .select(col("media_id"),
+            explode(sequence(lit(0L),
+              ceil(length(col("text")) / 64.0).cast("long") - 1)).as("frame_idx"),
+            col("text"))
+          .select(col("media_id"), col("frame_idx"),
+            expr("substr(text, cast(frame_idx * 64 + 1 as int), 64)").as("fb"))
+          .filter(length(col("fb")) > 0)
+          .select(col("media_id"), col("frame_idx"),
+            round(sqrt(
+              expr("""aggregate(transform(sequence(1, length(fb)),
+                     |  i -> cast(ascii(substr(fb, i, 1)) as double)),
+                     |  0D, (a, x) -> a + x * x)""".stripMargin)
+                / length(col("fb"))), 4).as("rms"))
+          .withColumn("silent", (col("rms") < 99.0).cast("int"))
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, text FROM documents
+             |           WHERE doc_id < 20),
+             |f AS (SELECT media_id,
+             |        unnest(range(0, ceil(len(text) / 64.0)::BIGINT))
+             |          AS frame_idx, text
+             |      FROM m),
+             |fr AS (SELECT media_id, frame_idx,
+             |         substr(text, (frame_idx * 64 + 1)::INT, 64) AS fb
+             |       FROM f),
+             |r AS (SELECT media_id, frame_idx,
+             |        round(sqrt(list_sum(
+             |          [ascii(substr(fb, i::INT, 1))::DOUBLE
+             |             * ascii(substr(fb, i::INT, 1))
+             |           for i in range(1, len(fb) + 1)])
+             |          / len(fb)), 4) AS rms
+             |      FROM fr WHERE len(fb) > 0)
+             |SELECT media_id, frame_idx, rms, (rms < 99.0)::INT AS silent
+             |FROM r ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // --- voice-activity segments from q199's frames: maximal runs of
+    //     consecutive NON-silent frames, the gaps-and-islands composition
+    //     (frame_idx − rank within loud frames is the island key). One
+    //     extra window + agg over the frames frame — segmentation is the
+    //     part a real VAD adds over raw energy, and it's pure relational
+    //     machinery on top of the in-row DSP. ---
+    Q("q199b_loud_segments",
+      (s, dir) => {
+        val frames = Catalog.byName("q199_frame_energy").fn(s, dir)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+        frames.filter(col("silent") === 0)
+          .withColumn("grp",
+            col("frame_idx") - row_number().over(w))
+          .groupBy(col("media_id"), col("grp"))
+          .agg(min(col("frame_idx")).as("seg_start"),
+            count(lit(1)).as("n_frames"),
+            round(avg(col("rms")), 4).as("seg_rms"))
+          .select(col("media_id"), col("seg_start"), col("n_frames"),
+            col("seg_rms"))
+          .orderBy(col("media_id"), col("seg_start"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, text FROM documents
+             |           WHERE doc_id < 20),
+             |f AS (SELECT media_id,
+             |        unnest(range(0, ceil(len(text) / 64.0)::BIGINT))
+             |          AS frame_idx, text
+             |      FROM m),
+             |fr AS (SELECT media_id, frame_idx,
+             |         substr(text, (frame_idx * 64 + 1)::INT, 64) AS fb
+             |       FROM f),
+             |r AS (SELECT media_id, frame_idx,
+             |        round(sqrt(list_sum(
+             |          [ascii(substr(fb, i::INT, 1))::DOUBLE
+             |             * ascii(substr(fb, i::INT, 1))
+             |           for i in range(1, len(fb) + 1)])
+             |          / len(fb)), 4) AS rms
+             |      FROM fr WHERE len(fb) > 0),
+             |loud AS (SELECT media_id, frame_idx, rms,
+             |           frame_idx - row_number() OVER (
+             |             PARTITION BY media_id ORDER BY frame_idx) AS grp
+             |         FROM r WHERE rms >= 99.0)
+             |SELECT media_id, min(frame_idx) AS seg_start,
+             |  count(*) AS n_frames, round(avg(rms), 4) AS seg_rms
+             |FROM loud GROUP BY media_id, grp
+             |ORDER BY media_id, seg_start""".stripMargin))
   )
 }
