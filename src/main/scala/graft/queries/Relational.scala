@@ -588,6 +588,57 @@ object Relational {
              |  WHERE b.p_retailprice <= a.p_retailprice
              |    AND b.p_size >= a.p_size
              |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // --- q189's 100 TB twin, SHIPPED (the q75/q75b pattern): the same
+    //     skyline with NO single-partition window. Price groups are
+    //     range-partitioned; pass 1 collects per-partition (max size,
+    //     min price) — a partition-count-sized frame, metadata by
+    //     construction — and turns it into per-partition PREFIX-MAX
+    //     offsets on the driver; pass 2 runs the running max WITHIN each
+    //     partition (parallel) and combines with the broadcast offset.
+    //     Range partitioning colocates equal prices, so group semantics
+    //     are identical to q189's; the checkpoint pins partition ids
+    //     across the two passes (range sampling re-runs otherwise).
+    //     Same oracle as q189 — the outputs must be row-identical. ---
+    Q("q189b_skyline_ranged",
+      (s, dir) => {
+        val p = Tables(s, dir, "part")
+          .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+        val rg = p.groupBy(col("p_retailprice"))
+          .agg(max(col("p_size")).as("gmax"))
+          .repartitionByRange(8, col("p_retailprice"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint()
+        val bounds = rg.groupBy(col("pid"))
+          .agg(min(col("p_retailprice")).as("lo"), max(col("gmax")).as("pmax"))
+          .collect().sortBy(_.getAs[Double]("lo"))
+        // prefix max over partitions with strictly smaller price ranges
+        val offsets = bounds.scanLeft((-1, Int.MinValue)) { (acc, r) =>
+          (r.getAs[Int]("pid"), math.max(acc._2, r.getAs[Int]("pmax")))
+        }.sliding(2).map { case Array(prev, cur) => (cur._1, prev._2) }
+          .toSeq
+        val offDf = broadcast(
+          s.createDataFrame(offsets).toDF("pid", "off"))
+        val w = Window.partitionBy(col("pid")).orderBy(col("p_retailprice"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val surv = rg
+          .withColumn("inmax",
+            coalesce(max(col("gmax")).over(w), lit(Int.MinValue)))
+          .join(offDf, "pid")
+          .filter(col("gmax") > greatest(col("inmax"), col("off")))
+          .select(col("p_retailprice"), col("gmax"))
+        p.join(broadcast(surv), Seq("p_retailprice"))
+          .filter(col("p_size") === col("gmax"))
+          .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_size, p_retailprice FROM part a
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM part b
+             |  WHERE b.p_retailprice <= a.p_retailprice
+             |    AND b.p_size >= a.p_size
+             |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
              |ORDER BY p_partkey""".stripMargin))
   )
 }

@@ -38,6 +38,15 @@ class GraphOrderSpec extends SparkSpec {
     assert(fast.nonEmpty)
   }
 
+  test("skyline: the range-partitioned two-pass twin equals the windowed plan") {
+    val a = Catalog.byName("q189_skyline").fn(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val b = Catalog.byName("q189b_skyline_ranged").fn(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("pagerank: ranks are a probability distribution over the graph's nodes") {
     val out = Catalog.byName("q188_pagerank").fn(spark, dir)
     val top = out.collect()
