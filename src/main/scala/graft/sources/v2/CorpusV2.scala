@@ -79,11 +79,22 @@ object CorpusV2 {
 }
 
 final class CorpusTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"vspace_corpus(${options.get("path")})"
   override def schema(): StructType = CorpusV2.FullSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    // ACCEPT_ANY_SCHEMA: reads expose (path, pos, text) but a write only
+    // needs the text column — without it the analyzer would demand data
+    // for the read-side metadata columns; CorpusWriteBuilder resolves the
+    // text column from the INCOMING schema instead
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new CorpusWriteBuilder(options, info)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // merge table properties (from load(path)) with read options
     val merged = new java.util.HashMap[String, String]()
@@ -334,4 +345,140 @@ final class CorpusPartitionReader(p: CorpusInputPartition, delim: Array[Byte],
 
   override def get(): InternalRow = row
   override def close(): Unit = stream.close()
+}
+
+// ---------------------------------------------------------------------------
+// Write path: the connector is read/write, so a corpus round-trips through
+// the same format contract (records joined by the multi-byte delimiter,
+// one output file per task, job-temp + driver rename commit).
+// ---------------------------------------------------------------------------
+
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+
+/** One committed task file, parked in the job temp dir until the driver
+  * renames it into place. */
+final case class CorpusFileCommit(tempPath: String, partitionId: Int)
+    extends WriterCommitMessage
+
+final class CorpusWriteBuilder(options: CaseInsensitiveStringMap,
+    info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = {
+    val merged = new java.util.HashMap[String, String]()
+    merged.putAll(options.asCaseSensitiveMap())
+    merged.putAll(info.options().asCaseSensitiveMap())
+    val opts = new CaseInsensitiveStringMap(merged)
+    val path = Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException("vspace-corpus: no path specified"))
+    val delim = Option(opts.get("delimiter"))
+      .getOrElse(graft.sources.CorpusSources.RecordDelimiter)
+    require(delim.nonEmpty, "vspace-corpus: delimiter must be non-empty")
+    val schema = info.schema()
+    val textIdx = schema.fieldIndex(
+      if (schema.fieldNames.contains("text")) "text"
+      else schema.fields.filter(_.dataType == StringType) match {
+        case Array(single) => single.name
+        case _ => throw new IllegalArgumentException(
+          "vspace-corpus write needs a 'text' column (or exactly one string column)")
+      })
+    require(schema.fields(textIdx).dataType == StringType,
+      "vspace-corpus: text column must be string")
+    val hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+    val shipPrefixes = Seq("fs.", "dfs.", "hadoop.", "io.")
+    val fsConf = hadoopConf.iterator().asScala
+      .map(e => e.getKey -> e.getValue)
+      .filter { case (k, _) => shipPrefixes.exists(k.startsWith) }.toMap
+    new CorpusWrite(path, delim.getBytes(StandardCharsets.UTF_8), textIdx,
+      truncateFirst, fsConf)
+  }
+}
+
+final class CorpusWrite(path: String, delim: Array[Byte], textIdx: Int,
+    truncateFirst: Boolean, fsConf: Map[String, String])
+    extends Write with BatchWrite {
+
+  private val jobId = java.util.UUID.randomUUID().toString
+  private def tempDir = s"$path/_tmp_write_$jobId"
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new CorpusWriterFactory(tempDir, delim, textIdx, fsConf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = CorpusReaderFactory.buildConf(fsConf)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (truncateFirst && fs.exists(dir)) {
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+          fs.delete(st.getPath, false)
+      }
+    }
+    fs.mkdirs(dir)
+    messages.collect { case m: CorpusFileCommit => m }.foreach { m =>
+      val dest = new Path(dir, f"part-${m.partitionId}%05d-$jobId.txt")
+      if (!fs.rename(new Path(m.tempPath), dest))
+        throw new java.io.IOException(
+          s"vspace-corpus: commit rename failed: ${m.tempPath} -> $dest")
+    }
+    fs.delete(new Path(tempDir), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = CorpusReaderFactory.buildConf(fsConf)
+    val td = new Path(tempDir)
+    val fs = td.getFileSystem(conf)
+    fs.delete(td, true)
+  }
+}
+
+final class CorpusWriterFactory(tempDir: String, delim: Array[Byte],
+    textIdx: Int, fsConf: Map[String, String]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new CorpusDataWriter(tempDir, delim, textIdx, partitionId, taskId, fsConf)
+}
+
+/** Streams records into one temp file, the delimiter BETWEEN records (the
+  * reader's "trailing delimiter produces nothing" rule makes between-only
+  * the canonical spelling). An empty partition commits no file. */
+final class CorpusDataWriter(tempDir: String, delim: Array[Byte],
+    textIdx: Int, partitionId: Int, taskId: Long,
+    fsConf: Map[String, String]) extends DataWriter[InternalRow] {
+
+  private val tempPath =
+    new Path(s"$tempDir/task-$partitionId-$taskId")
+  private var out: org.apache.hadoop.fs.FSDataOutputStream = _
+  private var any = false
+
+  override def write(record: InternalRow): Unit = {
+    if (out == null) {
+      val fs = tempPath.getFileSystem(CorpusReaderFactory.buildConf(fsConf))
+      out = fs.create(tempPath, true)
+    }
+    if (any) out.write(delim)
+    out.write(record.getUTF8String(textIdx).getBytes)
+    any = true
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    if (any) CorpusFileCommit(tempPath.toString, partitionId)
+    else new WriterCommitMessage {} // empty partition: nothing to move
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    val fs = tempPath.getFileSystem(CorpusReaderFactory.buildConf(fsConf))
+    fs.delete(tempPath, false)
+  }
+
+  override def close(): Unit = if (out != null) { out.close(); out = null }
 }

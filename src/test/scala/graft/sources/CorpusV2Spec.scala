@@ -166,4 +166,31 @@ class CorpusV2Spec extends SparkSpec {
       assert(got == expected, s"chunk=$chunk")
     }
   }
+
+  test("V2 write round-trips through both readers and overwrite truncates") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("corpus-v2-write").toString + "/out"
+    val docs = (0 until 37).map(i => s"doc $i body word$i")
+    docs.toDF("text").repartition(3)
+      .write.format("vspace-corpus").mode("append").save(dir)
+    // both readers must see the identical document multiset (file order
+    // differs from input order by design — ids are (file, offset) based)
+    val viaBuiltin = spark.read.option("lineSep", delim).text(dir)
+      .collect().map(_.getString(0)).toSeq.sorted
+    val viaV2 = v2(dir, 64L).collect().map(_.getString(2)).toSeq.sorted
+    assert(viaBuiltin == docs.sorted)
+    assert(viaV2 == docs.sorted)
+    // overwrite truncates: a second, smaller write replaces the corpus
+    val docs2 = (0 until 5).map(i => s"second $i")
+    docs2.toDF("text").repartition(2)
+      .write.format("vspace-corpus").mode("overwrite").save(dir)
+    val after = v2(dir, 1031L).collect().map(_.getString(2)).toSeq.sorted
+    assert(after == docs2.sorted)
+    // empty partitions commit no file
+    docs2.toDF("text").repartition(8)
+      .write.format("vspace-corpus").mode("overwrite").save(dir)
+    val again = spark.read.option("lineSep", delim).text(dir)
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(again == docs2.sorted)
+  }
 }
