@@ -696,6 +696,83 @@ object SimilarityQueries {
           .agg((sum(coalesce(col("hit"), lit(0))) / 10.0).as("recall_at_10"))
           .orderBy(col("query_id"))
       },
+      None),
+
+    // --- FILTERED retrieval, exact twin: top-5 cosine among candidates
+    //     passing a metadata predicate (doc lang = 'en', metadata joined
+    //     vec_id = doc_id). The predicate lands BEFORE scoring — a
+    //     metadata semi-join ahead of the broadcast query cross, so
+    //     non-matching vectors are never scored. This is the
+    //     "filtered vector search" contract every retrieval stack needs
+    //     (RAG with tenant/language/source constraints). ---
+    Q("q200_filtered_knn",
+      (s, dir) => {
+        val meta = Tables(s, dir, "documents")
+          .select(col("doc_id").as("vec_id"), col("lang"))
+        val cand = vecs(s, dir)
+          .join(meta.filter(col("lang") === "en"), Seq("vec_id"), "left_semi")
+        val q = vecs(s, dir).filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        rankBySimDesc(
+          cand.crossJoin(broadcast(q))
+            .filter(col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id"),
+              round(cosine_sim(col("qv"), col("v")), 4).as("sim")),
+          5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT e.* FROM e JOIN documents d ON e.vec_id = d.doc_id
+             |      WHERE d.lang = 'en'),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT query_id, c.vec_id,
+             |         round(list_cosine_similarity(qv, v), 4) AS sim
+             |  FROM c CROSS JOIN q WHERE c.vec_id <> query_id),
+             |ranked AS (
+             |  SELECT query_id, vec_id, sim,
+             |         row_number() OVER (PARTITION BY query_id
+             |           ORDER BY sim DESC, vec_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, vec_id, sim, rank FROM ranked
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // --- filtered ANN: the same predicate PRE-FILTERS the IVF index
+    //     (semi-join on the assigned frame BEFORE the probe join), so
+    //     pruning compounds — only probed cells' rows that also pass the
+    //     filter are scored. Pre- vs post-filtering is the classic
+    //     filtered-ANN design choice: post-filtering k results can return
+    //     fewer than k; pre-filtering keeps k guarantees at the cost of
+    //     scoring selectivity * cell fraction of the corpus. Recall
+    //     measured against the q200 exact twin (engine-internal trained
+    //     quantizer -> rows-only, the q45 pattern). ---
+    Q("q200b_filtered_ivf_recall",
+      (s, dir) => {
+        val meta = Tables(s, dir, "documents")
+          .select(col("doc_id").as("vec_id"), col("lang"))
+        val en = meta.filter(col("lang") === "en")
+        val all = unitVecs(s, dir)
+        val cents = ivfCentroidsCached(s, dir)
+        val assigned = ivfAssign(all, cents)
+          .join(en, Seq("vec_id"), "left_semi")
+        val probes = probeCells(
+          all.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("v").as("qv")),
+          cents, nprobe = 3)
+        val ann = rankBySimDesc(
+          assigned.join(broadcast(probes), Seq("cell"))
+            .filter(col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id"),
+              round(cosine_sim(col("qv"), col("v")), 4).as("sim")),
+          5).select(col("query_id"), col("vec_id"))
+        val exact = Catalog.byName("q200_filtered_knn").fn(s, dir)
+          .select(col("query_id"), col("vec_id"))
+        exact.join(ann.withColumn("hit", lit(1)),
+            Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"))
+          .agg((sum(coalesce(col("hit"), lit(0))) / 5.0).as("recall_at_5"))
+          .orderBy(col("query_id"))
+      },
       None)
   )
 
