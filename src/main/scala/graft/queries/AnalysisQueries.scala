@@ -1979,6 +1979,64 @@ object AnalysisQueries {
              |WHERE a.day = b.day + l.lag::INTEGER
              |GROUP BY l.lag ORDER BY l.lag""".stripMargin)),
 
+    // --- JSONL ingestion with corrupt-record quarantine — the format a
+    //     real training-data pipeline actually receives. The corpus is
+    //     round-tripped through to_json -> text files (memoized per
+    //     (session, dir), the zonemap pattern) with TWO planted malformed
+    //     lines, then ingested via spark.read.json in PERMISSIVE mode
+    //     with an explicit schema + _corrupt_record column (schema
+    //     provided, so no inference pass; corrupt rows carry the raw line
+    //     for quarantine instead of killing the job, which is the only
+    //     acceptable failure mode at 100 TB). The oracle knows the
+    //     original table: losslessness of the round trip IS the gate —
+    //     good-row count, corrupt count, and the summed payload sizes
+    //     must reproduce the source exactly. ---
+    Q("q201_jsonl_ingest",
+      (s, dir) => {
+        val jsonlDir = SimilarityQueries.memoFit(s, dir, "jsonl-docs") {
+          val d = java.nio.file.Files
+            .createTempDirectory("graft-jsonl").toString
+          Tables(s, dir, "documents")
+            .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+              col("source"), col("n_chars"))).as("value"))
+            .coalesce(2).write.mode("overwrite").text(d)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$d/zz_corrupt.txt"),
+            "{this is not json\n\"}{ neither is this\n")
+          d
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_corrupt_record",
+            org.apache.spark.sql.types.StringType)))
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(jsonlDir)
+          .agg(
+            sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+              .as("n_good"),
+            sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+              .as("n_corrupt"),
+            sum(when(col("_corrupt_record").isNull, col("n_chars")))
+              .as("sum_chars"),
+            sum(when(col("_corrupt_record").isNull, length(col("text"))))
+              .as("sum_text_len"))
+      },
+      Some("""SELECT count(*) AS n_good, 2::BIGINT AS n_corrupt,
+             |  sum(n_chars)::BIGINT AS sum_chars,
+             |  sum(len(text))::BIGINT AS sum_text_len
+             |FROM documents""".stripMargin)),
+
     // --- one-shot data-quality audit: the nightly gate a 100 TB warehouse
     //     runs before publishing a snapshot. Eight independent checks
     //     (referential orphans via anti-joins, duplicate keys, empty/null
