@@ -2037,6 +2037,46 @@ object AnalysisQueries {
              |  sum(len(text))::BIGINT AS sum_text_len
              |FROM documents""".stripMargin)),
 
+    // --- parquet schema evolution via mergeSchema: a long-lived corpus
+    //     directory accumulates files written under DIFFERENT schema
+    //     generations (here: the lang column added mid-stream). The read
+    //     must unify the schemas (old files surface the new column as
+    //     NULL) — silently dropping or failing on either generation is
+    //     how production datasets lose columns. Fixture memoized per
+    //     (session, dir); the oracle reconstructs every aggregate from
+    //     the source table, so a generation lost on read breaks the
+    //     hash gate. mergeSchema costs a footer read per file — at
+    //     100 TB, enable it on the ingest that registers the unified
+    //     schema once, not on every query. ---
+    Q("q202_schema_evolution",
+      (s, dir) => {
+        val evoDir = SimilarityQueries.memoFit(s, dir, "schema-evo-docs") {
+          val d = java.nio.file.Files
+            .createTempDirectory("graft-schema-evo").toString
+          val docs = Tables(s, dir, "documents")
+          docs.filter(col("doc_id") < 250)
+            .select(col("doc_id"), col("text"))
+            .write.mode("append").parquet(d)
+          docs.filter(col("doc_id") >= 250)
+            .select(col("doc_id"), col("text"), col("lang"))
+            .write.mode("append").parquet(d)
+          d
+        }
+        s.read.option("mergeSchema", "true").parquet(evoDir)
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("lang").isNotNull, 1L).otherwise(0L))
+              .as("n_with_lang"),
+            sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_old_gen"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(length(col("text")).cast("long")).as("text_len_sum"))
+      },
+      Some("""SELECT count(*) AS n_total,
+             |  count(*) FILTER (doc_id >= 250) AS n_with_lang,
+             |  count(*) FILTER (doc_id < 250) AS n_old_gen,
+             |  sum(doc_id)::BIGINT AS id_sum,
+             |  sum(len(text))::BIGINT AS text_len_sum
+             |FROM documents""".stripMargin)),
+
     // --- one-shot data-quality audit: the nightly gate a 100 TB warehouse
     //     runs before publishing a snapshot. Eight independent checks
     //     (referential orphans via anti-joins, duplicate keys, empty/null
