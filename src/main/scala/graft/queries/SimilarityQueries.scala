@@ -698,6 +698,59 @@ object SimilarityQueries {
       },
       None),
 
+    // --- leave-one-out 1-NN label accuracy: predict each vector's label
+    //     from its nearest neighbor (cosine, self excluded) and score
+    //     against truth — the standard embedding-quality probe (a good
+    //     embedding space puts same-label points together; near-random
+    //     accuracy means the labels aren't locally
+    //     separable). Bounded 500-vector slice, the documented q35/q39
+    //     all-pairs contract: one broadcast side, quadratic only within
+    //     the slice; the full-corpus path is this query over the q44 IVF
+    //     candidates instead of the cross join. ---
+    Q("q203_knn_loo_accuracy",
+      (s, dir) => {
+        val e = fanout(Tables(s, dir, "embeddings"))
+          .filter(col("vec_id") < 500)
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+          .localCheckpoint()
+        // nearest neighbor as a partial-aggregated struct-min (lexicographic
+        // (-sim, nbr_id) == the (sim desc, id asc) rank-1 row) — no 250k-row
+        // per-key window sort anywhere in the plan
+        e.as("a")
+          .join(broadcast(e.select(col("vec_id").as("nbr_id"),
+            col("label").as("nbr_label"), col("v").as("nv"))),
+            col("vec_id") =!= col("nbr_id"))
+          .select(col("vec_id"), col("label"),
+            struct(
+              (-round(cosine_sim(col("v"), col("nv")), 6)).as("ns"),
+              col("nbr_id").as("ni"), col("nbr_label").as("nl")).as("cand"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(min(col("cand")).as("m"))
+          .select(col("label"), col("m.nl").as("nbr_label"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("nbr_label") === col("label"), 1L).otherwise(0L))
+              .as("n_correct"),
+            round(sum(when(col("nbr_label") === col("label"), 1L)
+              .otherwise(0L)) / count(lit(1)).cast("double"), 4).as("acc"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+             |           FROM embeddings WHERE vec_id < 500),
+             |p AS (SELECT a.vec_id, a.label, b.vec_id AS nbr_id,
+             |        b.label AS nbr_label,
+             |        round(list_cosine_similarity(a.v, b.v), 6) AS sim
+             |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             |        ORDER BY sim DESC, nbr_id) AS rk FROM p)
+             |SELECT label, count(*) AS n,
+             |  sum(CASE WHEN nbr_label = label THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_correct,
+             |  round(sum(CASE WHEN nbr_label = label THEN 1 ELSE 0 END)
+             |    / count(*)::DOUBLE, 4) AS acc
+             |FROM r WHERE rk = 1 GROUP BY label ORDER BY label""".stripMargin)),
+
     // --- FILTERED retrieval, exact twin: top-5 cosine among candidates
     //     passing a metadata predicate (doc lang = 'en', metadata joined
     //     vec_id = doc_id). The predicate lands BEFORE scoring — a
