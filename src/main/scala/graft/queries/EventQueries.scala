@@ -1023,6 +1023,101 @@ object EventQueries {
              |SELECT st AS event_type, round(pi, 6) AS pi FROM p8
              |ORDER BY event_type""".stripMargin)),
 
+    // --- degree distribution + power-law tail exponent of the q178
+    //     co-purchase graph: the degree histogram (metadata-sized) and
+    //     the Hill/MLE estimate alpha = 1 + n / Σ ln(d / (dmin − 0.5))
+    //     over degrees ≥ dmin — the standard continuous-correction
+    //     estimator (Clauset-Shalizi-Newman 2009 form). Degrees come from
+    //     ONE groupBy over the symmetric edge list; everything after is
+    //     histogram-sized. ---
+    Q("q204_degree_powerlaw",
+      (s, dir) => {
+        val items = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+          .distinct()
+          .repartition(col("okey"))
+          .localCheckpoint()
+        val e0 = items.as("a")
+          .join(items.withColumnRenamed("part", "part_b").as("b"), "okey")
+          .filter(col("part") < col("part_b"))
+          .groupBy(col("part"), col("part_b"))
+          .agg(count(lit(1)).as("n_pair"))
+          .filter(col("n_pair") >= 2)
+          .select(col("part").as("u"), col("part_b").as("v"))
+        val deg = e0
+          .union(e0.select(col("v").as("u"), col("u").as("v")))
+          .groupBy(col("u")).agg(count(lit(1)).as("d"))
+        val dmin = 3
+        deg.filter(col("d") >= dmin)
+          .agg(count(lit(1)).as("n_tail"),
+            round(lit(1.0) + count(lit(1))
+              / sum(log(col("d") / (dmin - 0.5))), 4).as("alpha"))
+          .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"),
+            max(col("d")).as("d_max"))))
+          .select(col("n_nodes"), col("d_max"), col("n_tail"), col("alpha"))
+      },
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+             |  FROM lineitem),
+             |e0 AS (
+             |  SELECT a.part AS u, b.part AS v
+             |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |deg AS (SELECT u, count(*) AS d FROM
+             |  (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)
+             |  GROUP BY u),
+             |tail AS (SELECT count(*) AS n_tail,
+             |           round(1.0 + count(*) / sum(ln(d / 2.5)), 4) AS alpha
+             |         FROM deg WHERE d >= 3),
+             |tot AS (SELECT count(*) AS n_nodes, max(d) AS d_max FROM deg)
+             |SELECT n_nodes, d_max, n_tail, alpha
+             |FROM tail CROSS JOIN tot""".stripMargin)),
+
+    // --- degree assortativity: the Pearson correlation of endpoint
+    //     degrees over all DIRECTED edges (the standard Newman r) —
+    //     positive means hubs link hubs. The degree frame is node-sized;
+    //     two broadcast-able joins decorate the edge list and corr()
+    //     partial-aggregates map-side. Negative r is the typical
+    //     co-purchase signature (popular parts pair with the long tail). ---
+    Q("q205_degree_assortativity",
+      (s, dir) => {
+        val items = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+          .distinct()
+          .repartition(col("okey"))
+          .localCheckpoint()
+        val e0 = items.as("a")
+          .join(items.withColumnRenamed("part", "part_b").as("b"), "okey")
+          .filter(col("part") < col("part_b"))
+          .groupBy(col("part"), col("part_b"))
+          .agg(count(lit(1)).as("n_pair"))
+          .filter(col("n_pair") >= 2)
+          .select(col("part").as("u"), col("part_b").as("v"))
+        val edges = e0
+          .union(e0.select(col("v").as("u"), col("u").as("v")))
+          .localCheckpoint()
+        val deg = edges.groupBy(col("u"))
+          .agg(count(lit(1)).cast("double").as("d"))
+        edges
+          .join(deg, "u")
+          .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+          .agg(count(lit(1)).as("n_edges"),
+            round(corr(col("d"), col("dv")), 4).as("assortativity"))
+      },
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+             |  FROM lineitem),
+             |e0 AS (
+             |  SELECT a.part AS u, b.part AS v
+             |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+             |deg AS (SELECT u, count(*)::DOUBLE AS d FROM edges GROUP BY u)
+             |SELECT count(*) AS n_edges,
+             |  round(corr(du.d, dv.d), 4) AS assortativity
+             |FROM edges e JOIN deg du ON e.u = du.u
+             |             JOIN deg dv ON e.v = dv.u""".stripMargin)),
+
     // --- running distinct-type count per user: after each event, how many
     //     distinct event types has this user produced so far? Expressed as
     //     first-occurrence flags (row_number over (user, type) == 1) summed
