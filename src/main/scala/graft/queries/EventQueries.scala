@@ -16,6 +16,27 @@ import graft.Tables
   */
 object EventQueries {
 
+  /** Co-purchase pair graph shared by the graph-analytics family
+    * (q178 triangles, q188 PageRank, q204 power-law, q205 assortativity):
+    * undirected support-thresholded edges (u < v) from parts appearing on
+    * the same order. The order-keyed item frame is materialized once so
+    * the self-join's two sides share one scan+distinct. */
+  private def copurchasePairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val items = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+      .repartition(col("okey"))
+      .localCheckpoint()
+    items.as("a")
+      .join(items.withColumnRenamed("part", "part_b").as("b"), "okey")
+      .filter(col("part") < col("part_b"))
+      .groupBy(col("part"), col("part_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 2)
+      .select(col("part").as("u"), col("part_b").as("v"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // --- hourly tumbling counts (batch twin of the streaming window agg) ---
@@ -1032,18 +1053,7 @@ object EventQueries {
     //     histogram-sized. ---
     Q("q204_degree_powerlaw",
       (s, dir) => {
-        val items = Tables(s, dir, "lineitem")
-          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-          .distinct()
-          .repartition(col("okey"))
-          .localCheckpoint()
-        val e0 = items.as("a")
-          .join(items.withColumnRenamed("part", "part_b").as("b"), "okey")
-          .filter(col("part") < col("part_b"))
-          .groupBy(col("part"), col("part_b"))
-          .agg(count(lit(1)).as("n_pair"))
-          .filter(col("n_pair") >= 2)
-          .select(col("part").as("u"), col("part_b").as("v"))
+        val e0 = copurchasePairs(s, dir)
         val deg = e0
           .union(e0.select(col("v").as("u"), col("u").as("v")))
           .groupBy(col("u")).agg(count(lit(1)).as("d"))
@@ -1081,18 +1091,7 @@ object EventQueries {
     //     co-purchase signature (popular parts pair with the long tail). ---
     Q("q205_degree_assortativity",
       (s, dir) => {
-        val items = Tables(s, dir, "lineitem")
-          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-          .distinct()
-          .repartition(col("okey"))
-          .localCheckpoint()
-        val e0 = items.as("a")
-          .join(items.withColumnRenamed("part", "part_b").as("b"), "okey")
-          .filter(col("part") < col("part_b"))
-          .groupBy(col("part"), col("part_b"))
-          .agg(count(lit(1)).as("n_pair"))
-          .filter(col("n_pair") >= 2)
-          .select(col("part").as("u"), col("part_b").as("v"))
+        val e0 = copurchasePairs(s, dir)
         val edges = e0
           .union(e0.select(col("v").as("u"), col("u").as("v")))
           .localCheckpoint()
@@ -1481,19 +1480,7 @@ object EventQueries {
     //     triangle-dense parts (the "clique hub" detector). ---
     Q("q178_triangles",
       (s, dir) => {
-        val items = Tables(s, dir, "lineitem")
-          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-          .distinct()
-          .repartition(col("okey"))
-          .localCheckpoint()
-        val edges = items.as("a")
-          .join(items.withColumnRenamed("part", "part_b").as("b"), "okey")
-          .filter(col("part") < col("part_b"))
-          .groupBy(col("part"), col("part_b"))
-          .agg(count(lit(1)).as("n_pair"))
-          .filter(col("n_pair") >= 2)
-          .select(col("part").as("u"), col("part_b").as("v"))
-          .localCheckpoint()
+        val edges = copurchasePairs(s, dir).localCheckpoint()
         val tri = edges.as("e1")
           .join(edges.select(col("u").as("v"), col("v").as("w")).as("e2"), "v")
           .join(edges.select(col("u"), col("v").as("w")).as("e3"),
@@ -1682,18 +1669,7 @@ object EventQueries {
     //     this needs). ---
     Q("q188_pagerank",
       (s, dir) => {
-        val items = Tables(s, dir, "lineitem")
-          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-          .distinct()
-          .repartition(col("okey"))
-          .localCheckpoint()
-        val e0 = items.as("a")
-          .join(items.withColumnRenamed("part", "part_b").as("b"), "okey")
-          .filter(col("part") < col("part_b"))
-          .groupBy(col("part"), col("part_b"))
-          .agg(count(lit(1)).as("n_pair"))
-          .filter(col("n_pair") >= 2)
-          .select(col("part").as("u"), col("part_b").as("v"))
+        val e0 = copurchasePairs(s, dir)
         // ONE adjacency aggregation gives everything iteration-invariant:
         // grouped (u, [v...]) is hash-partitioned on u by its own groupBy,
         // the out-degree is the list size (no separate degree frame, no
