@@ -96,7 +96,7 @@ object SimilarityQueries {
       .select(col("query_id"), col("e.vec_id").as("vec_id"),
         (col("r0") + 1).cast("int").as("rank"))
 
-  private def knn(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
+  private[graft] def knn(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
     val all = vecs(s, dir)
     val q   = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -926,7 +926,7 @@ object SimilarityQueries {
   /** Two-stage retrieval: take the IVF-PQ ADC top-`shortlist`, join back
     * the true vectors for ONLY those ids, and re-rank by exact cosine
     * against the broadcast query set. See q49c for the shape rationale. */
-  private def ivfPqRerank(s: SparkSession, dir: String, nQueries: Int,
+  private[graft] def ivfPqRerank(s: SparkSession, dir: String, nQueries: Int,
       k: Int, nprobe: Int, shortlist: Int): DataFrame = {
     val all = unitVecs(s, dir)
     val short = ivfPqTopK(s, dir, nQueries, shortlist, nprobe)
