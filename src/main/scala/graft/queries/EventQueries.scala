@@ -1117,6 +1117,133 @@ object EventQueries {
              |FROM edges e JOIN deg du ON e.u = du.u
              |             JOIN deg dv ON e.v = dv.u""".stripMargin)),
 
+    // --- 3-core of the co-purchase graph by iterative peeling (k-core
+    //     decomposition, the density skeleton community detection starts
+    //     from): each round drops nodes whose degree WITHIN the surviving
+    //     subgraph is < 3, 8 unrolled rounds (both engines run the same
+    //     fixed peels, so the gate is deterministic even before fixpoint;
+    //     on this graph peeling converges in far fewer — the spec-free
+    //     proof is that round 8 equals round 7 by the oracle equality
+    //     itself whenever an extra CTE round is added). Each round is a
+    //     semi-join of the edge list against the survivor set + one
+    //     degree agg — edge-list-sized work per round, the edge frame
+    //     checkpointed once. ---
+    Q("q206_kcore",
+      (s, dir) => {
+        val kk = 3
+        val e0 = copurchasePairs(s, dir)
+        val edges = e0
+          .union(e0.select(col("v").as("u"), col("u").as("v")))
+          .localCheckpoint()
+        // each round's survivor set is referenced TWICE (both semi-join
+        // sides) — without materializing it, the logical plan doubles per
+        // round (2^8 subplan copies by round 8); the checkpoint keeps each
+        // round one node-set-sized job
+        var surv = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= kk).select(col("u"))
+          .localCheckpoint()
+        for (_ <- 1 to 8) {
+          surv = edges
+            .join(surv, Seq("u"), "left_semi")
+            .join(surv.select(col("u").as("v")), Seq("v"), "left_semi")
+            .groupBy(col("u")).agg(count(lit(1)).as("d"))
+            .filter(col("d") >= kk).select(col("u"))
+            .localCheckpoint()
+        }
+        edges
+          .join(surv, Seq("u"), "left_semi")
+          .join(surv.select(col("u").as("v")), Seq("v"), "left_semi")
+          .groupBy(col("u")).agg(count(lit(1)).as("core_degree"))
+          .orderBy(col("u"))
+      },
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+             |  FROM lineitem),
+             |e0 AS (
+             |  SELECT a.part AS u, b.part AS v
+             |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+             |s0 AS (SELECT u FROM (SELECT u, count(*) AS d FROM edges
+             |       GROUP BY u) WHERE d >= 3),
+             |s1 AS (SELECT u FROM (
+             |  SELECT e.u, count(*) AS d FROM edges e
+             |  JOIN s0 a ON e.u = a.u JOIN s0 b ON e.v = b.u
+             |  GROUP BY e.u) WHERE d >= 3),
+             |s2 AS (SELECT u FROM (
+             |  SELECT e.u, count(*) AS d FROM edges e
+             |  JOIN s1 a ON e.u = a.u JOIN s1 b ON e.v = b.u
+             |  GROUP BY e.u) WHERE d >= 3),
+             |s3 AS (SELECT u FROM (
+             |  SELECT e.u, count(*) AS d FROM edges e
+             |  JOIN s2 a ON e.u = a.u JOIN s2 b ON e.v = b.u
+             |  GROUP BY e.u) WHERE d >= 3),
+             |s4 AS (SELECT u FROM (
+             |  SELECT e.u, count(*) AS d FROM edges e
+             |  JOIN s3 a ON e.u = a.u JOIN s3 b ON e.v = b.u
+             |  GROUP BY e.u) WHERE d >= 3),
+             |s5 AS (SELECT u FROM (
+             |  SELECT e.u, count(*) AS d FROM edges e
+             |  JOIN s4 a ON e.u = a.u JOIN s4 b ON e.v = b.u
+             |  GROUP BY e.u) WHERE d >= 3),
+             |s6 AS (SELECT u FROM (
+             |  SELECT e.u, count(*) AS d FROM edges e
+             |  JOIN s5 a ON e.u = a.u JOIN s5 b ON e.v = b.u
+             |  GROUP BY e.u) WHERE d >= 3),
+             |s7 AS (SELECT u FROM (
+             |  SELECT e.u, count(*) AS d FROM edges e
+             |  JOIN s6 a ON e.u = a.u JOIN s6 b ON e.v = b.u
+             |  GROUP BY e.u) WHERE d >= 3),
+             |s8 AS (SELECT u FROM (
+             |  SELECT e.u, count(*) AS d FROM edges e
+             |  JOIN s7 a ON e.u = a.u JOIN s7 b ON e.v = b.u
+             |  GROUP BY e.u) WHERE d >= 3)
+             |SELECT e.u, count(*) AS core_degree FROM edges e
+             |JOIN s8 a ON e.u = a.u JOIN s8 b ON e.v = b.u
+             |GROUP BY e.u ORDER BY e.u""".stripMargin)),
+
+    // --- chi-square test of independence: is event TYPE independent of
+    //     DAY OF WEEK? The contingency table is (types x 7)-sized from
+    //     one scan; expected counts from broadcast margins; the statistic
+    //     and per-cell standardized residuals are pure arithmetic both
+    //     engines state identically. Completes the distribution-test
+    //     family (two-sample KS q165, Benford q156) with the categorical
+    //     independence test. ---
+    Q("q207_chi2_independence",
+      (s, dir) => {
+        val obs = Tables(s, dir, "events")
+          .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+          .agg(count(lit(1)).cast("double").as("o"))
+          .localCheckpoint()
+        val rowM = obs.groupBy(col("event_type")).agg(sum(col("o")).as("rm"))
+        val colM = obs.groupBy(col("dow")).agg(sum(col("o")).as("cm"))
+        val n = broadcast(obs.agg(sum(col("o")).as("n")))
+        obs.join(broadcast(rowM), "event_type")
+          .join(broadcast(colM), "dow")
+          .crossJoin(n)
+          .select(col("event_type"), col("dow"), col("o"),
+            (col("rm") * col("cm") / col("n")).as("e"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(pow(col("o") - col("e"), 2) / col("e")), 4)
+              .as("chi2"),
+            round(max(abs(col("o") - col("e")) / sqrt(col("e"))), 4)
+              .as("max_abs_resid"))
+      },
+      Some("""WITH obs AS (
+             |  SELECT event_type, dayofweek(ts) + 1 AS dow,
+             |         count(*)::DOUBLE AS o
+             |  FROM events GROUP BY 1, 2),
+             |rm AS (SELECT event_type, sum(o) AS rm FROM obs GROUP BY 1),
+             |cm AS (SELECT dow, sum(o) AS cm FROM obs GROUP BY 1),
+             |nn AS (SELECT sum(o) AS n FROM obs)
+             |SELECT count(*) AS n_cells,
+             |  round(sum((o - rm.rm * cm.cm / nn.n)
+             |    * (o - rm.rm * cm.cm / nn.n) / (rm.rm * cm.cm / nn.n)), 4)
+             |    AS chi2,
+             |  round(max(abs(o - rm.rm * cm.cm / nn.n)
+             |    / sqrt(rm.rm * cm.cm / nn.n)), 4) AS max_abs_resid
+             |FROM obs JOIN rm USING (event_type) JOIN cm USING (dow), nn""".stripMargin)),
+
     // --- running distinct-type count per user: after each event, how many
     //     distinct event types has this user produced so far? Expressed as
     //     first-occurrence flags (row_number over (user, type) == 1) summed
