@@ -37,6 +37,41 @@ object EventQueries {
       .select(col("part").as("u"), col("part_b").as("v"))
   }
 
+  /** Row-normalized event-type transition matrix (restricted to states
+    * with outgoing edges) and its stationary distribution after 8 power-
+    * iteration steps — shared by q197 (the distribution itself) and q208
+    * (the chain's entropy rate). Matrix is types²-sized and checkpointed;
+    * iterations are metadata-scale. */
+  private def markovChain(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("cur"))
+      .withColumn("next", lead(col("cur"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy(col("cur"), col("next")).agg(count(lit(1)).as("n"))
+    val states = counts.select(col("cur")).distinct()
+    val trans = counts
+      .join(states.select(col("cur").as("next")), "next")
+      .withColumn("tot",
+        sum(col("n")).over(Window.partitionBy(col("cur"))))
+      .select(col("cur"), col("next"), (col("n") / col("tot")).as("p"))
+      .localCheckpoint()
+    val k = states.count().toDouble // number of types: a tiny scalar
+    var pi = trans.select(col("cur").as("st")).distinct()
+      .withColumn("pi", lit(1.0 / k))
+    for (_ <- 1 to 8) {
+      pi = trans.join(pi, trans("cur") === pi("st"))
+        .groupBy(col("next"))
+        .agg(sum(col("p") * col("pi")).as("pi"))
+        .select(col("next").as("st"), col("pi"))
+    }
+    (trans, pi)
+  }
+
   val queries: Seq[Q] = Seq(
 
     // --- hourly tumbling counts (batch twin of the streaming window agg) ---
@@ -985,30 +1020,7 @@ object EventQueries {
     //     DuckDB CTEs (the q188 technique). ---
     Q("q197_markov_stationary",
       (s, dir) => {
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
-        val counts = Tables(s, dir, "events")
-          .select(col("user_id"), col("ts"), col("event_id"),
-            col("event_type").as("cur"))
-          .withColumn("next", lead(col("cur"), 1).over(w))
-          .filter(col("next").isNotNull)
-          .groupBy(col("cur"), col("next")).agg(count(lit(1)).as("n"))
-        val states = counts.select(col("cur")).distinct()
-        val trans = counts
-          .join(states.select(col("cur").as("next")), "next")
-          .withColumn("tot",
-            sum(col("n")).over(Window.partitionBy(col("cur"))))
-          .select(col("cur"), col("next"), (col("n") / col("tot")).as("p"))
-          .localCheckpoint()
-        val k = states.count().toDouble // number of types: a tiny scalar
-        var pi = trans.select(col("cur").as("st")).distinct()
-          .withColumn("pi", lit(1.0 / k))
-        for (_ <- 1 to 8) {
-          pi = trans.join(pi, trans("cur") === pi("st"))
-            .groupBy(col("next"))
-            .agg(sum(col("p") * col("pi")).as("pi"))
-            .select(col("next").as("st"), col("pi"))
-        }
+        val (_, pi) = markovChain(s, dir)
         pi.select(col("st").as("event_type"), round(col("pi"), 6).as("pi"))
           .orderBy(col("event_type"))
       },
@@ -1043,6 +1055,56 @@ object EventQueries {
              |       FROM tr JOIN p7 ON tr.cur = p7.st GROUP BY 1)
              |SELECT st AS event_type, round(pi, 6) AS pi FROM p8
              |ORDER BY event_type""".stripMargin)),
+
+    // --- entropy rate of the event-type Markov chain: H = −Σ_i π_i
+    //     Σ_j P_ij ln P_ij — how predictable the NEXT action is given the
+    //     current one, the sequence-predictability scalar over q197's
+    //     chain (0 = deterministic behavior, ln(k) = uniform). Per-state
+    //     conditional entropies aggregate the types²-sized matrix;
+    //     weighting by the stationary distribution is a types-sized join.
+    //     Oracled by extending the q197 unrolled-CTE oracle one step. ---
+    Q("q208_markov_entropy_rate",
+      (s, dir) => {
+        val (trans, pi) = markovChain(s, dir)
+        val h = trans.groupBy(col("cur"))
+          .agg((-sum(col("p") * log(col("p")))).as("h"))
+        h.join(pi, h("cur") === pi("st"))
+          .agg(count(lit(1)).as("n_states"),
+            round(sum(col("pi") * col("h")), 6).as("entropy_rate"))
+      },
+      Some("""WITH pr AS (
+             |  SELECT event_type AS cur,
+             |    lead(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS next
+             |  FROM events),
+             |c AS (SELECT cur, next, count(*) AS n FROM pr
+             |      WHERE next IS NOT NULL GROUP BY 1, 2),
+             |st AS (SELECT DISTINCT cur FROM c),
+             |tr AS (SELECT c.cur, c.next,
+             |         c.n / sum(c.n) OVER (PARTITION BY c.cur) AS p
+             |       FROM c JOIN st ON c.next = st.cur),
+             |kk AS (SELECT count(*)::DOUBLE AS k FROM st),
+             |p0 AS (SELECT cur AS st, 1.0 / kk.k AS pi FROM st, kk),
+             |p1 AS (SELECT tr.next AS st, sum(tr.p * p0.pi) AS pi
+             |       FROM tr JOIN p0 ON tr.cur = p0.st GROUP BY 1),
+             |p2 AS (SELECT tr.next AS st, sum(tr.p * p1.pi) AS pi
+             |       FROM tr JOIN p1 ON tr.cur = p1.st GROUP BY 1),
+             |p3 AS (SELECT tr.next AS st, sum(tr.p * p2.pi) AS pi
+             |       FROM tr JOIN p2 ON tr.cur = p2.st GROUP BY 1),
+             |p4 AS (SELECT tr.next AS st, sum(tr.p * p3.pi) AS pi
+             |       FROM tr JOIN p3 ON tr.cur = p3.st GROUP BY 1),
+             |p5 AS (SELECT tr.next AS st, sum(tr.p * p4.pi) AS pi
+             |       FROM tr JOIN p4 ON tr.cur = p4.st GROUP BY 1),
+             |p6 AS (SELECT tr.next AS st, sum(tr.p * p5.pi) AS pi
+             |       FROM tr JOIN p5 ON tr.cur = p5.st GROUP BY 1),
+             |p7 AS (SELECT tr.next AS st, sum(tr.p * p6.pi) AS pi
+             |       FROM tr JOIN p6 ON tr.cur = p6.st GROUP BY 1),
+             |p8 AS (SELECT tr.next AS st, sum(tr.p * p7.pi) AS pi
+             |       FROM tr JOIN p7 ON tr.cur = p7.st GROUP BY 1),
+             |h AS (SELECT cur, -sum(p * ln(p)) AS h FROM tr GROUP BY 1)
+             |SELECT count(*) AS n_states,
+             |  round(sum(p8.pi * h.h), 6) AS entropy_rate
+             |FROM h JOIN p8 ON h.cur = p8.st""".stripMargin)),
 
     // --- degree distribution + power-law tail exponent of the q178
     //     co-purchase graph: the degree histogram (metadata-sized) and
