@@ -1225,38 +1225,38 @@ object EventQueries {
              |  SELECT a.part AS u, b.part AS v
              |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
              |  GROUP BY 1, 2 HAVING count(*) >= 2),
-             |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
-             |s0 AS (SELECT u FROM (SELECT u, count(*) AS d FROM edges
+             |edges AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+             |s0 AS MATERIALIZED (SELECT u FROM (SELECT u, count(*) AS d FROM edges
              |       GROUP BY u) WHERE d >= 3),
-             |s1 AS (SELECT u FROM (
+             |s1 AS MATERIALIZED (SELECT u FROM (
              |  SELECT e.u, count(*) AS d FROM edges e
              |  JOIN s0 a ON e.u = a.u JOIN s0 b ON e.v = b.u
              |  GROUP BY e.u) WHERE d >= 3),
-             |s2 AS (SELECT u FROM (
+             |s2 AS MATERIALIZED (SELECT u FROM (
              |  SELECT e.u, count(*) AS d FROM edges e
              |  JOIN s1 a ON e.u = a.u JOIN s1 b ON e.v = b.u
              |  GROUP BY e.u) WHERE d >= 3),
-             |s3 AS (SELECT u FROM (
+             |s3 AS MATERIALIZED (SELECT u FROM (
              |  SELECT e.u, count(*) AS d FROM edges e
              |  JOIN s2 a ON e.u = a.u JOIN s2 b ON e.v = b.u
              |  GROUP BY e.u) WHERE d >= 3),
-             |s4 AS (SELECT u FROM (
+             |s4 AS MATERIALIZED (SELECT u FROM (
              |  SELECT e.u, count(*) AS d FROM edges e
              |  JOIN s3 a ON e.u = a.u JOIN s3 b ON e.v = b.u
              |  GROUP BY e.u) WHERE d >= 3),
-             |s5 AS (SELECT u FROM (
+             |s5 AS MATERIALIZED (SELECT u FROM (
              |  SELECT e.u, count(*) AS d FROM edges e
              |  JOIN s4 a ON e.u = a.u JOIN s4 b ON e.v = b.u
              |  GROUP BY e.u) WHERE d >= 3),
-             |s6 AS (SELECT u FROM (
+             |s6 AS MATERIALIZED (SELECT u FROM (
              |  SELECT e.u, count(*) AS d FROM edges e
              |  JOIN s5 a ON e.u = a.u JOIN s5 b ON e.v = b.u
              |  GROUP BY e.u) WHERE d >= 3),
-             |s7 AS (SELECT u FROM (
+             |s7 AS MATERIALIZED (SELECT u FROM (
              |  SELECT e.u, count(*) AS d FROM edges e
              |  JOIN s6 a ON e.u = a.u JOIN s6 b ON e.v = b.u
              |  GROUP BY e.u) WHERE d >= 3),
-             |s8 AS (SELECT u FROM (
+             |s8 AS MATERIALIZED (SELECT u FROM (
              |  SELECT e.u, count(*) AS d FROM edges e
              |  JOIN s7 a ON e.u = a.u JOIN s7 b ON e.v = b.u
              |  GROUP BY e.u) WHERE d >= 3)
