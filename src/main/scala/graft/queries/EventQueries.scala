@@ -251,6 +251,77 @@ object EventQueries {
              |         AS n_converted
              |FROM u""".stripMargin)),
 
+    // --- two-proportion z-test on the q67 funnel: does weekend-entering
+    //     cohort conversion differ from weekday significantly, or is the
+    //     gap noise? Pooled z = (p1 − p2)/√(p̂(1−p̂)(1/n1 + 1/n2)) — the
+    //     inference layer the funnel family (q67/q148/q161) reports
+    //     without. One user-level aggregate, then a single conditional-
+    //     aggregation row; all arithmetic stated identically by the
+    //     oracle (DuckDB dayofweek 0-based, aligned by +1). ---
+    Q("q209_funnel_ztest",
+      (s, dir) => {
+        // conversion = first purchase within 12 h of the first click
+        // (the bounded window keeps the rate inside (0, 1) — with the
+        // unbounded q67 definition every clicker eventually purchases in
+        // this data, and a pooled p-hat of 1 makes the z denominator 0)
+        val u = Tables(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "click", col("ts")))
+              .as("first_click"),
+            min(when(col("event_type") === "purchase", col("ts")))
+              .as("first_purchase"))
+          .filter(col("first_click").isNotNull)
+          .select(
+            dayofweek(col("first_click")).isin(1, 7).as("weekend"),
+            when(col("first_purchase") > col("first_click")
+                && col("first_purchase") <=
+                  col("first_click") + expr("INTERVAL 12 HOURS"), 1L)
+              .otherwise(0L).as("conv"))
+        u.agg(
+            sum(when(!col("weekend"), 1L).otherwise(0L)).as("n_wd"),
+            sum(when(!col("weekend"), col("conv")).otherwise(0L)).as("k_wd"),
+            sum(when(col("weekend"), 1L).otherwise(0L)).as("n_we"),
+            sum(when(col("weekend"), col("conv")).otherwise(0L)).as("k_we"))
+          .select(col("n_wd"), col("k_wd"), col("n_we"), col("k_we"),
+            round(col("k_wd") / col("n_wd").cast("double"), 6).as("p_wd"),
+            round(col("k_we") / col("n_we").cast("double"), 6).as("p_we"),
+            round(
+              (col("k_wd") / col("n_wd").cast("double")
+                - col("k_we") / col("n_we").cast("double"))
+              / sqrt(((col("k_wd") + col("k_we"))
+                  / (col("n_wd") + col("n_we")).cast("double"))
+                * (lit(1.0) - (col("k_wd") + col("k_we"))
+                  / (col("n_wd") + col("n_we")).cast("double"))
+                * (lit(1.0) / col("n_wd") + lit(1.0) / col("n_we"))), 4)
+              .as("z"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type='click' THEN ts END) AS first_click,
+             |    min(CASE WHEN event_type='purchase' THEN ts END) AS first_purchase
+             |  FROM events GROUP BY 1),
+             |c AS (SELECT
+             |        (dayofweek(first_click) + 1) IN (1, 7) AS weekend,
+             |        CASE WHEN first_purchase > first_click
+             |              AND first_purchase <= first_click + INTERVAL 12 HOUR
+             |             THEN 1 ELSE 0 END AS conv
+             |      FROM u WHERE first_click IS NOT NULL),
+             |g AS (SELECT
+             |        sum(CASE WHEN NOT weekend THEN 1 ELSE 0 END)::BIGINT AS n_wd,
+             |        sum(CASE WHEN NOT weekend THEN conv ELSE 0 END)::BIGINT AS k_wd,
+             |        sum(CASE WHEN weekend THEN 1 ELSE 0 END)::BIGINT AS n_we,
+             |        sum(CASE WHEN weekend THEN conv ELSE 0 END)::BIGINT AS k_we
+             |      FROM c)
+             |SELECT n_wd, k_wd, n_we, k_we,
+             |  round(k_wd / n_wd::DOUBLE, 6) AS p_wd,
+             |  round(k_we / n_we::DOUBLE, 6) AS p_we,
+             |  round((k_wd / n_wd::DOUBLE - k_we / n_we::DOUBLE)
+             |    / sqrt(((k_wd + k_we) / (n_wd + n_we)::DOUBLE)
+             |      * (1.0 - (k_wd + k_we) / (n_wd + n_we)::DOUBLE)
+             |      * (1.0 / n_wd + 1.0 / n_we)), 4) AS z
+             |FROM g""".stripMargin)),
+
     // --- interval-join attribution: every purchase paired with the same
     //     user's views in the preceding 30 min (batch twin of the
     //     stream-stream EventStreams.intervalJoin — identical semantics,
