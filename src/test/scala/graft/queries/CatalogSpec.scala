@@ -23,7 +23,7 @@ class CatalogSpec extends AnyFunSuite {
     val ident = "([a-zA-Z_][a-zA-Z0-9_]*)"
     Catalog.all.flatMap(q => q.oracle.map(q.name -> _)).foreach {
       case (name, sql) =>
-        val ctes = s"(?i)$ident\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+        val ctes = s"(?i)$ident\\s*(?:\\([^)]*\\))?\\s+AS\\s*(?:NOT\\s+)?(?:MATERIALIZED\\s*)?\\(".r
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
         // subquery aliases: FROM ( ... ) alias
         val aliases = s"(?i)\\)\\s*$ident".r
