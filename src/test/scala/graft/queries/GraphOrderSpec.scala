@@ -59,6 +59,43 @@ class GraphOrderSpec extends SparkSpec {
     assert(ranks.sameElements(ranks.sorted(Ordering[Double].reverse)))
   }
 
+  test("3-core: peeling reached fixpoint and every core node has core-degree >= 3") {
+    val core = Catalog.byName("q206_kcore").fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.nonEmpty)
+    // defining property of the 3-core output
+    assert(core.values.forall(_ >= 3))
+    // fixpoint within the 8 unrolled rounds: one MORE peel over the
+    // returned core (degrees restricted to core members) removes nobody
+    import spark.implicits._
+    val coreDf = core.keys.toSeq.toDF("u")
+    val edges = {
+      // rebuild the same co-purchase edge list the query uses
+      val items = graft.Tables(spark, dir, "lineitem")
+        .select(org.apache.spark.sql.functions.col("l_orderkey").as("okey"),
+          org.apache.spark.sql.functions.col("l_partkey").as("part"))
+        .distinct()
+      val p = items.as("a")
+        .join(items.withColumnRenamed("part", "part_b").as("b"), "okey")
+        .filter($"part" < $"part_b")
+        .groupBy($"part", $"part_b")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_pair"))
+        .filter($"n_pair" >= 2)
+        .select($"part".as("u"), $"part_b".as("v"))
+      p.union(p.select($"v".as("u"), $"u".as("v")))
+    }
+    val peeled = edges
+      .join(coreDf, Seq("u"), "left_semi")
+      .join(coreDf.select($"u".as("v")), Seq("v"), "left_semi")
+      .groupBy($"u")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("d"))
+      .filter($"d" >= 3)
+      .select($"u").as[Long].collect().toSet
+    assert(peeled == core.keySet, "an extra peel changed the core: not a fixpoint")
+  }
+
   test("pagerank mass: 5 iterations conserve total rank ~ 1") {
     // re-run the iteration on a small hand graph: triangle + pendant
     import spark.implicits._
