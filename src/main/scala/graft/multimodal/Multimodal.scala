@@ -206,11 +206,13 @@ object Multimodal {
 
   /** 64-bit perceptual difference hash (dHash): REAL pixel decode via
     * `ImageIO.read`, area-average downscale to a 9x8 grayscale grid, one
-    * sign bit per horizontal neighbor pair. Pixel-identical images hash
-    * identically by construction; near-identical images differ in few
-    * bits (Hamming-bucketable like SimHash — q34's machinery applies
-    * unchanged to the image domain). Pure JVM arithmetic: deterministic
-    * across executors/runs. */
+    * sign bit per horizontal neighbor pair. Grayscale is the (r+2g+b)/4
+    * luma approximation, so color inputs hash on perceived brightness
+    * (for gray payloads — r=g=b — this is exactly the channel value).
+    * Pixel-identical images hash identically by construction;
+    * near-identical images differ in few bits (Hamming-bucketable like
+    * SimHash — q34's machinery applies unchanged to the image domain).
+    * Pure JVM arithmetic: deterministic across executors/runs. */
   def dHash64(payload: Array[Byte]): Long = {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
@@ -232,12 +234,14 @@ object Multimodal {
         while (y < y1) {
           var x = x0
           while (x < x1) {
-            s += img.getRGB(x, y) & 0xff // gray payload: blue == gray
+            // luma ~ (r + 2g + b) / 4; divide once at the end
+            val rgb = img.getRGB(x, y)
+            s += (rgb >>> 16 & 0xff) + 2 * (rgb >>> 8 & 0xff) + (rgb & 0xff)
             x += 1
           }
           y += 1
         }
-        cell(gy)(gx) = s.toDouble / ((y1 - y0) * (x1 - x0))
+        cell(gy)(gx) = s.toDouble / (4.0 * (y1 - y0) * (x1 - x0))
         gx += 1
       }
       gy += 1

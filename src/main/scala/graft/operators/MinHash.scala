@@ -100,4 +100,46 @@ object MinHash {
       .select(carryCols.map(col) :+ explode(array(bandStructs: _*)).as("bk"): _*)
       .select(carryCols.map(col) :+ col("bk.band").as("band") :+ col("bk.bh").as("bh"): _*)
   }
+
+  /** Default per-bucket row cap for LSH candidate joins. Work inside one
+    * bucket is quadratic in its size, and a single saturated key is
+    * invisible to AQE skew handling (it is one KEY, not one partition) —
+    * so on a boilerplate-heavy corpus (templated pages, licence headers)
+    * an uncapped band join is the one plan that can go quadratic. 1000
+    * bounds any single bucket's expansion at ~0.5M pairs. */
+  val MaxBucketSize = 1000
+
+  /** Drop buckets (distinct `keyCols` groups) holding more than `cap`
+    * rows, logging how many buckets/rows were dropped. This is the
+    * standard production guard for LSH candidate generation: a bucket
+    * with thousands of members means near-identical content that exact
+    * dedup (or a lower-threshold pass) already owns, so dropping it
+    * bounds the join at no recall cost for the non-degenerate pairs —
+    * every pair NOT in an oversized bucket still collides on its other
+    * bands exactly as before (capping removes keys, never rows of other
+    * keys).
+    *
+    * Cost when no bucket is hot (the normal case): one key-only
+    * aggregation pass over `buckets` (8-byte keys, map-side partial agg)
+    * plus a driver count of the empty hot frame — no change to the
+    * candidate join's plan, since there is nothing to anti-join.
+    */
+  def capBuckets(buckets: DataFrame, keyCols: Seq[String],
+      cap: Int = MaxBucketSize): DataFrame = {
+    val keys = keyCols.map(col)
+    val hot = buckets.groupBy(keys: _*).agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+      .localCheckpoint() // tiny by construction: only oversized keys
+    val stats = hot.agg(count(lit(1)), coalesce(sum(col("bucket_n")), lit(0L)))
+      .head()
+    val (nHot, nRows) = (stats.getLong(0), stats.getLong(1))
+    if (nHot == 0L) buckets
+    else {
+      System.err.println(
+        s"[graft] MinHash.capBuckets: dropping $nHot oversized bucket(s) " +
+          s"(> $cap rows; $nRows rows total) on (${keyCols.mkString(", ")}) " +
+          "— members are near-identical content owned by exact dedup")
+      buckets.join(broadcast(hot.select(keys: _*)), keyCols, "left_anti")
+    }
+  }
 }

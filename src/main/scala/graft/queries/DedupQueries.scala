@@ -14,7 +14,9 @@ import graft.functions.{word_ngrams, xxhash64_seeded}
   * 128-bit digest (no text shuffle — only the digest and ids move). MinHash
   * reduces each document to a 64-long signature (map-side, partial-agg'd
   * min), and candidate generation is an equi-join on (band_id, band_hash) —
-  * the only all-pairs work happens inside a MinHash bucket, never globally.
+  * the only all-pairs work happens inside a MinHash bucket, never globally,
+  * and bucket sizes are hard-capped ([[graft.operators.MinHash.capBuckets]])
+  * so a saturated key can never drive the join quadratic.
   * The brute-force Jaccard query is intentionally bounded (doc_id filter)
   * and exists as the small-scale oracle twin; LSH is the scale path.
   */
@@ -44,8 +46,9 @@ object DedupQueries {
     * `e` must carry (vec_id, v). */
   private val CosineTables = 8
 
-  private def cosineBucketedPairs(e: DataFrame, threshold: Double): DataFrame = {
-    val keyed = e.select(col("vec_id"),
+  private[graft] def cosineBucketedPairs(e: DataFrame, threshold: Double,
+      bucketCap: Int = graft.operators.MinHash.MaxBucketSize): DataFrame = {
+    val keyed0 = e.select(col("vec_id"),
         explode(array((0 until CosineTables).map(t =>
           struct(lit(t).as("t"),
             SimilarityQueries.lshSignature(col("v"), t).as("bk"))): _*)).as("tb"))
@@ -58,6 +61,13 @@ object DedupQueries {
       // exchange, so the expansion keeps full parallelism.
       .repartition(e.sparkSession.sparkContext.defaultParallelism,
         col("t"), col("bk"))
+    // Oversized (t, bk) buckets are the one quadratic cliff (one KEY, so
+    // AQE skew handling never sees it) — cap them before the self-join.
+    // Checkpoint FIRST so the cap's key-count pass and both self-join
+    // sides all read one materialization of the signature pipeline.
+      .localCheckpoint()
+    val keyed = graft.operators.MinHash
+      .capBuckets(keyed0, Seq("t", "bk"), bucketCap)
     val cands = keyed.as("a")
       .join(keyed.as("b"),
         col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
@@ -78,7 +88,8 @@ object DedupQueries {
     * 64-way min-groupBy alternative moves every (doc, shingle) row through
     * an exchange; at 100 TB that shuffle IS the job); the band equi-join
     * below is the only shuffle of candidate generation. */
-  private def lshVerifiedPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def lshVerifiedPairs(docs: DataFrame, threshold: Double,
+      bucketCap: Int = graft.operators.MinHash.MaxBucketSize): DataFrame = {
     // localCheckpoint so the 64-hash signature pipeline runs ONCE: the
     // self-join below references the bucket subtree twice and Catalyst has
     // no cross-branch common-subexpression reuse, so without materializing,
@@ -86,9 +97,19 @@ object DedupQueries {
     // short rows per doc — far smaller than the text they derive from, so
     // at 100 TB materializing them is the cheap side of the trade (and it
     // truncates lineage, so retries never re-derive the scan).
-    val buckets = graft.operators.MinHash.bandKeys(
+    val buckets0 = graft.operators.MinHash.bandKeys(
         fanout(docs).select(col("doc_id"), col("text")), "text", Seq("doc_id"))
       .localCheckpoint()
+    // Cap oversized (band, bh) buckets before the self-join: in-bucket work
+    // is quadratic and a saturated key (templated pages, licence
+    // boilerplate) is one KEY — AQE skew-join splits partitions, never
+    // keys, so without this the band join is the one plan a real corpus
+    // can drive quadratic. Dropped buckets hold near-identical content
+    // that exact dedup owns; all other pairs keep their remaining 31
+    // band collisions, so verified recall is unchanged (spec'd on a
+    // planted hot bucket in LshBucketCapSpec).
+    val buckets = graft.operators.MinHash
+      .capBuckets(buckets0, Seq("band", "bh"), bucketCap)
     val cands = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -352,7 +373,10 @@ object DedupQueries {
             fanout(corpus).select(col("doc_id"), col("text")),
             "text", Seq("doc_id"))
           .write.mode("overwrite").parquet(idxDir)
-        val index = s.read.parquet(idxDir)
+        // Cap the standing-index side: a hot (band, bh) key there multiplies
+        // every probe batch forever, so the guard belongs on the index.
+        val index = graft.operators.MinHash.capBuckets(
+          s.read.parquet(idxDir), Seq("band", "bh"))
         val probes = graft.operators.MinHash.bandKeys(
           fanout(batch).select(col("doc_id"), col("text")),
           "text", Seq("doc_id"))

@@ -1253,41 +1253,22 @@ object EventQueries {
     // --- 3-core of the co-purchase graph by iterative peeling (k-core
     //     decomposition, the density skeleton community detection starts
     //     from): each round drops nodes whose degree WITHIN the surviving
-    //     subgraph is < 3, 8 unrolled rounds (both engines run the same
-    //     fixed peels, so the gate is deterministic even before fixpoint;
-    //     on this graph peeling converges in far fewer — the spec-free
-    //     proof is that round 8 equals round 7 by the oracle equality
-    //     itself whenever an extra CTE round is added). Each round is a
-    //     semi-join of the edge list against the survivor set + one
-    //     degree agg — edge-list-sized work per round, the edge frame
-    //     checkpointed once. ---
+    //     subgraph is < 3, looped to a DRIVER-CHECKED fixpoint
+    //     (operators.KCore — a fixed unroll silently returns a
+    //     non-fixpoint on a deep peel cascade; KCoreSpec plants one).
+    //     The oracle's unrolled CTE rounds reach the same fixpoint on the
+    //     gate data (an extra CTE peel is a no-op there — spec'd), so the
+    //     two engines agree exactly. Each round is a semi-join of the
+    //     edge list against the survivor set + one degree agg —
+    //     edge-list-sized work per round, the edge frame checkpointed
+    //     once. ---
     Q("q206_kcore",
       (s, dir) => {
-        val kk = 3
         val e0 = copurchasePairs(s, dir)
         val edges = e0
           .union(e0.select(col("v").as("u"), col("u").as("v")))
           .localCheckpoint()
-        // each round's survivor set is referenced TWICE (both semi-join
-        // sides) — without materializing it, the logical plan doubles per
-        // round (2^8 subplan copies by round 8); the checkpoint keeps each
-        // round one node-set-sized job
-        var surv = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
-          .filter(col("d") >= kk).select(col("u"))
-          .localCheckpoint()
-        for (_ <- 1 to 8) {
-          surv = edges
-            .join(surv, Seq("u"), "left_semi")
-            .join(surv.select(col("u").as("v")), Seq("v"), "left_semi")
-            .groupBy(col("u")).agg(count(lit(1)).as("d"))
-            .filter(col("d") >= kk).select(col("u"))
-            .localCheckpoint()
-        }
-        edges
-          .join(surv, Seq("u"), "left_semi")
-          .join(surv.select(col("u").as("v")), Seq("v"), "left_semi")
-          .groupBy(col("u")).agg(count(lit(1)).as("core_degree"))
-          .orderBy(col("u"))
+        graft.operators.KCore.core(edges, 3).orderBy(col("u"))
       },
       Some("""WITH items AS (
              |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
@@ -1330,9 +1311,25 @@ object EventQueries {
              |s8 AS MATERIALIZED (SELECT u FROM (
              |  SELECT e.u, count(*) AS d FROM edges e
              |  JOIN s7 a ON e.u = a.u JOIN s7 b ON e.v = b.u
+             |  GROUP BY e.u) WHERE d >= 3),
+             |s9 AS MATERIALIZED (SELECT u FROM (
+             |  SELECT e.u, count(*) AS d FROM edges e
+             |  JOIN s8 a ON e.u = a.u JOIN s8 b ON e.v = b.u
+             |  GROUP BY e.u) WHERE d >= 3),
+             |s10 AS MATERIALIZED (SELECT u FROM (
+             |  SELECT e.u, count(*) AS d FROM edges e
+             |  JOIN s9 a ON e.u = a.u JOIN s9 b ON e.v = b.u
+             |  GROUP BY e.u) WHERE d >= 3),
+             |s11 AS MATERIALIZED (SELECT u FROM (
+             |  SELECT e.u, count(*) AS d FROM edges e
+             |  JOIN s10 a ON e.u = a.u JOIN s10 b ON e.v = b.u
+             |  GROUP BY e.u) WHERE d >= 3),
+             |s12 AS MATERIALIZED (SELECT u FROM (
+             |  SELECT e.u, count(*) AS d FROM edges e
+             |  JOIN s11 a ON e.u = a.u JOIN s11 b ON e.v = b.u
              |  GROUP BY e.u) WHERE d >= 3)
              |SELECT e.u, count(*) AS core_degree FROM edges e
-             |JOIN s8 a ON e.u = a.u JOIN s8 b ON e.v = b.u
+             |JOIN s12 a ON e.u = a.u JOIN s12 b ON e.v = b.u
              |GROUP BY e.u ORDER BY e.u""".stripMargin)),
 
     // --- chi-square test of independence: is event TYPE independent of

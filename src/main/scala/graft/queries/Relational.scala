@@ -613,10 +613,15 @@ object Relational {
         val bounds = rg.groupBy(col("pid"))
           .agg(min(col("p_retailprice")).as("lo"), max(col("gmax")).as("pmax"))
           .collect().sortBy(_.getAs[Double]("lo"))
-        // prefix max over partitions with strictly smaller price ranges
-        val offsets = bounds.scanLeft((-1, Int.MinValue)) { (acc, r) =>
-          (r.getAs[Int]("pid"), math.max(acc._2, r.getAs[Int]("pmax")))
-        }.sliding(2).map { case Array(prev, cur) => (cur._1, prev._2) }
+        // prefix max over partitions with strictly smaller price ranges —
+        // zip each partition with the running max of everything BEFORE it
+        // (scanLeft.init), which is total on 0- and 1-partition inputs
+        // where a sliding(2) pairing would emit a short window.
+        val offsets = bounds
+          .zip(bounds.scanLeft(Int.MinValue) { (acc, r) =>
+            math.max(acc, r.getAs[Int]("pmax"))
+          }.init)
+          .map { case (r, off) => (r.getAs[Int]("pid"), off) }
           .toSeq
         val offDf = broadcast(
           s.createDataFrame(offsets).toDF("pid", "off"))

@@ -716,10 +716,12 @@ object TextQueries {
     //     without labels. Per-round cost is one vocab-sized join + one
     //     map-combined aggregation (the corpus-sized edge frame is built
     //     once, pre-partitioned, persisted — operators/TextRank.scala).
-    //     Ranked vocabulary = tokens with >= 1 co-occurrence. Rows-only
-    //     gate (iterative float accumulation); TextRankSpec pins the
-    //     distributed ranks against an exact driver-side power iteration
-    //     to 1e-9. ---
+    //     Ranked vocabulary = tokens with >= 1 co-occurrence. Oracled by
+    //     unrolling the same 15 weighted power iterations as chained
+    //     DuckDB CTEs (the q188 technique — recursive CTEs disallow the
+    //     per-level aggregate), round(.,6) absorbing float-order noise;
+    //     TextRankSpec additionally pins the distributed ranks against an
+    //     exact driver-side power iteration to 1e-9. ---
     Q("q102_textrank",
       (s, dir) => {
         val docs = fanout(Tables(s, dir, "documents"))
@@ -728,7 +730,27 @@ object TextQueries {
           .select(col("token"), round(col("rank"), 6).as("rank"))
           .orderBy(col("rank").desc, col("token")).limit(30)
       },
-      None),
+      Some {
+        val rounds = (1 to 15).map { i =>
+          s"""r$i AS (SELECT f.dst AS token, 0.15 + 0.85 * sum(f.f * r${i - 1}.r) AS r
+             |  FROM f JOIN r${i - 1} ON f.src = r${i - 1}.token GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+           |pr0 AS (SELECT unnest([{x: toks[i], y: toks[i+1]}
+           |          for i in range(1, len(toks))]) AS p FROM t),
+           |pr AS (SELECT p.x AS x, p.y AS y FROM pr0 WHERE p.x <> p.y),
+           |edges AS (SELECT src, dst, count(*)::DOUBLE AS w FROM
+           |  (SELECT x AS src, y AS dst FROM pr
+           |   UNION ALL SELECT y AS src, x AS dst FROM pr)
+           |  GROUP BY 1, 2),
+           |wdeg AS (SELECT src, sum(w) AS wd FROM edges GROUP BY 1),
+           |f AS (SELECT e.src, e.dst, e.w / d.wd AS f
+           |      FROM edges e JOIN wdeg d ON e.src = d.src),
+           |r0 AS (SELECT src AS token, 1.0 AS r FROM wdeg),
+           |$rounds
+           |SELECT token, round(r, 6) AS rank FROM r15
+           |ORDER BY rank DESC, token LIMIT 30""".stripMargin
+      }),
 
     // --- top-k terms per source (window over the stats output — the
     //     natural consumer of W3's per-source files, SURVEY §2.5) ---

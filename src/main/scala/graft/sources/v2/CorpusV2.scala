@@ -360,6 +360,11 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterF
 final case class CorpusFileCommit(tempPath: String, partitionId: Int)
     extends WriterCommitMessage
 
+/** Commit message for a task that wrote no rows. A top-level case object
+  * (not an anonymous class inside the writer) so it can never capture an
+  * `$outer` reference to the writer and its non-serializable stream. */
+case object EmptyPartitionCommit extends WriterCommitMessage
+
 final class CorpusWriteBuilder(options: CaseInsensitiveStringMap,
     info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
 
@@ -471,7 +476,7 @@ final class CorpusDataWriter(tempDir: String, delim: Array[Byte],
   override def commit(): WriterCommitMessage = {
     if (out != null) out.close()
     if (any) CorpusFileCommit(tempPath.toString, partitionId)
-    else new WriterCommitMessage {} // empty partition: nothing to move
+    else EmptyPartitionCommit // empty partition: nothing to move
   }
 
   override def abort(): Unit = {

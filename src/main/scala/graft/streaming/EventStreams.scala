@@ -279,7 +279,15 @@ object EventStreams {
     * dedup (q30/q31) already computes; shard = floor-mod of the digest
     * spreads state rows and parallelism. Per active shard and batch the
     * blob is rewritten once (mBits/8 bytes) — sized so that's a few KB,
-    * not the per-bit MapState extreme. */
+    * not the per-bit MapState extreme.
+    *
+    * Memory bound: STATE is fixed, but each shard's micro-BATCH is
+    * materialized and sorted before the fold (replay-identical output
+    * needs a deterministic first-occurrence order), so a shard's slice of
+    * one micro-batch must fit in executor memory. Shards are
+    * digest-mod-N, so slices are balanced ~batch/N; size the trigger
+    * interval (or raise `shards`) so that holds — the sort is per shard
+    * per batch, never across batches. */
   class BloomDedupProcessor(mBits: Int, k: Int)
       extends StatefulProcessor[Int, BloomIn, BloomOut] {
     @transient private var bits: org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
