@@ -91,21 +91,38 @@ object CorpusSources {
     * [[loadRawCorpus]], but the scan plans explicit byte-range splits
     * (`chunkBytes`) per file — the shape for corpora whose individual files
     * are far larger than a default split. Ids are contiguous in
-    * (lexicographic file path, byte offset) order: the connector emits
-    * partitions in that order, so zipWithIndex needs no global sort — the
-    * same order [[loadRawCorpus]] fixes, so the two readers assign
-    * identical ids on any corpus. */
+    * (lexicographic file path, byte offset) order — the same order
+    * [[loadRawCorpus]] fixes, so the two readers assign identical ids on
+    * any corpus.
+    *
+    * Id assignment is sort-free AND stays relational (no RDD boundary, so
+    * column pruning and codegen survive): the connector emits each record's
+    * split ordinal and within-split sequence number, so pass 1 is a
+    * metadata-sized per-split count (the scan prunes to the `split` column
+    * — no text is ever materialized), the driver turns those counts into
+    * cumulative per-split bases (splits are planned in (path, byte-range)
+    * order, so base order IS id order), and pass 2 broadcast-joins the
+    * tiny base table back: id = base(split) + seq. Two scans total — the
+    * same job count `zipWithIndex` paid for its hidden partition-counting
+    * job, but both passes are pruned relational scans. */
   def loadRawCorpusV2(spark: SparkSession, path: String,
       recordDelimiter: String = RecordDelimiter,
       chunkBytes: Long = graft.sources.v2.CorpusV2.DefaultChunkBytes): DataFrame = {
     import spark.implicits._
-    spark.read.format("vspace-corpus")
+    val raw = spark.read.format("vspace-corpus")
       .option("delimiter", recordDelimiter)
       .option("chunkBytes", chunkBytes.toString)
       .load(path)
-      .select("text").rdd.map(_.getString(0)).zipWithIndex()
-      .map { case (text, idx) => (idx, text) }
-      .toDF("document_index", "text")
+    // pass 1: rows per split — one result row per planned split
+    val counts = raw.groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val bases = counts.map { case (split, n) =>
+      val b = acc; acc += n; (split, b)
+    }.toSeq
+    // pass 2: id = split's cumulative base + within-split ordinal
+    raw.join(broadcast(bases.toDF("split", "base")), "split")
+      .select((col("base") + col("seq")).as("document_index"), col("text"))
   }
 
   /** T2: tab-separated index file with the fixed 10-col schema. */

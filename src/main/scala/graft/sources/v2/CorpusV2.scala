@@ -52,7 +52,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Usage: `spark.read.format("vspace-corpus").option("delimiter", d)
   * .option("chunkBytes", n).load(path)` → (path string, pos long, text
-  * string), `pos` = record start byte offset in its file.
+  * string, split int, seq long): `pos` = record start byte offset in its
+  * file, `split` = planned split ordinal in (path, byte range) order,
+  * `seq` = record ordinal within its split — the carriers for sort-free
+  * contiguous id assignment (CorpusSources.loadRawCorpusV2).
   */
 class CorpusDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "vspace-corpus"
@@ -73,7 +76,14 @@ object CorpusV2 {
   val FullSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
     StructField("pos", LongType, nullable = false),
-    StructField("text", StringType, nullable = false)))
+    StructField("text", StringType, nullable = false),
+    // split = the split's planned ordinal in (lexicographic path, byte
+    // range) order; seq = the record's ordinal among the rows this split
+    // emits. Together they make contiguous id assignment a metadata-sized
+    // problem: one per-split count pass + cumulative bases, no global sort
+    // and no RDD zipWithIndex (see CorpusSources.loadRawCorpusV2).
+    StructField("split", IntegerType, nullable = false),
+    StructField("seq", LongType, nullable = false)))
 
   val DefaultChunkBytes: Long = 128L * 1024 * 1024
 }
@@ -137,8 +147,8 @@ final class CorpusScanBuilder(options: CaseInsensitiveStringMap)
   }
 }
 
-final case class CorpusInputPartition(file: String, start: Long, end: Long)
-    extends InputPartition
+final case class CorpusInputPartition(file: String, start: Long, end: Long,
+    index: Int) extends InputPartition
 
 final class CorpusScan(path: String, delim: Array[Byte], chunkBytes: Long,
     required: StructType, fsConf: Map[String, String]) extends Scan with Batch {
@@ -170,8 +180,10 @@ final class CorpusScan(path: String, delim: Array[Byte], chunkBytes: Long,
       val uri = st.getPath.toString
       if (len == 0) Seq.empty
       else (0L until len by chunkBytes).map { s =>
-        CorpusInputPartition(uri, s, math.min(s + chunkBytes, len))
+        (uri, s, math.min(s + chunkBytes, len))
       }
+    }.zipWithIndex.map { case ((uri, s, e), i) =>
+      CorpusInputPartition(uri, s, e, i): InputPartition
     }.toArray
   }
 
@@ -328,18 +340,25 @@ final class CorpusPartitionReader(p: CorpusInputPartition, delim: Array[Byte],
     }
   }
 
+  /** Ordinal of the NEXT record this split emits (post-incremented in
+    * makeRow, which runs exactly once per returned row). */
+  private var seq: Long = 0L
+
   private def makeRow(bytes: Array[Byte], textLen: Int, start: Long): InternalRow = {
     val vals = new Array[Any](columns.length)
     var i = 0
     while (i < columns.length) {
       vals(i) = columns(i) match {
-        case "path" => pathUtf8
-        case "pos"  => start
-        case "text" => UTF8String.fromBytes(bytes, 0, textLen)
+        case "path"  => pathUtf8
+        case "pos"   => start
+        case "text"  => UTF8String.fromBytes(bytes, 0, textLen)
+        case "split" => p.index
+        case "seq"   => seq
         case other  => throw new IllegalArgumentException(s"unknown column $other")
       }
       i += 1
     }
+    seq += 1
     new GenericInternalRow(vals)
   }
 

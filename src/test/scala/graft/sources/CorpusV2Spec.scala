@@ -167,6 +167,22 @@ class CorpusV2Spec extends SparkSpec {
     }
   }
 
+  test("loadRawCorpusV2 ids are assigned relationally: no RDD boundary in the plan") {
+    // the old path dropped to .rdd.zipWithIndex — an extra partition-count
+    // job over the full scan AND a plan break (no pruning/codegen across
+    // it). The offset-based path is a BatchScan + broadcast join of the
+    // metadata-sized per-split base table.
+    val docs = (0 until 40).map(i => s"doc $i words here")
+    val path = write("rel.txt", docs.mkString(delim))
+    val df = CorpusSources.loadRawCorpusV2(spark, path, chunkBytes = 101L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), s"id assignment broke the plan:\n$plan")
+    assert(plan.contains("BatchScan"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"base table should broadcast:\n$plan")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (0L until 40L))
+  }
+
   test("V2 write round-trips through both readers and overwrite truncates") {
     import spark.implicits._
     val dir = Files.createTempDirectory("corpus-v2-write").toString + "/out"
