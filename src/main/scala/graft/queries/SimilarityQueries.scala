@@ -419,6 +419,17 @@ object SimilarityQueries {
       (s, dir) => ivfPqIndexRoundTrip(s, dir, nQueries = 5, k = 10, nprobe = 3),
       None),
 
+    // --- incremental index maintenance: a new ingest batch is encoded
+    //     against the FROZEN (base-trained) models and APPENDED to the
+    //     cell-partitioned index; retrieval must match a single-shot
+    //     encode of the union row-for-row (n_match == k per query —
+    //     self-verifying, see [[ivfPqIncrementalAppend]]). Engine-internal
+    //     index -> rows-only gate; IvfIndexSpec proves base files survive
+    //     the append byte-identical. ---
+    Q("q49f_ivfpq_incremental",
+      (s, dir) => ivfPqIncrementalAppend(s, dir, nQueries = 5, k = 10, nprobe = 3),
+      None),
+
     // --- recall@10 of the IVF path vs brute force (the q43 twin for the
     //     coarse-quantizer index; rows-only for the same reason) ---
     Q("q45_ivf_recall",
@@ -987,20 +998,31 @@ object SimilarityQueries {
       : (Array[Array[Double]], graft.operators.PQ.Model, DataFrame) = {
     val all   = unitVecs(s, dir)
     val cents = ivfCentroidsCached(s, dir)
-    // residual view: v − centroid(cell), the per-row centroid fetched from
-    // the k×d model literal by cell index — all map-side
-    val centLit  = typedLit(cents.map(_.toSeq).toSeq)
-    val assigned = ivfAssign(all, cents)
-    val residuals = assigned.select(col("vec_id"), col("cell"),
+    val pq = memoFit(s, dir, "pq-residual")(
+      graft.operators.PQ.fit(ivfResiduals(all, cents), "rv", "vec_id",
+        m = PqM, k = PqK, iters = 3))
+    (cents, pq, ivfPqEncode(all, cents, pq))
+  }
+
+  /** Residual view of a vector frame: (vec_id, cell, rv = v − centroid
+    * (cell)), the per-row centroid fetched from the k×d model literal by
+    * cell index — all map-side. */
+  private[queries] def ivfResiduals(vectors: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    ivfAssign(vectors, cents).select(col("vec_id"), col("cell"),
       zip_with(col("v"), element_at(centLit, col("cell").cast("int") + 1),
         (x, c) => x - c).as("rv"))
-    val pq = memoFit(s, dir, "pq-residual")(
-      graft.operators.PQ.fit(residuals, "rv", "vec_id",
-        m = PqM, k = PqK, iters = 3))
-    val coded = residuals.select(col("vec_id"), col("cell"),
-      graft.operators.PQ.encode(col("rv"), pq).as("codes"))
-    (cents, pq, coded)
   }
+
+  /** Assign + residual-encode a vector frame against FROZEN models — the
+    * map-side index-maintenance kernel: an ingest batch becomes index rows
+    * (vec_id, cell, codes) with no training pass and no exchange. */
+  private[queries] def ivfPqEncode(vectors: DataFrame,
+      cents: Array[Array[Double]],
+      pq: graft.operators.PQ.Model): DataFrame =
+    ivfResiduals(vectors, cents).select(col("vec_id"), col("cell"),
+      graft.operators.PQ.encode(col("rv"), pq).as("codes"))
 
   /** The broadcast probe frame: each query's `nprobe` nearest cells with
     * the residual-query ADC table of THAT cell as an array column — one
@@ -1055,6 +1077,52 @@ object SimilarityQueries {
     val mem  = ivfPqScore(coded, probes, pq, k)
     val disk = ivfPqScore(back, probes, pq, k).withColumn("hit", lit(1))
     mem.join(disk, Seq("query_id", "vec_id", "rank"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_match"),
+        count(lit(1)).as("k"))
+      .orderBy(col("query_id"))
+  }
+
+  /** q49f body: incremental index maintenance — the production story
+    * between "train once" (q49) and "full rebuild" (q49e). The corpus
+    * splits into a BASE, on which the coarse centroids and residual PQ
+    * codebooks are trained and the partitionBy(cell) index is first
+    * written, and an ingest DELTA (vec_id ≡ 3 mod 5). The delta is
+    * encoded against the FROZEN models — pure map-side, no training
+    * pass — and APPENDED to the cell-partitioned parquet: append drops
+    * new files into existing cell directories (or creates new ones)
+    * without rewriting a byte of the base index, so nightly ingest cost
+    * is proportional to the batch, not the index. Gate: retrieval over
+    * the post-append index equals, row for row, a single-shot encode of
+    * the full corpus under the same frozen models (n_match == k per
+    * query — both plans share the deterministic (adc, vec_id) tie-break,
+    * so any disagreement is a maintenance defect, not rounding).
+    * IvfIndexSpec additionally proves the append leaves every base file
+    * untouched on disk. */
+  private[queries] def ivfPqIncrementalAppend(s: SparkSession, dir: String,
+      nQueries: Int, k: Int, nprobe: Int,
+      indexDir: Option[String] = None): DataFrame = {
+    val all     = unitVecs(s, dir)
+    val isDelta = col("vec_id") % 5 === 3
+    val base    = all.filter(!isDelta)
+    val cents = memoFit(s, dir, "ivf-centroids-base")(ivfCentroids(base))
+    val pq = memoFit(s, dir, "pq-residual-base")(
+      graft.operators.PQ.fit(ivfResiduals(base, cents), "rv", "vec_id",
+        m = PqM, k = PqK, iters = 3))
+    val idxDir = indexDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-ivfpq-incr").toString)
+    ivfPqEncode(base, cents, pq)
+      .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    // the maintenance operation under test: frozen-model encode + append
+    ivfPqEncode(all.filter(isDelta), cents, pq)
+      .write.mode("append").partitionBy("cell").parquet(idxDir)
+    val back = s.read.parquet(idxDir)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("codes"))
+    val probes  = ivfPqProbes(s, dir, nQueries, nprobe, cents, pq)
+    val incr    = ivfPqScore(back, probes, pq, k)
+    val rebuild = ivfPqScore(ivfPqEncode(all, cents, pq), probes, pq, k)
+      .withColumn("hit", lit(1))
+    incr.join(rebuild, Seq("query_id", "vec_id", "rank"), "left")
       .groupBy(col("query_id"))
       .agg(sum(coalesce(col("hit"), lit(0))).as("n_match"),
         count(lit(1)).as("k"))

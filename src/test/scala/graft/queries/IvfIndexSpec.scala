@@ -57,6 +57,71 @@ class IvfIndexSpec extends SparkSpec {
     assert(probe.count() < full.count())
   }
 
+  test("incremental append: base files untouched, retrieval == full rebuild") {
+    val dir = "/root/testdata/sf0.001"
+    val idxDir = java.nio.file.Files.createTempDirectory("ivfpq_incr").toString
+
+    // q49f's body writes the base index, appends the frozen-model-encoded
+    // delta, and returns per-query (n_match, k) vs a single-shot encode of
+    // the union — the self-verifying gate is n_match == k everywhere
+    val res = SimilarityQueries.ivfPqIncrementalAppend(spark, dir,
+      nQueries = 5, k = 10, nprobe = 3, indexDir = Some(idxDir)).collect()
+    assert(res.length == 5)
+    res.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"query ${r.getLong(0)}: post-append retrieval diverged from " +
+          s"rebuild (${r.getLong(1)}/${r.getLong(2)})")
+    }
+
+    // the index holds exactly base ∪ delta, no row duplicated or dropped
+    val back = spark.read.parquet(idxDir)
+    val ids  = back.select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = graft.Tables(spark, dir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == expected, "post-append index must hold base ∪ delta ids")
+    val deltaIds = expected.filter(_ % 5 == 3)
+    assert(deltaIds.nonEmpty && deltaIds.subsetOf(ids))
+    assert(back.count() == expected.size)
+  }
+
+  test("the append never rewrites a base index file") {
+    // maintenance cost must be batch-proportional: snapshot every data
+    // file after the base write, append the frozen-model-encoded delta,
+    // and require the old files back byte-for-byte (same path, size,
+    // mtime) with only NEW files added
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val all = SimilarityQueries.unitVecs(spark, dir)
+    val isDelta = col("vec_id") % 5 === 3
+    val base  = all.filter(!isDelta)
+    val cents = SimilarityQueries.ivfCentroids(base)
+    val pq = graft.operators.PQ.fit(
+      SimilarityQueries.ivfResiduals(base, cents), "rv", "vec_id",
+      m = 16, k = 16, iters = 3)
+    val idxDir = java.nio.file.Files.createTempDirectory("ivfpq_files").toString
+    SimilarityQueries.ivfPqEncode(base, cents, pq)
+      .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    def snapshot(): Map[String, (Long, Long)] = {
+      val out = scala.collection.mutable.Map[String, (Long, Long)]()
+      java.nio.file.Files.walk(java.nio.file.Paths.get(idxDir)).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          out(p.toString) = (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      }
+      out.toMap
+    }
+    val before = snapshot()
+    assert(before.nonEmpty)
+    SimilarityQueries.ivfPqEncode(all.filter(isDelta), cents, pq)
+      .write.mode("append").partitionBy("cell").parquet(idxDir)
+    val after = snapshot()
+    before.foreach { case (f, stamp) =>
+      assert(after.get(f).contains(stamp),
+        s"append modified base file $f: ${before(f)} -> ${after.get(f)}")
+    }
+    assert(after.size > before.size, "append must add new files")
+  }
+
   test("exact re-rank recall dominates the raw IVF-PQ recall") {
     // the two-stage path re-scores the ADC shortlist with true cosine, so
     // per query it can only recover rank inversions, never lose hits
