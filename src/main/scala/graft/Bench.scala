@@ -23,6 +23,33 @@ object Bench {
   private val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS",
     Runtime.getRuntime.availableProcessors().toString)
 
+  /** Fixed pure-CPU canary (no Spark, no I/O): ~0.2-0.3 s of 64-bit mixing
+    * on a quiet box, timed immediately before every rep. A rep whose canary
+    * exceeds 1.5x the run's median canary ran in a degraded-host window —
+    * its time is discarded and the rep retried. Rationale: the
+    * corroborated-min rule alone cannot detect a SUSTAINED slowdown (both
+    * reps inflate together and corroborate each other — the round-8 bench
+    * recorded five queries at 7-12x their true numbers this way). Every
+    * per-query JSON line records the query's canary values, so even a run
+    * where the WHOLE window was slow (median itself inflated — nothing
+    * discardable) is visibly polluted to any later reader comparing
+    * canaries across rounds.
+    */
+  private def canarySec(): Double = {
+    val t0 = System.nanoTime()
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 150000000) { h = (h ^ (h >>> 33)) * 0xFF51AFD7ED558CCDL + i; i += 1 }
+    canarySink += h // defeat dead-code elimination of the loop
+    (System.nanoTime() - t0) / 1e9
+  }
+  private var canarySink = 0L
+  private val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0 else s(s.size / 2)
+  }
+
   private def newSession(): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -74,7 +101,13 @@ object Bench {
     //    is only trusted once CORROBORATED — a second rep within 20% —
     //    so a query keeps re-running (up to 5 attempts) until one clean
     //    pair exists instead of shipping a min that may contain a freeze.
-    val MaxReps = 5
+    // Attempt budget is higher than the old MaxReps=5 because
+    // degraded-window reps are DISCARDED (not just out-voted) and so
+    // consume attempts without contributing times.
+    val MaxAttempts = 8
+    // Bootstrap the canary reference (also JIT-warms the canary loop so
+    // the first measured canary isn't an interpreter-speed outlier).
+    (1 to 3).foreach(_ => canaries += canarySec())
     val results = headline.map { n =>
       // Fresh SparkContext per query: clearCache+gc alone still let
       // shuffle files, localCheckpoint blocks, and broadcast state pile
@@ -89,28 +122,41 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warmup $n: $e") }
       spark.catalog.clearCache()
       System.gc()
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var attempts = 0
+      val times     = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val qCanaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var attempts  = 0
       def rep(): Unit = {
         attempts += 1
+        val c = canarySec()
+        canaries += c; qCanaries += c
+        val degraded = c > 1.5 * median(canaries.toSeq)
         val t0 = System.nanoTime()
-        try { execute(n); times += (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
+        try {
+          execute(n)
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (degraded) System.err.println(
+            f"[bench] $n: rep discarded — canary $c%.2f s > 1.5x run median " +
+              f"${median(canaries.toSeq)}%.2f s (degraded-host window)")
+          else times += dt
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] timed $n: $e") }
       }
       rep(); rep()
-      while (attempts < MaxReps &&
-          (times.isEmpty || times.count(_ <= times.min * 1.2) < 2)) rep()
+      while (attempts < MaxAttempts &&
+          (times.size < 2 || times.count(_ <= times.min * 1.2) < 2)) rep()
       val best = if (times.nonEmpty) times.min else -1.0
+      val qc   = median(qCanaries.toSeq)
       // incremental per-query line — parseable even if the run dies later
-      println(s"""{"metric":"query","name":"$n","value":$best,"unit":"sec","sf":"$sfDir"}""")
+      println(f"""{"metric":"query","name":"$n","value":$best,"unit":"sec","canary":$qc%.3f,"sf":"$sfDir"}""")
       System.out.flush()
-      n -> best
+      (n, best, qc)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qcs = results.map { case (k, _, c) => f""""$k":$c%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_median":${median(canaries.toSeq)}%.3f,"canaries":$qcs,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

@@ -110,36 +110,115 @@ object MinHash {
   val MaxBucketSize = 1000
 
   /** Drop buckets (distinct `keyCols` groups) holding more than `cap`
-    * rows, logging how many buckets/rows were dropped. This is the
-    * standard production guard for LSH candidate generation: a bucket
-    * with thousands of members means near-identical content that exact
-    * dedup (or a lower-threshold pass) already owns, so dropping it
-    * bounds the join at no recall cost for the non-degenerate pairs —
-    * every pair NOT in an oversized bucket still collides on its other
-    * bands exactly as before (capping removes keys, never rows of other
-    * keys).
+    * rows. This is the standard production guard for LSH candidate
+    * generation: a bucket with thousands of members means near-identical
+    * content that exact dedup (or a lower-threshold pass) already owns, so
+    * dropping it bounds the join at no recall cost for the non-degenerate
+    * pairs — every pair NOT in an oversized bucket still collides on its
+    * other bands exactly as before (capping removes keys, never rows of
+    * other keys).
     *
-    * Cost when no bucket is hot (the normal case): one key-only
-    * aggregation pass over `buckets` (8-byte keys, map-side partial agg)
-    * plus a driver count of the empty hot frame — no change to the
-    * candidate join's plan, since there is nothing to anti-join.
+    * PLAN-PURE: this is pure plan construction — no job runs until the
+    * consumer's own action (asserted with a job listener in
+    * LshBucketCapSpec). The hot-keys frame is always `left_anti`-joined
+    * (broadcast): in the normal no-hot-key case it is an empty broadcast,
+    * which costs one key-only aggregation pass over `buckets` (8-byte
+    * keys, map-side partial agg) and microseconds in the join itself.
+    * The dropped-bucket count is surfaced at action time via
+    * `Dataset.observe` (metric name `graft.lsh.cap.N`, fields
+    * `hot_buckets`/`hot_rows`) and logged to stderr by a per-session
+    * QueryExecutionListener whenever any bucket was dropped.
     */
   def capBuckets(buckets: DataFrame, keyCols: Seq[String],
       cap: Int = MaxBucketSize): DataFrame = {
     val keys = keyCols.map(col)
     val hot = buckets.groupBy(keys: _*).agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > cap)
-      .localCheckpoint() // tiny by construction: only oversized keys
-    val stats = hot.agg(count(lit(1)), coalesce(sum(col("bucket_n")), lit(0L)))
-      .head()
-    val (nHot, nRows) = (stats.getLong(0), stats.getLong(1))
-    if (nHot == 0L) buckets
-    else {
-      System.err.println(
-        s"[graft] MinHash.capBuckets: dropping $nHot oversized bucket(s) " +
-          s"(> $cap rows; $nRows rows total) on (${keyCols.mkString(", ")}) " +
-          "— members are near-identical content owned by exact dedup")
-      buckets.join(broadcast(hot.select(keys: _*)), keyCols, "left_anti")
-    }
+      // observation names must be unique within a plan; one query may cap
+      // several bucket tables (e.g. index + probe sides), hence the counter
+      .observe(s"graft.lsh.cap.${capId.incrementAndGet()}",
+        count(lit(1)).as("hot_buckets"),
+        coalesce(sum(col("bucket_n")), lit(0L)).as("hot_rows"))
+    registerCapLogger(buckets.sparkSession)
+    buckets.join(broadcast(hot.select(keys: _*)), keyCols, "left_anti")
   }
+
+  /** Candidate pairs from a bucket-keyed frame, capped, in ONE pass: group
+    * rows by `keyCols`, collect the bucket's ids, drop oversized buckets,
+    * and expand each surviving bucket's pairs IN-ROW (`least`/`greatest`
+    * ordering, so (id_a < id_b) like the join formulation). Returns
+    * (id_a, id_b) — callers `distinct()` across buckets.
+    *
+    * This is the scale shape for LSH candidate generation, replacing the
+    * round-8 self-join: a self-join references the bucket pipeline on BOTH
+    * sides (plus a third time in the cap's key-count pass), and Spark has
+    * no reliable cross-branch sharing for it — persist() races when AQE
+    * launches the branches concurrently (each computed the full pipeline
+    * before any cache block landed), localCheckpoint() executes stages at
+    * plan-construction time, and exchange reuse is defeated by optimizer
+    * reordering around the cap's anti-join. Grouping instead references
+    * the pipeline ONCE and shuffles it ONCE (map-side partial
+    * collect_list, 8-byte ids), and the quadratic expansion is bounded by
+    * `cap` (≤ cap²/2 in-row pairs per bucket, ~0.5M at the default —
+    * bounded work per task, where an uncapped hot KEY would be invisible
+    * to AQE skew splitting). Dropped-bucket counts surface at action time
+    * via `Dataset.observe` (metric `graft.lsh.cap.N`), logged by the
+    * per-session listener; dropping whole oversized buckets is the
+    * standard LSH guard — their members are near-identical content exact
+    * dedup owns, and every other pair keeps its remaining band collisions.
+    *
+    * Plan-pure: construction launches no jobs (LshBucketCapSpec asserts
+    * with a job listener).
+    */
+  def bucketPairs(buckets: DataFrame, keyCols: Seq[String], idCol: String,
+      cap: Int = MaxBucketSize): DataFrame = {
+    val ids = col("__ids")
+    val agged = buckets.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .observe(s"graft.lsh.cap.${capId.incrementAndGet()}",
+        coalesce(sum(when(size(ids) > cap, 1L)), lit(0L)).as("hot_buckets"),
+        coalesce(sum(when(size(ids) > cap, size(ids).cast("long"))), lit(0L))
+          .as("hot_rows"))
+    registerCapLogger(buckets.sparkSession)
+    agged.filter(size(ids) <= cap)
+      // all unordered pairs of the bucket: for element i, pair it with
+      // every LATER element (slice is 1-based; transform's index 0-based;
+      // slice length size(ids) rather than `cap` — start+cap can overflow
+      // Int for an effectively-uncapped call), ordered (least, greatest)
+      // so id_a < id_b matches the join form
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), size(ids)), y =>
+          struct(least(x, y).as("id_a"), greatest(x, y).as("id_b"))))))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+  }
+
+  private val capId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Sessions that already carry the cap-logging listener (weak keys so a
+    * stopped session isn't pinned by this map). */
+  private val capLoggerSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  /** Log dropped-bucket counts when any consumer of a capped frame runs:
+    * reads the `graft.lsh.cap.*` observed metrics off the finished query
+    * execution. Registered once per session. */
+  private def registerCapLogger(s: org.apache.spark.sql.SparkSession): Unit =
+    if (capLoggerSessions.putIfAbsent(s, java.lang.Boolean.TRUE) == null)
+      s.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft.lsh.cap.") && row.getLong(0) > 0L)
+                System.err.println(
+                  s"[graft] MinHash.capBuckets: dropped ${row.getLong(0)} " +
+                    s"oversized bucket(s) (${row.getLong(1)} rows total) — " +
+                    "members are near-identical content owned by exact dedup")
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
 }

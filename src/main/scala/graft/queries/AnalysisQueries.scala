@@ -326,8 +326,16 @@ object AnalysisQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // --- winnowing fingerprints: rolling hash of 3-token shingles, min per
-    //     sliding window of 4 -> distinct fingerprints per doc. Custom
-    //     codegen'd rolling_hash expression -> rows-only gate. ---
+    //     sliding window of 4 -> distinct fingerprints per doc. The custom
+    //     codegen'd rolling_hash (h = h*1000003 + UTF-16 unit over the
+    //     2^64 ring — Java long wraparound) is reproduced in the oracle
+    //     with HUGEINT list_reduce arithmetic + an explicit mod-2^64 and a
+    //     two's-complement cast back to BIGINT. DuckDB's unicode(ch)
+    //     yields CODEPOINTS where Java charAt yields UTF-16 units — equal
+    //     on BMP text (the corpus is ASCII); supplementary-plane input
+    //     would diverge. list_distinct drops NULLs where array_distinct
+    //     keeps them, which matters only for docs under 3 tokens (none in
+    //     the corpus; every doc has >= 10). ---
     Q("q53_fingerprint_winnow",
       (s, dir) => {
         val sh = fanout(Tables(s, dir, "documents"))
@@ -343,7 +351,30 @@ object AnalysisQueries {
             array_min(col("wins")).as("min_fp"))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+             |           FROM documents),
+             |g AS (SELECT doc_id,
+             |        [array_to_string(toks[i:i+2], ' ')
+             |         FOR i IN range(1, len(toks)-1)] AS grams
+             |      FROM t),
+             |h AS (SELECT doc_id,
+             |        [CASE WHEN x >= 9223372036854775808::HUGEINT
+             |              THEN (x - 18446744073709551616::HUGEINT)::BIGINT
+             |              ELSE x::BIGINT END
+             |         FOR x IN [list_reduce(
+             |             list_prepend(0::HUGEINT,
+             |               [unicode(ch)::HUGEINT FOR ch IN string_split(gm, '')]),
+             |             (acc, c) -> (acc * 1000003::HUGEINT + c)
+             |                         % 18446744073709551616::HUGEINT)
+             |           FOR gm IN grams]] AS hashes
+             |      FROM g),
+             |w AS (SELECT doc_id,
+             |        [list_min(hashes[i:i+3])
+             |         FOR i IN range(1, greatest(len(hashes)-3, 1)+1)] AS wins
+             |      FROM h)
+             |SELECT doc_id, len(list_distinct(wins)) AS n_fingerprints,
+             |       list_min(wins) AS min_fp
+             |FROM w ORDER BY doc_id""".stripMargin)),
 
     // --- Zipf profile: frequency-of-frequencies of the term distribution
     //     (log2 buckets) — the shape check every corpus pipeline runs ---
@@ -1994,8 +2025,7 @@ object AnalysisQueries {
     Q("q201_jsonl_ingest",
       (s, dir) => {
         val jsonlDir = SimilarityQueries.memoFit(s, dir, "jsonl-docs") {
-          val d = java.nio.file.Files
-            .createTempDirectory("graft-jsonl").toString
+          val d = scratchDir("jsonl")
           Tables(s, dir, "documents")
             .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
               col("source"), col("n_chars"))).as("value"))
@@ -2051,8 +2081,7 @@ object AnalysisQueries {
     Q("q202_schema_evolution",
       (s, dir) => {
         val evoDir = SimilarityQueries.memoFit(s, dir, "schema-evo-docs") {
-          val d = java.nio.file.Files
-            .createTempDirectory("graft-schema-evo").toString
+          val d = scratchDir("schema-evo")
           val docs = Tables(s, dir, "documents")
           docs.filter(col("doc_id") < 250)
             .select(col("doc_id"), col("text"))

@@ -53,27 +53,28 @@ object DedupQueries {
           struct(lit(t).as("t"),
             SimilarityQueries.lshSignature(col("v"), t).as("bk"))): _*)).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bk").as("bk"))
-      // The (t, bk) keyed rows are tiny, so AQE coalesces the join shuffle
-      // to a handful of partitions — but the work AFTER the shuffle is the
-      // quadratic in-bucket pair expansion, which that coalescing
-      // serializes. An explicit user repartition on the join keys is
-      // exempt from AQE coalescing and both self-join sides reuse the one
-      // exchange, so the expansion keeps full parallelism.
+      // The (t, bk) keyed rows are tiny, so AQE coalesces the aggregation
+      // shuffle to a handful of partitions — but the work AFTER the
+      // shuffle is the quadratic in-bucket pair expansion, which that
+      // coalescing serializes. An explicit user repartition on the group
+      // keys is exempt from AQE coalescing, so the expansion keeps full
+      // parallelism.
       .repartition(e.sparkSession.sparkContext.defaultParallelism,
         col("t"), col("bk"))
-    // Oversized (t, bk) buckets are the one quadratic cliff (one KEY, so
-    // AQE skew handling never sees it) — cap them before the self-join.
-    // Checkpoint FIRST so the cap's key-count pass and both self-join
-    // sides all read one materialization of the signature pipeline.
-      .localCheckpoint()
-    val keyed = graft.operators.MinHash
-      .capBuckets(keyed0, Seq("t", "bk"), bucketCap)
-    val cands = keyed.as("a")
-      .join(keyed.as("b"),
-        col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    // Grouped candidate generation with the oversized-bucket cap as a
+    // size filter — one pipeline reference, one shuffle, bounded in-row
+    // expansion (see MinHash.bucketPairs and lshVerifiedPairs; a
+    // capBuckets + self-join variant probed no faster here and references
+    // the signature pipeline three times).
+    val cands = graft.operators.MinHash
+      .bucketPairs(keyed0, Seq("t", "bk"), "vec_id", bucketCap)
       .distinct()
+    // Two id-keyed verification joins. Unlike lshVerifiedPairs' shingle
+    // frame, `e` is a plain (vec_id, v) projection of the source — cheap
+    // to reference twice and small enough to broadcast, so the vectors
+    // never cross a shuffle here (an explode-regroup formulation was
+    // measured 2x slower at sf0.1: it forced every candidate's vector
+    // through the regroup exchange).
     cands
       .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
@@ -90,36 +91,48 @@ object DedupQueries {
     * below is the only shuffle of candidate generation. */
   private[graft] def lshVerifiedPairs(docs: DataFrame, threshold: Double,
       bucketCap: Int = graft.operators.MinHash.MaxBucketSize): DataFrame = {
-    // localCheckpoint so the 64-hash signature pipeline runs ONCE: the
-    // self-join below references the bucket subtree twice and Catalyst has
-    // no cross-branch common-subexpression reuse, so without materializing,
-    // shingling + 64 minhashes re-run per side. The banded keys are ~32
-    // short rows per doc — far smaller than the text they derive from, so
-    // at 100 TB materializing them is the cheap side of the trade (and it
-    // truncates lineage, so retries never re-derive the scan).
-    val buckets0 = graft.operators.MinHash.bandKeys(
+    // Candidate generation is grouped, not self-joined: bucketPairs
+    // references the signature pipeline ONCE and shuffles it ONCE (the
+    // collect_list aggregation's own exchange — map-side partial agg of
+    // 8-byte ids), then expands each bucket's pairs in-row, with the
+    // oversized-bucket cap as a size filter on the grouped frame. A
+    // self-join formulation needs the pipeline on both sides plus a
+    // key-count pass for the cap, and Spark has no reliable cross-branch
+    // sharing for that (persist races under AQE's concurrent stage
+    // launch, checkpoint executes at construction — measured in rounds
+    // 8-9, see bucketPairs' scaladoc). The cap itself is the quadratic
+    // guard: a saturated key (templated pages, licence boilerplate) is
+    // one KEY — AQE skew handling splits partitions, never keys — and
+    // dropped buckets hold near-identical content exact dedup owns, so
+    // verified recall is unchanged (spec'd on a planted hot bucket in
+    // LshBucketCapSpec). The explicit repartition ahead of the groupBy
+    // pins the aggregation's partitioning (user repartitions are exempt
+    // from AQE coalescing), keeping the in-row expansion stage wide.
+    val buckets = graft.operators.MinHash.bandKeys(
         fanout(docs).select(col("doc_id"), col("text")), "text", Seq("doc_id"))
-      .localCheckpoint()
-    // Cap oversized (band, bh) buckets before the self-join: in-bucket work
-    // is quadratic and a saturated key (templated pages, licence
-    // boilerplate) is one KEY — AQE skew-join splits partitions, never
-    // keys, so without this the band join is the one plan a real corpus
-    // can drive quadratic. Dropped buckets hold near-identical content
-    // that exact dedup owns; all other pairs keep their remaining 31
-    // band collisions, so verified recall is unchanged (spec'd on a
-    // planted hot bucket in LshBucketCapSpec).
-    val buckets = graft.operators.MinHash
-      .capBuckets(buckets0, Seq("band", "bh"), bucketCap)
-    val cands = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("band"), col("bh"))
+    val cands = graft.operators.MinHash
+      .bucketPairs(buckets, Seq("band", "bh"), "doc_id", bucketCap)
       .distinct()
+    // Verification references the shingle pipeline ONCE: a two-join
+    // formulation (sh on id_a, sh on id_b) computes `sh` — a full-corpus
+    // scan + shingling — on BOTH sides (no cross-branch sharing; measured
+    // as two equal ~0.6 s stages at sf0.1). Instead each pair explodes
+    // into its two (pair, doc) rows, joins the one shingle frame
+    // id-keyed, and regroups per pair; `sh` is computed once, and only
+    // CANDIDATE shingles (not the corpus) move through the regroup
+    // shuffle. max(when(...)) picks each side's array — exactly one
+    // non-null per group, max for determinism.
     val sh = shingled(docs)
     cands
-      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .join(sh, "doc_id")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        max(when(col("doc_id") === col("id_a"), col("shingles"))).as("sh_a"),
+        max(when(col("doc_id") === col("id_b"), col("shingles"))).as("sh_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jac"))
       .filter(col("jac") >= threshold)
@@ -367,8 +380,7 @@ object DedupQueries {
         val docs = Tables(s, dir, "documents")
         val corpus = docs.filter(col("doc_id") % 8 =!= 7)
         val batch  = docs.filter(col("doc_id") % 8 === 7)
-        val idxDir = java.nio.file.Files
-          .createTempDirectory("graft-sig-idx").toString
+        val idxDir = scratchDir("sig-idx")
         graft.operators.MinHash.bandKeys(
             fanout(corpus).select(col("doc_id"), col("text")),
             "text", Seq("doc_id"))

@@ -1990,7 +1990,7 @@ object EventQueries {
       dir: String, lo: org.apache.spark.sql.Column,
       hi: org.apache.spark.sql.Column): Seq[String] = {
     val clusteredDir = SimilarityQueries.memoFit(s, dir, "zonemap-events") {
-      val d = java.nio.file.Files.createTempDirectory("graft-zonemap").toString
+      val d = scratchDir("zonemap")
       Tables(s, dir, "events")
         .repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
         .write.mode("overwrite").parquet(d)

@@ -1068,7 +1068,7 @@ object SimilarityQueries {
       nQueries: Int, k: Int, nprobe: Int): DataFrame = {
     val (cents, pq, coded) = ivfPqIndex(s, dir)
     val probes = ivfPqProbes(s, dir, nQueries, nprobe, cents, pq)
-    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    val idxDir = scratchDir("ivfpq-idx")
     coded.write.mode("overwrite").partitionBy("cell").parquet(idxDir)
     // the partition column comes back via directory inference (int) —
     // restore the written long type
@@ -1109,8 +1109,7 @@ object SimilarityQueries {
     val pq = memoFit(s, dir, "pq-residual-base")(
       graft.operators.PQ.fit(ivfResiduals(base, cents), "rv", "vec_id",
         m = PqM, k = PqK, iters = 3))
-    val idxDir = indexDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-ivfpq-incr").toString)
+    val idxDir = indexDir.getOrElse(scratchDir("ivfpq-incr"))
     ivfPqEncode(base, cents, pq)
       .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
     // the maintenance operation under test: frozen-model encode + append

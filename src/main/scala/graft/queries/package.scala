@@ -15,4 +15,27 @@ package object queries {
     */
   private[queries] def fanout(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** JVM-scoped scratch root for on-disk index artifacts (the IVF-PQ
+    * round-trip/append indexes, the q95 signature index): one temp root
+    * per JVM, recursively deleted by a shutdown hook, so repeated
+    * gate/bench runs leave /tmp flat instead of leaking one directory per
+    * invocation. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
+  /** A fresh directory under [[scratchRoot]] (unique per call — concurrent
+    * suites never collide; everything is reclaimed at JVM exit). */
+  private[queries] def scratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
 }

@@ -104,7 +104,16 @@ object CorpusSources {
     * order, so base order IS id order), and pass 2 broadcast-joins the
     * tiny base table back: id = base(split) + seq. Two scans total — the
     * same job count `zipWithIndex` paid for its hidden partition-counting
-    * job, but both passes are pruned relational scans. */
+    * job, but both passes are pruned relational scans.
+    *
+    * ASSUMES AN IMMUTABLE CORPUS between the two passes (each pass
+    * re-lists files and re-plans splits). A file added/grown between
+    * passes yields split ordinals with no base row; the join is a LEFT
+    * join with a raise_error guard on a null base, so that mutation
+    * surfaces as a task failure naming the split instead of silently
+    * dropping the new rows. A file that shrank or vanished cannot be
+    * detected row-wise (its ids simply shift) — contiguous-id assignment
+    * over a mutating directory is unsound in any engine; snapshot first. */
   def loadRawCorpusV2(spark: SparkSession, path: String,
       recordDelimiter: String = RecordDelimiter,
       chunkBytes: Long = graft.sources.v2.CorpusV2.DefaultChunkBytes): DataFrame = {
@@ -120,9 +129,16 @@ object CorpusSources {
     val bases = counts.map { case (split, n) =>
       val b = acc; acc += n; (split, b)
     }.toSeq
-    // pass 2: id = split's cumulative base + within-split ordinal
-    raw.join(broadcast(bases.toDF("split", "base")), "split")
-      .select((col("base") + col("seq")).as("document_index"), col("text"))
+    // pass 2: id = split's cumulative base + within-split ordinal. LEFT
+    // join + raise_error: a split planned in pass 2 but absent from the
+    // pass-1 base table means the corpus mutated between passes — fail
+    // loudly instead of (inner-join) silently dropping its rows.
+    val base = when(col("base").isNotNull, col("base"))
+      .otherwise(raise_error(concat(
+        lit("vspace-corpus: split "), col("split").cast("string"),
+        lit(" has no id base — corpus mutated between id-planning passes"))))
+    raw.join(broadcast(bases.toDF("split", "base")), Seq("split"), "left")
+      .select((base + col("seq")).as("document_index"), col("text"))
   }
 
   /** T2: tab-separated index file with the fixed 10-col schema. */

@@ -88,6 +88,85 @@ class LshBucketCapSpec extends SparkSpec {
       dropped.forall { case (a, b) => digests(a) == digests(b) })
   }
 
+  test("bucketPairs == capped self-join on synthetic buckets") {
+    // The in-row pair expansion (collect_list + slice/transform) must
+    // produce exactly the pairs the join formulation produced: every
+    // unordered pair of distinct ids sharing a key, id_a < id_b, from
+    // buckets at or under the cap only.
+    val rows = for {
+      (band, bh, n) <- Seq((0, 10L, 3), (0, 11L, 5), (1, 10L, 1), (2, 12L, 7))
+      i <- 0 until n
+    } yield (band, bh, (bh * 100 + i * 7 % n).toLong + i) // unique ids per bucket
+    val buckets = rows.toDF("band", "bh", "doc_id")
+    val cap = 5 // drops the 7-row bucket
+    val grouped = MinHash.bucketPairs(buckets, Seq("band", "bh"), "doc_id", cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().sorted
+    val capped = MinHash.capBuckets(buckets, Seq("band", "bh"), cap)
+    val joined = capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .as[(Long, Long)].collect().sorted
+    assert(grouped.nonEmpty && grouped.sameElements(joined))
+  }
+
+  test("capBuckets is plan-pure: constructing q32/q38 frames launches zero jobs") {
+    // Round-8 shape ran a key-count job + localCheckpoint at CONSTRUCTION
+    // time, so explain()/PlanAudit/catalog sweeps launched Spark jobs. The
+    // plan-pure shape (always left_anti against the observed hot frame,
+    // lazy checkpoints) must not: full physical planning of both LSH pair
+    // generators — the frames capBuckets participates in — runs no job.
+    // (q36 = this + connected components, q95 = this + an index WRITE;
+    // those run jobs by design of their iterative/materializing stages.)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      DedupQueries.lshVerifiedPairs(docs, 0.7, bucketCap = 50)
+        .queryExecution.executedPlan
+      val base = Array.tabulate(64)(i => 1.0 / (i + 1))
+      val e = Seq((0L, base), (1L, base)).toDF("vec_id", "v")
+      DedupQueries.cosineBucketedPairs(e, 0.9, bucketCap = 40)
+        .queryExecution.executedPlan
+      Thread.sleep(1000) // job-start events are async; let any straggle in
+      assert(jobs.get() === 0,
+        s"construction launched ${jobs.get()} job(s); must be plan-pure")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("dropped-bucket count surfaces as an observed metric at action time") {
+    @volatile var seen = Option.empty[(Long, Long)]
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft.lsh.cap.") && row.getLong(0) > 0L)
+            seen = Some((row.getLong(0), row.getLong(1)))
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val buckets = MinHash.bandKeys(docs, "text", Seq("doc_id"))
+      MinHash.capBuckets(buckets, Seq("band", "bh"), cap = 50)
+        .write.format("noop").mode("overwrite").save()
+      // execution-listener dispatch is async — poll
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      // the 120-doc hot block shares one signature -> all 32 (band, bh)
+      // keys oversized, 120 rows each
+      assert(seen.contains((32L, 32L * 120L)),
+        s"expected observed metric (32, 3840), got $seen")
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("cosine bucket cap: hot embedding bucket dropped, distinct pairs kept") {
     // 80 identical 64-dim vectors (one direction, so every LSH table puts
     // them all in one bucket) plus a genuinely-similar DISTINCT-direction
