@@ -148,4 +148,39 @@ class MultimodalSpec extends SparkSpec {
     val all = (0 until 16).map(p => Multimodal.dHash64(patternPng(p, 20, 18)))
     assert(all.distinct.size == 16)
   }
+
+  test("dHash64 is codec-robust: JPEG vs PNG of one image collide, distinct images stay distant") {
+    // The perceptual-dedup family's JPEG coverage: the decode path is
+    // format-agnostic (ImageIO picks the reader from the payload), so the
+    // SAME image encoded losslessly (PNG) and lossily (JPEG, the JDK's
+    // default ~0.75 quality) must land within a few Hamming bits — JPEG's
+    // block noise cannot flip a 9x8 area-averaged luma gradient — while a
+    // genuinely different image stays tens of bits away. This is exactly
+    // the contract q198b's Hamming-banded near-dup query relies on:
+    // re-encoded copies collide in a band, unrelated images do not.
+    def gray(f: (Int, Int) => Int, w: Int = 64, h: Int = 64) = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val ramp     = gray((x, _) => 32 + x * 3)       // smooth horizontal ramp
+    val reversed = gray((x, _) => 223 - x * 3)      // opposite-direction ramp
+    val png  = Multimodal.dHash64(enc(ramp, "png"))
+    val jpg  = Multimodal.dHash64(enc(ramp, "jpg"))
+    val far  = Multimodal.dHash64(enc(reversed, "jpg"))
+    assert(ham(png, jpg) <= 4,
+      s"JPEG re-encode moved the hash ${ham(png, jpg)} bits; must be a near-dup")
+    assert(ham(png, far) >= 32,
+      s"reversed ramp only ${ham(png, far)} bits away; must be distant")
+  }
 }
