@@ -169,6 +169,16 @@ object MinHash {
     *
     * Plan-pure: construction launches no jobs (LshBucketCapSpec asserts
     * with a job listener).
+    *
+    * Sizing: the collect_list aggregation is an ObjectHashAggregate with
+    * sort-based fallback — callers should pin the partitioning of
+    * `buckets` proportional to data (an explicit repartition on
+    * `keyCols`, which this groupBy then reuses shuffle-free) so per-task
+    * aggregation state spills a handful of files, not hundreds (the
+    * spill-merge phase allocates one reader buffer per file). Because
+    * the frame is consumed exactly ONCE here, callers need no
+    * checkpoint/persist on it — at the 6.4M-doc pipeline scale the old
+    * two-reference materialization cached 7.5 GB for nothing.
     */
   def bucketPairs(buckets: DataFrame, keyCols: Seq[String], idCol: String,
       cap: Int = MaxBucketSize): DataFrame = {

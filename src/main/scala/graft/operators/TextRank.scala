@@ -63,7 +63,11 @@ object TextRank {
           (lit(1.0 - damping) + lit(damping) * coalesce(col("c"), lit(0.0)))
             .as("rank"))
         .repartition(n, col("token"))
-      if (i % CheckpointEvery == 0) next = next.localCheckpoint()
+      // checkpoint on the cadence AND on the final round, so the returned
+      // frame is LogicalRDD-rooted: without the final truncation the
+      // caller's plan drags the whole nested persist lineage (a 900+
+      // node plan string that dwarfs the actual physical work)
+      if (i % CheckpointEvery == 0 || i == iters) next = next.localCheckpoint()
       next = next.persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
       ranks.unpersist()

@@ -128,23 +128,36 @@ object DataPipelineBench {
     // components, then keep the BEST-QUALITY member per cluster (the q92
     // policy)
     val docsText = exactSurvivors.select(col("doc_id"), col("text"))
+    // NO checkpoint on the band keys: the grouped candidate generator
+    // consumes them exactly once, and materializing them here (the old
+    // self-join needed it for its two references) cached ~7.5 GB in the
+    // 8 GB heap and starved the aggregation's execution memory into a
+    // spill-reader OOM at merge time
     val buckets = graft.operators.MinHash.bandKeys(docsText, "text", Seq("doc_id"))
-      .localCheckpoint()
     lap("  near:bands")
-    val cands = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // grouped candidate generation (MinHash.bucketPairs, the q32 shape):
+    // one bucket-keyed shuffle, in-row pair expansion bounded by the
+    // default cap — the same path the gated queries run, exercised here
+    // at the 6.4M-doc pipeline scale
+    val cands = graft.operators.MinHash
+      .bucketPairs(buckets, Seq("band", "bh"), "doc_id")
       .distinct()
       .localCheckpoint()
     println(s"[dp]   near: candidates=${cands.count()}")
     lap("  near:cands")
+    // single-reference verification (the lshVerifiedPairs shape): each
+    // pair explodes into its two (pair, doc) rows, joins the one shingle
+    // frame id-keyed, and regroups — shingles are computed once and only
+    // candidates' shingles cross the regroup shuffle
     val sh = docsText.select(col("doc_id"),
       graft.operators.MinHash.shingles(col("text")).as("sh"))
     val pairs = cands
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .join(sh, "doc_id")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(when(col("doc_id") === col("id_a"), col("sh"))).as("sh_a"),
+        max(when(col("doc_id") === col("id_b"), col("sh"))).as("sh_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jac"))

@@ -110,6 +110,33 @@ class LshBucketCapSpec extends SparkSpec {
     assert(grouped.nonEmpty && grouped.sameElements(joined))
   }
 
+  test("bucketPairs == capped self-join on randomized bucket tables") {
+    // Property-style sweep with a fixed seed: random bucket populations
+    // (including empty buckets' absence, singletons, exactly-at-cap and
+    // just-over-cap sizes, ids shared across buckets so the downstream
+    // distinct() contract matters) must agree with the join formulation
+    // pair-for-pair after distinct.
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 3).foreach { round =>
+      val rows = for {
+        key <- 0 until 12
+        n = rnd.nextInt(9) // 0..8 rows per bucket
+        id <- rnd.shuffle((0 until 30).toList).take(n)
+      } yield (key % 4, (key / 4).toLong, id.toLong)
+      val buckets = rows.toDF("band", "bh", "doc_id")
+      val cap = 6
+      val grouped = MinHash.bucketPairs(buckets, Seq("band", "bh"), "doc_id", cap)
+        .distinct().as[(Long, Long)].collect().toSet
+      val capped = MinHash.capBuckets(buckets, Seq("band", "bh"), cap)
+      val joined = capped.as("a").join(capped.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct().as[(Long, Long)].collect().toSet
+      assert(grouped === joined, s"round $round: grouped != joined")
+    }
+  }
+
   test("capBuckets is plan-pure: constructing q32/q38 frames launches zero jobs") {
     // Round-8 shape ran a key-count job + localCheckpoint at CONSTRUCTION
     // time, so explain()/PlanAudit/catalog sweeps launched Spark jobs. The
