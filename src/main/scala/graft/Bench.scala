@@ -23,27 +23,18 @@ object Bench {
   private val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS",
     Runtime.getRuntime.availableProcessors().toString)
 
-  /** Fixed pure-CPU canary (no Spark, no I/O): ~0.2-0.3 s of 64-bit mixing
-    * on a quiet box, timed immediately before every rep. A rep whose canary
-    * exceeds 1.5x the run's median canary ran in a degraded-host window —
-    * its time is discarded and the rep retried. Rationale: the
-    * corroborated-min rule alone cannot detect a SUSTAINED slowdown (both
-    * reps inflate together and corroborate each other — the round-8 bench
-    * recorded five queries at 7-12x their true numbers this way). Every
-    * per-query JSON line records the query's canary values, so even a run
-    * where the WHOLE window was slow (median itself inflated — nothing
-    * discardable) is visibly polluted to any later reader comparing
-    * canaries across rounds.
+  /** Host-health canary ([[HostCanary]]), timed immediately before every
+    * rep. A rep whose canary exceeds 1.5x the run's median canary ran in a
+    * degraded-host window — its time is discarded and the rep retried.
+    * Rationale: the corroborated-min rule alone cannot detect a SUSTAINED
+    * slowdown (both reps inflate together and corroborate each other — the
+    * round-8 bench recorded five queries at 7-12x their true numbers this
+    * way). Every per-query JSON line records the query's canary values, so
+    * even a run where the WHOLE window was slow (median itself inflated —
+    * nothing discardable) is visibly polluted to any later reader
+    * comparing canaries across rounds.
     */
-  private def canarySec(): Double = {
-    val t0 = System.nanoTime()
-    var h = 0x9E3779B97F4A7C15L
-    var i = 0
-    while (i < 150000000) { h = (h ^ (h >>> 33)) * 0xFF51AFD7ED558CCDL + i; i += 1 }
-    canarySink += h // defeat dead-code elimination of the loop
-    (System.nanoTime() - t0) / 1e9
-  }
-  private var canarySink = 0L
+  private def canarySec(): Double = HostCanary.sec()
   private val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

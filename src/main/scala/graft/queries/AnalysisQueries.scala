@@ -633,12 +633,64 @@ object AnalysisQueries {
     //     no global sort, no window); the gate formulation adds the
     //     per-shard position explicitly. New seed => fresh decorrelated
     //     permutation per epoch (EpochShuffleSpec pins permutation,
-    //     balance, determinism, and seed sensitivity). Hash values are
-    //     engine-specific => rows-only gate. ---
+    //     balance, determinism, and seed sensitivity). Oracle: Spark's
+    //     XxHash64 over an 8-byte little-endian long is a fixed, public
+    //     formula (seed + PRIME5 + 8; one mul/rotl31/mul round; one
+    //     rotl27·PRIME1+PRIME4 fold; the standard avalanche), reproduced
+    //     here with HUGEINT arithmetic — 64×64-bit products split at 2^32
+    //     because a full product overflows HUGEINT, rotations as
+    //     mul/div by powers of two, xor natively. pmod(h, 8) equals the
+    //     unsigned value mod 8 since 8 divides 2^64. ---
     Q("q105_epoch_shuffle",
       (s, dir) =>
         epochShuffle(Tables(s, dir, "documents"), seed = 2026L, nShards = 8),
-      None),
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    doc_id::HUGEINT AS lu, -- doc ids are non-negative
+             |    11400714785074694791::HUGEINT AS p1,
+             |    14029467366897019727::HUGEINT AS p2,
+             |    1609587929392839161::HUGEINT AS p3,
+             |    9650029242287828579::HUGEINT AS p4,
+             |    (2026 + 2870177450012600261::HUGEINT + 8)
+             |      % 18446744073709551616::HUGEINT AS h0,
+             |    ((lu % 4294967296) * (p2 % 4294967296)
+             |      + ((lu // 4294967296) * (p2 % 4294967296)
+             |         + (lu % 4294967296) * (p2 // 4294967296)) * 4294967296)
+             |      % 18446744073709551616::HUGEINT AS k1,
+             |    (k1 * 2147483648 + k1 // 8589934592)
+             |      % 18446744073709551616::HUGEINT AS k2,
+             |    ((k2 % 4294967296) * (p1 % 4294967296)
+             |      + ((k2 // 4294967296) * (p1 % 4294967296)
+             |         + (k2 % 4294967296) * (p1 // 4294967296)) * 4294967296)
+             |      % 18446744073709551616::HUGEINT AS k3,
+             |    xor(h0, k3) AS h1,
+             |    (h1 * 134217728 + h1 // 137438953472)
+             |      % 18446744073709551616::HUGEINT AS h1r,
+             |    (((h1r % 4294967296) * (p1 % 4294967296)
+             |      + ((h1r // 4294967296) * (p1 % 4294967296)
+             |         + (h1r % 4294967296) * (p1 // 4294967296)) * 4294967296)
+             |     + p4) % 18446744073709551616::HUGEINT AS h2,
+             |    xor(h2, h2 // 8589934592) AS f1,
+             |    ((f1 % 4294967296) * (p2 % 4294967296)
+             |      + ((f1 // 4294967296) * (p2 % 4294967296)
+             |         + (f1 % 4294967296) * (p2 // 4294967296)) * 4294967296)
+             |      % 18446744073709551616::HUGEINT AS f2,
+             |    xor(f2, f2 // 536870912) AS f3,
+             |    ((f3 % 4294967296) * (p3 % 4294967296)
+             |      + ((f3 // 4294967296) * (p3 % 4294967296)
+             |         + (f3 % 4294967296) * (p3 // 4294967296)) * 4294967296)
+             |      % 18446744073709551616::HUGEINT AS f4,
+             |    xor(f4, f4 // 4294967296) AS f5,
+             |    CASE WHEN f5 >= 9223372036854775808::HUGEINT
+             |         THEN (f5 - 18446744073709551616::HUGEINT)::BIGINT
+             |         ELSE f5::BIGINT END AS h
+             |  FROM documents),
+             |r AS (SELECT (f5 % 8)::INTEGER AS shard,
+             |        row_number() OVER (PARTITION BY f5 % 8
+             |          ORDER BY h, doc_id)::INTEGER AS pos,
+             |        doc_id
+             |      FROM s)
+             |SELECT shard, pos, doc_id FROM r ORDER BY shard, pos""".stripMargin)),
 
     // --- DSIR importance weights (Xie et al. 2023, "Data Selection for
     //     Language Models via Importance Resampling"): score every raw doc

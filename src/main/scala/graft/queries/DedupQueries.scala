@@ -552,8 +552,13 @@ object DedupQueries {
     //     explode-to-(doc,bit,±1) alternative pushes 64x every token row
     //     through an exchange, and at 100 TB that shuffle IS the job).
     //     Pair generation via 4x16-bit chunk pigeonhole (hamming <= 3 =>
-    //     at least one chunk equal), verified by bit_count(xor).
-    //     Hash family is engine-internal -> no SQL oracle (rows-only). ---
+    //     at least one chunk equal), verified by bit_count(xor). Oracle:
+    //     Spark's XxHash64 over a token's UTF-8 bytes is the public XXH64
+    //     algorithm, reproduced in generated DuckDB CTEs ([[XxhSql]]) —
+    //     one HUGEINT step per round (64x64 products split at 2^32), the
+    //     simhash fold as a (doc, bit) sum over a 64-row powers table,
+    //     and the pairs brute-forced (pigeonhole candidates == the full
+    //     hamming<=3 set by construction, so results agree exactly). ---
     Q("q34_dedup_simhash",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
@@ -581,7 +586,7 @@ object DedupQueries {
           .filter(col("hamming") <= 3)
           .orderBy(col("id_a"), col("id_b"))
       },
-      None),
+      Some(XxhSql.simhashOracle)),
 
     // --- embedding-cosine near-dup, exact bounded twin: all-pairs cosine
     //     on an explicitly bounded id slice (like q33 for shingles) — the

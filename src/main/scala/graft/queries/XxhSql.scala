@@ -1,0 +1,113 @@
+package graft.queries
+
+/** DuckDB SQL generator reproducing Spark's `xxhash64` — the public XXH64
+  * algorithm (Collet; also `org.apache.spark.sql.catalyst.expressions.XXH64`)
+  * — in HUGEINT arithmetic, so hash-dependent queries (q34 SimHash, and the
+  * hand-inlined long variant in q105) can be cross-engine oracled instead of
+  * rows-only. Techniques:
+  *
+  *  - all state lives in [0, 2^64) as HUGEINT; every multiply-accumulate is
+  *    taken mod 2^64 explicitly (DuckDB UBIGINT arithmetic ERRORS on
+  *    overflow rather than wrapping);
+  *  - a 64x64-bit product can reach 2^128, which overflows HUGEINT too, so
+  *    multiplication is split at 2^32: lo64(a*b) = (a0*b0 + 2^32*(a1*b0 +
+  *    a0*b1)) mod 2^64 (the a1*b1 term is ≡ 0);
+  *  - rotations are mul/div by powers of two; xor is native;
+  *  - each algorithm step is its OWN chained CTE — DuckDB substitutes
+  *    lateral column aliases textually, so nesting the steps in one SELECT
+  *    explodes exponentially (measured: un-plannable at 8 steps);
+  *  - string input is decoded as `unicode(ch)` per character, which equals
+  *    the UTF-8 byte for ASCII corpora only (same BMP caveat as the q53
+  *    rolling-hash oracle), and the generated chain covers inputs of at
+  *    most 8 bytes (one optional 8-byte lane, one optional 4-byte lane, up
+  *    to 3 tail bytes — the corpus' whitespace tokens are <= 8 bytes; a
+  *    longer token would hash wrong and FAIL the gate loudly, not pass
+  *    silently).
+  */
+private[queries] object XxhSql {
+  private val M  = "18446744073709551616::HUGEINT" // 2^64
+  private val P1 = BigInt("11400714785074694791")
+  private val P2 = BigInt("14029467366897019727")
+  private val P3 = BigInt("1609587929392839161")
+  private val P4 = BigInt("9650029242287828579")
+  private val P5 = BigInt("2870177450012600261")
+
+  private def lit(v: BigInt): String = s"$v::HUGEINT"
+
+  /** lo64(a*b) with the 2^32 split (see scaladoc). */
+  private def mm(a: String, b: String): String =
+    s"((($a)%4294967296)*(($b)%4294967296)" +
+      s"+((($a)//4294967296)*(($b)%4294967296)" +
+      s"+(($a)%4294967296)*(($b)//4294967296))*4294967296)%$M"
+
+  private def rotl(x: String, r: Int): String =
+    s"((($x)*${BigInt(1) << r}+($x)//${BigInt(1) << (64 - r)})%$M)"
+
+  /** Chained CTEs computing the XXH64 (seed 7) of a <=8-byte string: input
+    * relation `b` must provide (t, bs, n) — token, per-char codepoint list
+    * as HUGEINT, byte length. Returns (cteSql, finalCteName); the final CTE
+    * exposes `f5` (unsigned hash) alongside the input columns. */
+  def tokenHashCtes(seed: Long = 7L): (String, String) = {
+    val w8 = (0 until 8).map(i => s"bs[${i + 1}]*${BigInt(256).pow(i)}").mkString("+")
+    val w4 = (0 until 4).map(i => s"bs[${i + 1}]*${BigInt(256).pow(i)}").mkString("+")
+    val steps = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    steps += ((s"($seed+${lit(P5)}+n)%$M", "h0"))
+    steps += ((s"CASE WHEN n=8 THEN $w8 ELSE NULL END", "w8"))
+    steps += ((s"CASE WHEN n<8 AND n>=4 THEN $w4 ELSE NULL END", "w4"))
+    steps += (("CASE WHEN n=8 THEN [] WHEN n>=4 THEN bs[5:] ELSE bs END", "tl"))
+    steps += ((s"CASE WHEN w8 IS NULL THEN NULL ELSE ${mm(rotl(mm("w8", lit(P2)), 31), lit(P1))} END", "wk"))
+    steps += ((s"CASE WHEN wk IS NULL THEN h0 ELSE (${mm(rotl("xor(h0,wk)", 27), lit(P1))}+${lit(P4)})%$M END", "h1"))
+    steps += ((s"CASE WHEN w4 IS NULL THEN h1 ELSE (${mm(rotl("xor(h1," + mm("w4", lit(P1)) + ")", 23), lit(P2))}+${lit(P3)})%$M END", "h2"))
+    var prev = "h2"
+    (0 until 3).foreach { j =>
+      val e = mm(rotl(s"xor($prev,(tl[${j + 1}]*${lit(P5)})%$M)", 11), lit(P1))
+      steps += ((s"CASE WHEN len(tl)>$j THEN $e ELSE $prev END", s"h3_$j"))
+      prev = s"h3_$j"
+    }
+    steps += ((s"xor($prev,$prev//${BigInt(1) << 33})", "f1"))
+    steps += ((mm("f1", lit(P2)), "f2"))
+    steps += ((s"xor(f2,f2//${BigInt(1) << 29})", "f3"))
+    steps += ((mm("f3", lit(P3)), "f4"))
+    steps += ((s"xor(f4,f4//${BigInt(1) << 32})", "f5"))
+    var from = "b"
+    val ctes = steps.zipWithIndex.map { case ((expr, col), i) =>
+      val s = s"hc$i AS (SELECT *, $expr AS $col FROM $from)"
+      from = s"hc$i"
+      s
+    }
+    (ctes.mkString(",\n"), from)
+  }
+
+  /** The complete q34 oracle: distinct-token XXH64 CTEs + the per-(doc,
+    * bit) simhash majority fold + brute-force hamming<=3 pairs (the Spark
+    * side's 16-bit-chunk pigeonhole generates a candidate superset of the
+    * hamming<=3 set, so post-filter both engines return the same rows). */
+  def simhashOracle: String = {
+    val (hashCtes, finalCte) = tokenHashCtes(seed = 7L)
+    val pow2 = (0 until 64).map(b => s"($b,${BigInt(1) << b}::HUGEINT)").mkString(",")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+       |toks AS (SELECT DISTINCT t FROM tok),
+       |b AS (SELECT t, [unicode(ch)::HUGEINT FOR ch IN string_split(t,'')] AS bs,
+       |             len(t)::HUGEINT AS n FROM toks),
+       |$hashCtes,
+       |th AS (SELECT t, f5 FROM $finalCte),
+       |j AS (SELECT doc_id, f5 FROM tok JOIN th USING (t)),
+       |p(bit, p2) AS (VALUES $pow2),
+       |bs2 AS (SELECT doc_id, p.p2,
+       |          sum(CASE WHEN (f5 // p.p2) % 2 = 1 THEN 1 ELSE -1 END) AS s
+       |        FROM j CROSS JOIN p GROUP BY doc_id, p.p2),
+       |su AS (SELECT doc_id,
+       |         sum(CASE WHEN s > 0 THEN p2 ELSE 0::HUGEINT END) AS sim
+       |       FROM bs2 GROUP BY doc_id),
+       |sv AS (SELECT doc_id,
+       |         CASE WHEN sim >= 9223372036854775808::HUGEINT
+       |              THEN (sim - 18446744073709551616::HUGEINT)::BIGINT
+       |              ELSE sim::BIGINT END AS simb
+       |       FROM su),
+       |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         bit_count(xor(a.simb, b.simb))::INTEGER AS hamming
+       |       FROM sv a JOIN sv b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+}

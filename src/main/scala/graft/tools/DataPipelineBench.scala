@@ -59,13 +59,18 @@ object DataPipelineBench {
     val gb = corpus.agg(sum(length(col("text")))).head().getLong(0) / 1e9
 
     val outDir = s"$workDir/out_$tag"
+    graft.HostCanary.sec() // JIT-warm
+    val cPre = graft.HostCanary.sec()
     val t0 = System.nanoTime()
     val counts = run(spark, corpus, benchmark, outDir)
-    val secs = (System.nanoTime() - t0) / 1e9
+    val secs  = (System.nanoTime() - t0) / 1e9
+    val cPost = graft.HostCanary.sec()
     val gbPerHr = gb / (secs / 3600.0)
 
+    // canary_pre/post: host-health context bracketing the run — see
+    // graft.HostCanary
     val countsJson = counts.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-    println(f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,$countsJson}""")
+    println(f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,$countsJson}""")
     System.out.flush()
     spark.stop()
   }

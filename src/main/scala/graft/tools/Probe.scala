@@ -42,18 +42,11 @@ object Probe {
     // need, so the two modes can legitimately measure different work —
     // compare both before calling a bench number noise)
     val useNoop = sys.env.contains("PROBE_NOOP")
-    // same fixed pure-CPU canary as graft.Bench: ~0.2-0.3 s on a quiet
-    // box, printed per rep so a probe taken in a degraded-host window is
+    // same fixed pure-CPU canary as graft.Bench (graft.HostCanary),
+    // printed per rep so a probe taken in a degraded-host window is
     // visibly degraded (don't adjudicate bench numbers with an
     // uncanaried probe)
-    def canarySec(): Double = {
-      val t0 = System.nanoTime()
-      var h = 0x9E3779B97F4A7C15L
-      var i = 0
-      while (i < 150000000) { h = (h ^ (h >>> 33)) * 0xFF51AFD7ED558CCDL + i; i += 1 }
-      if (h == 42L) print("") // defeat dead-code elimination
-      (System.nanoTime() - t0) / 1e9
-    }
+    def canarySec(): Double = graft.HostCanary.sec()
     canarySec() // JIT-warm the canary loop itself
     (1 to reps).foreach { i =>
       val c  = canarySec()

@@ -66,15 +66,20 @@ object ThroughputBench {
       collections  = in.resolve("collections").toString,
       phrases      = in.resolve("phrases").toString)
 
+    graft.HostCanary.sec() // JIT-warm
+    val cPre = graft.HostCanary.sec()
     val t0 = System.nanoTime()
     VspacePipeline.run(spark, cfg)
-    val secs = (System.nanoTime() - t0) / 1e9
+    val secs  = (System.nanoTime() - t0) / 1e9
+    val cPost = graft.HostCanary.sec()
 
     val gb      = corpusBytes / 1e9
     val gbPerHr = gb / (secs / 3600.0)
     // Reference context at the same core count (4 exec x 8 cores): 1 GB
     // ≤6g = 0.15 h => 6.7 GB/h; sustained 100-265 GB => 18-20 GB/h.
-    println(f"""{"metric":"throughput","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"ngrams":6,"ref_1gb_gb_per_hour":6.7,"ref_sustained_gb_per_hour":19.5}""")
+    // canary_pre/post: host-health context bracketing the run (~0.25 s on
+    // a quiet box) — see graft.HostCanary.
+    println(f"""{"metric":"throughput","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"ngrams":6,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"ref_1gb_gb_per_hour":6.7,"ref_sustained_gb_per_hour":19.5}""")
     System.out.flush()
     spark.stop()
   }
