@@ -24,13 +24,37 @@ object MultimodalQueries {
              |octet_length(encode(text)) AS n_bytes
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // --- feature extraction over binary payloads (documents-as-media:
+    //     payload = UTF-8 text bytes). Oracle: both per-payload folds are
+    //     small-multiplier mod-2^64 recurrences — the checksum
+    //     (crc*1000003 + byte, the q53 HUGEINT list_reduce technique) and
+    //     the stub decoder's dimension hash (h*31 + byte from 17, then
+    //     width = (h & 0x3ff)+16 = h mod 1024 + 16 and height the next
+    //     10 bits) — so the whole feature row is cross-engine checkable.
+    //     ASCII corpus: byte == codepoint (the q53 BMP caveat). ---
     Q("q71_media_features",
       (s, dir) => {
         Multimodal.extractFeatures(Multimodal.documentsAsMedia(s, dir))
           .toDF()
           .orderBy(col("media_id"))
       },
-      None),
+      Some("""WITH d AS (SELECT doc_id,
+             |  [unicode(ch)::HUGEINT FOR ch IN string_split(text,'')] AS bs,
+             |  octet_length(encode(text))::BIGINT AS n_bytes FROM documents),
+             |f AS (SELECT doc_id, n_bytes,
+             |  list_reduce(list_prepend(0::HUGEINT, bs),
+             |    (a, b) -> (a*1000003 + b) % 18446744073709551616::HUGEINT)
+             |    AS crc_u,
+             |  list_reduce(list_prepend(17::HUGEINT, bs),
+             |    (a, b) -> (a*31 + b) % 18446744073709551616::HUGEINT) AS h_u
+             |  FROM d)
+             |SELECT doc_id AS media_id, 'text' AS kind, n_bytes,
+             |  CASE WHEN crc_u >= 9223372036854775808::HUGEINT
+             |       THEN (crc_u - 18446744073709551616::HUGEINT)::BIGINT
+             |       ELSE crc_u::BIGINT END AS checksum,
+             |  (h_u % 1024 + 16)::INTEGER AS width,
+             |  ((h_u // 1024) % 1024 + 16)::INTEGER AS height
+             |FROM f ORDER BY media_id""".stripMargin)),
 
     // --- REAL codec path: a deterministic PNG is encoded per document
     //     (dims = pure function of doc_id) and decoded back via the JDK's

@@ -301,7 +301,10 @@ object TextQueries {
     //     against their exact counts. CMS is ONE-SIDED (est >= exact
     //     always) and over-estimates by at most eps x total stream length
     //     w.p. conf — both properties are reported in-engine per row and
-    //     pinned by CmsSpec. Sketch internals -> rows-only gate. ---
+    //     pinned by CmsSpec. Oracle: the sketch is REBUILT exactly —
+    //     Spark's CMS buckets strings with double hashing over the public
+    //     Murmur3_x86_32 (bucket_i = |rem(h1 + i*h2, width)|), reproduced
+    //     in generated DuckDB CTEs (queries/XxhSql.cmsOracle). ---
     Q("q97_cms_frequency",
       (s, dir) => {
         val toks = tokens(Tables(s, dir, "documents"))
@@ -323,7 +326,7 @@ object TextQueries {
         }.toDF("token", "exact_n", "est_n", "one_sided", "overest_frac")
           .orderBy(col("exact_n").desc, col("token"))
       },
-      None),
+      Some(XxhSql.cmsOracle)),
 
     // --- PMI of adjacent token pairs (pointwise mutual information, the
     //     classic collocation / word-association statistic; Church & Hanks

@@ -78,6 +78,101 @@ private[queries] object XxhSql {
     (ctes.mkString(",\n"), from)
   }
 
+  // ---------------------------------------------------------------------
+  // Murmur3_x86_32 (the public 32-bit MurmurHash3; Spark's
+  // Murmur3_x86_32.hashUnsafeBytes) for <=8-byte strings — the hash the
+  // built-in count_min_sketch derives its double-hashing buckets from.
+  // All state lives in [0, 2^32); 32x32 products fit UBIGINT-range HUGEINT
+  // directly (no split needed). Tail bytes are mixed ONE PER BLOCK (the
+  // hashUnsafeBytes byte-at-a-time tail, not standard murmur's packed
+  // tail).
+  // ---------------------------------------------------------------------
+
+  private val M32 = "4294967296::HUGEINT" // 2^32
+
+  private def mixK1(k: String): String = {
+    val m1 = s"((($k)*3432918353::HUGEINT)%$M32)"           // *0xcc9e2d51
+    val r  = s"((($m1)*32768+($m1)//131072)%$M32)"          // rotl15
+    s"((($r)*461845907::HUGEINT)%$M32)"                     // *0x1b873593
+  }
+
+  private def mixH1(h: String, k: String): String = {
+    val x = s"xor($h,$k)"
+    val r = s"((($x)*8192+($x)//524288)%$M32)"              // rotl13
+    s"((($r)*5+3864292196::HUGEINT)%$M32)"                  // *5 + 0xe6546b64
+  }
+
+  /** Chained CTEs computing Murmur3_x86_32 of a <=8-byte string over input
+    * relation `from` (must provide bs, n and the seed column/expr `seed`);
+    * CTE names get `tag` appended so two chains (h1 and h2 = seeded by h1)
+    * can coexist. The final CTE exposes the hash as column `mh$tag`. */
+  private def murmurCtes(from: String, seed: String, tag: String): (String, String) = {
+    val w1 = (0 until 4).map(i => s"bs[${i + 1}]*${BigInt(256).pow(i)}").mkString("+")
+    val w2 = (4 until 8).map(i => s"bs[${i + 1}]*${BigInt(256).pow(i - 4)}").mkString("+")
+    val steps = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    steps += ((s"($seed)%$M32", s"g0$tag"))
+    steps += ((s"CASE WHEN n>=4 THEN ${mixH1(s"g0$tag", mixK1(s"($w1)"))} ELSE g0$tag END", s"g1$tag"))
+    steps += ((s"CASE WHEN n=8 THEN ${mixH1(s"g1$tag", mixK1(s"($w2)"))} ELSE g1$tag END", s"g2$tag"))
+    // tail bytes: positions after the aligned length (none when n is 8)
+    var prev = s"g2$tag"
+    (0 until 3).foreach { j =>
+      val byte = s"bs[((n//4)*4+${j + 1})::BIGINT]"
+      steps += ((s"CASE WHEN n%4>$j THEN ${mixH1(prev, mixK1(byte))} ELSE $prev END", s"g3_$j$tag"))
+      prev = s"g3_$j$tag"
+    }
+    // fmix32 with length
+    steps += ((s"xor(xor($prev,n),xor($prev,n)//65536)", s"g4$tag"))
+    steps += ((s"((g4$tag*2246822507::HUGEINT)%$M32)", s"g5$tag"))          // *0x85ebca6b
+    steps += ((s"xor(g5$tag,g5$tag//8192)", s"g6$tag"))
+    steps += ((s"((g6$tag*3266489909::HUGEINT)%$M32)", s"g7$tag"))          // *0xc2b2ae35
+    steps += ((s"xor(g7$tag,g7$tag//65536)", s"mh$tag"))
+    var f = from
+    val ctes = steps.zipWithIndex.map { case ((expr, col), i) =>
+      val s = s"mc$i$tag AS (SELECT *, $expr AS $col FROM $f)"
+      f = s"mc$i$tag"
+      s
+    }
+    (ctes.mkString(",\n"), f)
+  }
+
+  /** The complete q97 oracle: rebuild the count-min sketch exactly —
+    * bucket_i(t) = |javaRem(toSigned32(h1 + i*h2), width)| with
+    * h1 = murmur3(t, 0), h2 = murmur3(t, h1) (the double-hashing scheme
+    * the built-in sketch uses), table cells as (row, bucket) sums over the
+    * token stream, estimates as the per-token min cell. width 2000 and
+    * depth 7 are ceil(2/eps) and ceil(-log2(1-confidence)) for the query's
+    * (0.001, 0.99). */
+  def cmsOracle: String = {
+    val (m1Ctes, m1Final) = murmurCtes("b", "0::HUGEINT", "a")
+    val (m2Ctes, m2Final) = murmurCtes(m1Final, "mha", "b")
+    val rows = (0 until 7).map(i => s"($i)").mkString(",")
+    s"""WITH tok AS (SELECT unnest(string_split(text,' ')) AS t FROM documents),
+       |cnt AS (SELECT t, count(*) AS n_tok FROM tok GROUP BY t),
+       |b AS (SELECT t, [unicode(ch)::HUGEINT FOR ch IN string_split(t,'')] AS bs,
+       |             len(t)::HUGEINT AS n FROM (SELECT DISTINCT t FROM tok)),
+       |$m1Ctes,
+       |$m2Ctes,
+       |hh AS (SELECT t, mha AS h1, mhb AS h2 FROM $m2Final),
+       |d(i) AS (VALUES $rows),
+       |bk AS (SELECT t, i,
+       |         (CASE WHEN v >= 2147483648::HUGEINT
+       |               THEN 4294967296::HUGEINT - v ELSE v END) % 2000 AS bucket
+       |       FROM (SELECT t, i, (h1 + i*h2) % 4294967296::HUGEINT AS v
+       |             FROM hh CROSS JOIN d)),
+       |tbl AS (SELECT i, bucket, sum(n_tok) AS cell
+       |        FROM bk JOIN cnt USING (t) GROUP BY i, bucket),
+       |est AS (SELECT t, min(cell)::BIGINT AS est_n
+       |        FROM bk JOIN tbl USING (i, bucket) GROUP BY t),
+       |total AS (SELECT count(*) AS tot FROM tok),
+       |top AS (SELECT t, n_tok AS exact_n FROM cnt
+       |        ORDER BY n_tok DESC, t LIMIT 20)
+       |SELECT t AS token, exact_n, est_n, est_n >= exact_n AS one_sided,
+       |       round((est_n - exact_n)::DOUBLE / greatest(tot, 1), 6)
+       |         AS overest_frac
+       |FROM top JOIN est USING (t) CROSS JOIN total
+       |ORDER BY exact_n DESC, token""".stripMargin
+  }
+
   /** The complete q34 oracle: distinct-token XXH64 CTEs + the per-(doc,
     * bit) simhash majority fold + brute-force hamming<=3 pairs (the Spark
     * side's 16-bit-chunk pigeonhole generates a candidate superset of the
