@@ -113,32 +113,52 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warmup $n: $e") }
       spark.catalog.clearCache()
       System.gc()
-      val times     = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val qCanaries = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var attempts  = 0
-      def rep(): Unit = {
+      val times      = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val qCanaries  = scala.collection.mutable.ArrayBuffer.empty[Double] // accepted reps
+      val qAllCan    = scala.collection.mutable.ArrayBuffer.empty[Double] // incl. skipped
+      var attempts   = 0
+      def rep(force: Boolean): Unit = {
         attempts += 1
         val c = canarySec()
-        canaries += c; qCanaries += c
+        qAllCan += c
+        // Degradation is judged against the CLEAN-rep median only: feeding
+        // degraded samples back into the pool would drift the median up
+        // during a sustained mid-run slowdown until inflated reps pass the
+        // 1.5x test and ship as corroborated minimums — the exact failure
+        // mode this canary exists to catch. A rep in a degraded window is
+        // SKIPPED (running the query 7-12x slow just to discard the time
+        // multiplies the whole run's wall clock for zero information);
+        // after a short pause the canary is re-probed.
         val degraded = c > 1.5 * median(canaries.toSeq)
-        val t0 = System.nanoTime()
-        try {
-          execute(n)
-          val dt = (System.nanoTime() - t0) / 1e9
-          if (degraded) System.err.println(
-            f"[bench] $n: rep discarded — canary $c%.2f s > 1.5x run median " +
+        if (degraded && !force) {
+          System.err.println(
+            f"[bench] $n: rep skipped — canary $c%.2f s > 1.5x clean median " +
               f"${median(canaries.toSeq)}%.2f s (degraded-host window)")
-          else times += dt
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] timed $n: $e") }
+          Thread.sleep(2000)
+        } else {
+          if (!degraded) canaries += c
+          qCanaries += c
+          val t0 = System.nanoTime()
+          try { execute(n); times += (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] timed $n: $e") }
+        }
       }
-      rep(); rep()
+      rep(force = false); rep(force = false)
       while (attempts < MaxAttempts &&
-          (times.size < 2 || times.count(_ <= times.min * 1.2) < 2)) rep()
+          (times.size < 2 || times.count(_ <= times.min * 1.2) < 2))
+        rep(force = false)
+      // Sustained degradation can skip every attempt; one forced rep then
+      // reports a NUMBER with its (visibly degraded) canary next to it —
+      // more useful than a -1, and impossible to mistake for clean.
+      if (times.isEmpty) rep(force = true)
       val best = if (times.nonEmpty) times.min else -1.0
-      val qc   = median(qCanaries.toSeq)
+      // canary context: accepted reps where any exist (a clean min must
+      // not carry a degraded-looking canary from skipped attempts)
+      val qc = median(if (qCanaries.nonEmpty) qCanaries.toSeq else qAllCan.toSeq)
+      val clean = times.size >= 2 && times.count(_ <= times.min * 1.2) >= 2
       // incremental per-query line — parseable even if the run dies later
-      println(f"""{"metric":"query","name":"$n","value":$best,"unit":"sec","canary":$qc%.3f,"sf":"$sfDir"}""")
+      println(f"""{"metric":"query","name":"$n","value":$best,"unit":"sec","canary":$qc%.3f,"corroborated":$clean,"sf":"$sfDir"}""")
       System.out.flush()
       (n, best, qc)
     }

@@ -138,7 +138,9 @@ object MinHash {
       // several bucket tables (e.g. index + probe sides), hence the counter
       .observe(s"graft.lsh.cap.${capId.incrementAndGet()}",
         count(lit(1)).as("hot_buckets"),
-        coalesce(sum(col("bucket_n")), lit(0L)).as("hot_rows"))
+        coalesce(sum(col("bucket_n")), lit(0L)).as("hot_rows"),
+        first(lit(s"capBuckets(${keyCols.mkString(",")}) cap=$cap"))
+          .as("cap_site"))
     registerCapLogger(buckets.sparkSession)
     buckets.join(broadcast(hot.select(keys: _*)), keyCols, "left_anti")
   }
@@ -183,14 +185,31 @@ object MinHash {
   def bucketPairs(buckets: DataFrame, keyCols: Seq[String], idCol: String,
       cap: Int = MaxBucketSize): DataFrame = {
     val ids = col("__ids")
+    // The id collector must hold at most cap+1 elements of aggregation
+    // state per group: a plain collect_list materializes a hot bucket's
+    // ENTIRE id array before the size filter can drop it, which on the
+    // motivating input (one key shared by 10^8+ boilerplate rows at corpus
+    // scale) is an executor OOM, not a cap. The bounded-heap top_k keeps
+    // cap+1 smallest ids — enough to prove oversize — while the exact
+    // bucket_n count (O(1) state) drives the filter and the drop metrics,
+    // and any SURVIVING bucket (n <= cap < cap+1) kept all its ids, so
+    // results are identical to the unbounded collect. For effectively
+    // uncapped calls (cap near Int.MaxValue — the spec's equivalence
+    // twin), cap+1 would overflow and a cap-sized heap is meaningless, so
+    // fall back to collect_list.
+    val collector =
+      if (cap >= (1 << 20)) collect_list(col(idCol))
+      else graft.functions.top_k(col(idCol), cap + 1, smallest = true)
     val agged = buckets.groupBy(keyCols.map(col): _*)
-      .agg(collect_list(col(idCol)).as("__ids"))
+      .agg(collector.as("__ids"), count(lit(1)).as("__n"))
       .observe(s"graft.lsh.cap.${capId.incrementAndGet()}",
-        coalesce(sum(when(size(ids) > cap, 1L)), lit(0L)).as("hot_buckets"),
-        coalesce(sum(when(size(ids) > cap, size(ids).cast("long"))), lit(0L))
-          .as("hot_rows"))
+        coalesce(sum(when(col("__n") > cap, 1L)), lit(0L)).as("hot_buckets"),
+        coalesce(sum(when(col("__n") > cap, col("__n"))), lit(0L))
+          .as("hot_rows"),
+        first(lit(s"bucketPairs(${keyCols.mkString(",")}) cap=$cap"))
+          .as("cap_site"))
     registerCapLogger(buckets.sparkSession)
-    agged.filter(size(ids) <= cap)
+    agged.filter(col("__n") <= cap)
       // all unordered pairs of the bucket: for element i, pair it with
       // every LATER element (slice is 1-based; transform's index 0-based;
       // slice length size(ids) rather than `cap` — start+cap can overflow
@@ -201,6 +220,10 @@ object MinHash {
           struct(least(x, y).as("id_a"), greatest(x, y).as("id_b"))))))
         .as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      // guard the join-form contract (a.id < b.id) against a caller whose
+      // bucket frame repeats an id under one key: least/greatest would
+      // emit a self-pair there where the strict self-join emitted nothing
+      .filter(col("id_a") =!= col("id_b"))
   }
 
   private val capId = new java.util.concurrent.atomic.AtomicLong()
@@ -221,11 +244,14 @@ object MinHash {
               qe: org.apache.spark.sql.execution.QueryExecution,
               durationNs: Long): Unit =
             qe.observedMetrics.foreach { case (name, row) =>
-              if (name.startsWith("graft.lsh.cap.") && row.getLong(0) > 0L)
+              if (name.startsWith("graft.lsh.cap.") && row.getLong(0) > 0L) {
+                val site = if (row.length > 2 && !row.isNullAt(2))
+                  row.getString(2) else "?"
                 System.err.println(
-                  s"[graft] MinHash.capBuckets: dropped ${row.getLong(0)} " +
+                  s"[graft] MinHash $site: dropped ${row.getLong(0)} " +
                     s"oversized bucket(s) (${row.getLong(1)} rows total) — " +
                     "members are near-identical content owned by exact dedup")
+              }
             }
           override def onFailure(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution,

@@ -138,7 +138,13 @@ object DataPipelineBench {
     // self-join needed it for its two references) cached ~7.5 GB in the
     // 8 GB heap and starved the aggregation's execution memory into a
     // spill-reader OOM at merge time
+    // explicit keyCols repartition per bucketPairs' sizing contract: user
+    // repartitions are exempt from AQE coalescing, which would size the
+    // aggregation exchange by its compact 8-byte-id bytes — blind to the
+    // up-to-cap/2x row inflation of the downstream in-row expansion
     val buckets = graft.operators.MinHash.bandKeys(docsText, "text", Seq("doc_id"))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("band"), col("bh"))
     lap("  near:bands")
     // grouped candidate generation (MinHash.bucketPairs, the q32 shape):
     // one bucket-keyed shuffle, in-row pair expansion bounded by the

@@ -145,13 +145,13 @@ class LshBucketCapSpec extends SparkSpec {
     // generators — the frames capBuckets participates in — runs no job.
     // (q36 = this + connected components, q95 = this + an index WRITE;
     // those run jobs by design of their iterative/materializing stages.)
-    val jobs = new java.util.concurrent.atomic.AtomicInteger()
-    val l = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
-    }
-    spark.sparkContext.addSparkListener(l)
+    // Scoped by JOB GROUP, not a raw job counter: job groups are
+    // thread-local, so any job launched by THIS thread's construction
+    // lands in the group, while async listener-bus stragglers from
+    // earlier tests (which would flake a global counter) belong to other
+    // groups and are invisible to the assertion.
+    val group = "lsh-plan-purity"
+    spark.sparkContext.setJobGroup(group, "plan-purity assertion")
     try {
       DedupQueries.lshVerifiedPairs(docs, 0.7, bucketCap = 50)
         .queryExecution.executedPlan
@@ -159,10 +159,11 @@ class LshBucketCapSpec extends SparkSpec {
       val e = Seq((0L, base), (1L, base)).toDF("vec_id", "v")
       DedupQueries.cosineBucketedPairs(e, 0.9, bucketCap = 40)
         .queryExecution.executedPlan
-      Thread.sleep(1000) // job-start events are async; let any straggle in
-      assert(jobs.get() === 0,
-        s"construction launched ${jobs.get()} job(s); must be plan-pure")
-    } finally spark.sparkContext.removeSparkListener(l)
+      Thread.sleep(1000) // status-store updates are async; let them land
+      val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
+      assert(jobs.isEmpty,
+        s"construction launched ${jobs.length} job(s); must be plan-pure")
+    } finally spark.sparkContext.clearJobGroup()
   }
 
   test("dropped-bucket count surfaces as an observed metric at action time") {
