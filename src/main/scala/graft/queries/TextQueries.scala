@@ -503,9 +503,12 @@ object TextQueries {
     //     agg, capped top-maxVocab via sort-limit); the merge loop runs
     //     on the vocab-sized histogram weighted by counts — the textbook
     //     formulation, identical at any corpus size with the same
-    //     histogram. Deterministic (count ties break lexicographically),
-    //     but no SQL engine expresses the iterative loop => rows-only;
-    //     BpeSpec pins the merge table on the paper's worked example. ---
+    //     histogram. Deterministic (count ties break lexicographically).
+    //     Oracle: the ENTIRE training loop unrolled as 100 materialized
+    //     DuckDB CTE rounds (XxhSql.bpeMergesOracle) — merge application
+    //     as a boundary-aware string replace, argmax + stop rule per
+    //     round; BpeSpec additionally pins the merge table on the paper's
+    //     worked example. ---
     Q("q107_bpe_merges",
       (s, dir) => {
         import s.implicits._
@@ -516,14 +519,17 @@ object TextQueries {
           .toDF("rank", "left", "right", "merged")
           .orderBy(col("rank"))
       },
-      None),
+      Some(XxhSql.bpeMergesOracle(nMerges = 100))),
 
     // --- BPE encode + corpus fertility stats: broadcast merge ranks, one
     //     mapPartitions pass with a per-partition word→pieces memo (Zipf
     //     makes the hit rate the column's dedup rate), then a doc-keyed
     //     join back to the text for the in-engine ROUND-TRIP check —
     //     n_roundtrip_fail MUST be 0 (pieces concatenate to the original
-    //     words), which is this rows-only query's fidelity gate. ---
+    //     words). Oracle: for in-histogram words (all of them), encode ==
+    //     the 30-round training end-state (rank-order application never
+    //     re-enables a lower rank — see XxhSql.bpeEncodeOracle), so the
+    //     fertility stats read straight off the unrolled trainer. ---
     Q("q107b_bpe_encode",
       (s, dir) => {
         val d = fanout(Tables(s, dir, "documents"))
@@ -546,7 +552,7 @@ object TextQueries {
             sum(when(concat_ws("", col("bpe_tokens")) =!= col("squash"), 1L)
               .otherwise(0L)).as("n_roundtrip_fail"))
       },
-      None),
+      Some(XxhSql.bpeEncodeOracle(nMerges = 30))),
 
     // --- unigram-LM tokenizer training (SentencePiece unigram model,
     //     Kudo 2018; hard-EM variant): the probabilistic member of the
@@ -666,9 +672,12 @@ object TextQueries {
     //     is float-free and a pure function of the word histogram. Same
     //     scale shape as q107: ONE corpus-scale pass (the word count), the
     //     merge loop over the vocab-sized weighted histogram. Rows-only
-    //     (iterative training is not SQL-expressible); WordPieceSpec pins
-    //     a hand-computed case where the likelihood criterion overrules
-    //     BPE's frequency pick, plus `##` merge semantics. ---
+    //     Oracle: the training loop unrolled as 100 materialized DuckDB
+    //     CTE rounds (XxhSql.wordpieceMergesOracle) with the rational
+    //     likelihood argmax keyed exactly via scaled-HUGEINT flooring;
+    //     WordPieceSpec additionally pins a hand-computed case where the
+    //     likelihood criterion overrules BPE's frequency pick, plus `##`
+    //     merge semantics. ---
     Q("q134_wordpiece_merges",
       (s, dir) => {
         import s.implicits._
@@ -680,7 +689,7 @@ object TextQueries {
           .toDF("rank", "left", "right", "merged", "pair_count")
           .orderBy(col("rank"))
       },
-      None),
+      Some(XxhSql.wordpieceMergesOracle(nMerges = 100))),
 
     // --- WordPiece encode + fertility: greedy longest-match-first against
     //     the broadcast vocab (NOT merge replay — the BERT contract), `##`

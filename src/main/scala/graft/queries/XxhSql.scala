@@ -173,6 +173,151 @@ private[queries] object XxhSql {
        |ORDER BY exact_n DESC, token""".stripMargin
   }
 
+  /** The complete q107 oracle: BPE merge-table training unrolled as
+    * `nMerges` materialized CTE rounds. State per round is the word
+    * histogram with each word's current symbol sequence encoded as a
+    * DOUBLE-space-separated string ("  a  b  c  "): applying merge (l, r)
+    * is then exactly `replace(s, ' l  r ', ' lr ')` — the pattern consumes
+    * one space from each flanking boundary, so DuckDB's left-to-right
+    * non-overlapping replace reproduces the trainer's greedy
+    * left-to-right merge pass including the consecutive-repeat case
+    * ("a a a a" → "aa aa", not "aa a a"). Per round: adjacent-pair counts
+    * weighted by word frequency (a list-comprehension unnest), the argmax
+    * with the trainer's (count desc, left, right) tie-break and the
+    * minPairCount >= 2 stop as a LIMIT-1 filter (an empty best leaves the
+    * state unchanged via LEFT JOIN ON TRUE, so post-convergence rounds
+    * emit nothing — the stop is monotone). State CTEs are MATERIALIZED:
+    * each is referenced twice (pair counts + next state) and DuckDB would
+    * otherwise inline them, doubling the plan per round. */
+  /** The shared BPE-training CTE block: w0 (histogram), st_0..st_nMerges
+    * (per-round state) and best_0..best_{nMerges-1} (per-round merge, or
+    * empty after convergence). */
+  private def bpeTrainingCtes(nMerges: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    parts += """w0 AS (SELECT w, count(*) AS n FROM (
+               |  SELECT unnest(string_split(text,' ')) AS w FROM documents)
+               |  WHERE len(w) > 0 GROUP BY w)""".stripMargin
+    parts += """st_0 AS MATERIALIZED (SELECT w, n,
+               |  '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s
+               |  FROM w0)""".stripMargin
+    (0 until nMerges).foreach { r =>
+      parts += s"""pc_$r AS (SELECT p.l AS l, p.r AS r, sum(n) AS c
+                  |  FROM (SELECT n, unnest([{'l': sy[i], 'r': sy[i+1]}
+                  |                          for i in range(1, len(sy))]) AS p
+                  |        FROM (SELECT n,
+                  |          string_split(substr(s, 3, len(s)-4), '  ') AS sy
+                  |          FROM st_$r))
+                  |  GROUP BY 1, 2)""".stripMargin
+      parts += s"""best_$r AS MATERIALIZED (SELECT l, r, c FROM pc_$r
+                  |  WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
+      parts += s"""st_${r + 1} AS MATERIALIZED (SELECT w, n,
+                  |  CASE WHEN b.l IS NULL THEN s
+                  |       ELSE replace(s, ' '||b.l||'  '||b.r||' ',
+                  |                    ' '||b.l||b.r||' ') END AS s
+                  |  FROM st_$r LEFT JOIN best_$r b ON TRUE)""".stripMargin
+    }
+    parts.mkString(",\n")
+  }
+
+  def bpeMergesOracle(nMerges: Int = 100): String = {
+    val union = (0 until nMerges)
+      .map(r => s"SELECT $r AS rank, l, r FROM best_$r")
+      .mkString("\nUNION ALL ")
+    "WITH " + bpeTrainingCtes(nMerges) + s""",
+       |m AS ($union)
+       |SELECT rank, l AS "left", r AS "right", l || r AS merged
+       |FROM m ORDER BY rank""".stripMargin
+  }
+
+  /** The complete q107b oracle: fertility/round-trip stats of the GPT-2
+    * BPE ENCODE over the corpus. For a word that appears in the training
+    * histogram (every corpus word, here), encode equals the training
+    * end-state for that word: the encode loop merges the lowest-ranked
+    * pair present, and merging a pair can never CREATE an occurrence of a
+    * lower-ranked pair (the lower-ranked pair's symbols existed before the
+    * higher rank was learned — creation order), so rank-order application
+    * == the loop == the training replay. The stats therefore read straight
+    * off st_nMerges: pieces per word = its symbol count, round-trip concat
+    * = the state minus separators. */
+  def bpeEncodeOracle(nMerges: Int): String = {
+    "WITH " + bpeTrainingCtes(nMerges) + s""",
+       |pieces AS (SELECT w,
+       |    len(string_split(substr(s, 3, len(s)-4), '  ')) AS np,
+       |    replace(s, ' ', '') AS cat
+       |  FROM st_$nMerges),
+       |tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+       |        FROM documents),
+       |per_doc AS (SELECT doc_id, count(*) AS nw, sum(np) AS npieces,
+       |    sum(len(w)) AS nchars,
+       |    max(CASE WHEN cat <> w THEN 1 ELSE 0 END) AS bad
+       |  FROM tok JOIN pieces USING (w) GROUP BY doc_id)
+       |SELECT count(*) AS n_docs, sum(nw) AS n_words,
+       |  sum(npieces) AS n_pieces,
+       |  round(sum(npieces)::DOUBLE / sum(nw), 4) AS pieces_per_word,
+       |  round(sum(nchars)::DOUBLE / sum(npieces), 4) AS chars_per_piece,
+       |  sum(bad)::BIGINT AS n_roundtrip_fail
+       |FROM per_doc""".stripMargin
+  }
+
+  /** The complete q134 oracle: WordPiece merge training unrolled like
+    * [[bpeMergesOracle]] (same double-space state encoding and
+    * boundary-aware replace; initial symbols carry the `##` continuation
+    * prefix, merged = left + right-with-##-stripped). The round argmax is
+    * the likelihood gain n(a,b)/(n(a)·n(b)) — a RATIONAL, compared
+    * exactly: the key is floor(c · 10^30 / (n(a)·n(b))) in HUGEINT.
+    * Soundness of the scaling: two distinct fractions with denominators
+    * d ≤ D differ by ≥ 1/D², so with D = n(sym) ≤ total tokens ≈ 1.5e5 at
+    * the gate SF (and ≤ ~3e6 before the 10^30 scale's margin thins to
+    * single digits) the scaled keys differ by ≥ 10^4 while flooring
+    * perturbs each by < 1 — order is exact, matching the trainer's BigInt
+    * cross-multiplication. Ties: higher pair count, then lexicographically
+    * smallest pair, as in the trainer. */
+  def wordpieceMergesOracle(nMerges: Int = 100): String = {
+    val scale = "1000000000000000000000000000000::HUGEINT" // 10^30
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    parts += """w0 AS (SELECT w, count(*) AS n FROM (
+               |  SELECT unnest(string_split(text,' ')) AS w FROM documents)
+               |  WHERE len(w) > 0 GROUP BY w)""".stripMargin
+    parts += """st_0 AS MATERIALIZED (SELECT w, n,
+               |  '  ' || array_to_string(
+               |    [CASE WHEN i = 1 THEN ch[i] ELSE '##' || ch[i] END
+               |     for i in range(1, len(ch)+1)], '  ') || '  ' AS s
+               |  FROM (SELECT w, n, string_split(w, '') AS ch FROM w0))""".stripMargin
+    (0 until nMerges).foreach { r =>
+      parts += s"""sy_$r AS MATERIALIZED (SELECT n,
+                  |  string_split(substr(s, 3, len(s)-4), '  ') AS sy FROM st_$r)""".stripMargin
+      parts += s"""un_$r AS (SELECT u, sum(n) AS un
+                  |  FROM (SELECT n, unnest(sy) AS u FROM sy_$r) GROUP BY u)""".stripMargin
+      parts += s"""pc_$r AS (SELECT p.l AS l, p.r AS r, sum(n) AS c
+                  |  FROM (SELECT n, unnest([{'l': sy[i], 'r': sy[i+1]}
+                  |                          for i in range(1, len(sy))]) AS p
+                  |        FROM sy_$r)
+                  |  GROUP BY 1, 2)""".stripMargin
+      parts += s"""best_$r AS MATERIALIZED (
+                  |  SELECT l, r, c,
+                  |         l || CASE WHEN starts_with(r, '##')
+                  |                   THEN substr(r, 3) ELSE r END AS m
+                  |  FROM (SELECT pc.l, pc.r, pc.c,
+                  |          (pc.c::HUGEINT * $scale)
+                  |            // (ul.un::HUGEINT * ur.un::HUGEINT) AS key
+                  |        FROM pc_$r pc JOIN un_$r ul ON pc.l = ul.u
+                  |                       JOIN un_$r ur ON pc.r = ur.u)
+                  |  WHERE c >= 2 ORDER BY key DESC, c DESC, l, r LIMIT 1)""".stripMargin
+      parts += s"""st_${r + 1} AS MATERIALIZED (SELECT w, n,
+                  |  CASE WHEN b.l IS NULL THEN s
+                  |       ELSE replace(s, ' '||b.l||'  '||b.r||' ',
+                  |                    ' '||b.m||' ') END AS s
+                  |  FROM st_$r LEFT JOIN best_$r b ON TRUE)""".stripMargin
+    }
+    val union = (0 until nMerges)
+      .map(r => s"SELECT $r AS rank, l, r, m, c FROM best_$r")
+      .mkString("\nUNION ALL ")
+    "WITH " + parts.mkString(",\n") + s""",
+       |mm AS ($union)
+       |SELECT rank, l AS "left", r AS "right", m AS merged, c AS pair_count
+       |FROM mm ORDER BY rank""".stripMargin
+  }
+
   /** The complete q34 oracle: distinct-token XXH64 CTEs + the per-(doc,
     * bit) simhash majority fold + brute-force hamming<=3 pairs (the Spark
     * side's 16-bit-chunk pigeonhole generates a candidate superset of the
