@@ -251,8 +251,8 @@ private[queries] object XxhSql {
        |    sum(len(w)) AS nchars,
        |    max(CASE WHEN cat <> w THEN 1 ELSE 0 END) AS bad
        |  FROM tok JOIN pieces USING (w) GROUP BY doc_id)
-       |SELECT count(*) AS n_docs, sum(nw) AS n_words,
-       |  sum(npieces) AS n_pieces,
+       |SELECT count(*) AS n_docs, sum(nw)::BIGINT AS n_words,
+       |  sum(npieces)::BIGINT AS n_pieces,
        |  round(sum(npieces)::DOUBLE / sum(nw), 4) AS pieces_per_word,
        |  round(sum(nchars)::DOUBLE / sum(npieces), 4) AS chars_per_piece,
        |  sum(bad)::BIGINT AS n_roundtrip_fail
@@ -314,7 +314,8 @@ private[queries] object XxhSql {
       .mkString("\nUNION ALL ")
     "WITH " + parts.mkString(",\n") + s""",
        |mm AS ($union)
-       |SELECT rank, l AS "left", r AS "right", m AS merged, c AS pair_count
+       |SELECT rank, l AS "left", r AS "right", m AS merged,
+       |       c::BIGINT AS pair_count
        |FROM mm ORDER BY rank""".stripMargin
   }
 
