@@ -23,19 +23,25 @@ object Bench {
   private val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS",
     Runtime.getRuntime.availableProcessors().toString)
 
-  /** Host-health canary ([[HostCanary]]), timed immediately before every
-    * rep. A rep whose canary exceeds 1.5x the run's median canary ran in a
-    * degraded-host window — its time is discarded and the rep retried.
+  /** Host-health canaries ([[HostCanary]]), timed immediately before every
+    * rep. A rep whose SERIAL canary exceeds 1.5x the run's clean median ran
+    * in a whole-JVM-degraded window; a rep whose PARALLEL canary exceeds
+    * 1.5x its clean median ran under parallel-capacity steal (co-tenant
+    * holding most vCPUs — flat serial speed, inflated wide stages; the
+    * round-9 bench shipped q32 at 7x its true number with a CLEAN serial
+    * canary this way). Either condition discards the rep and retries.
     * Rationale: the corroborated-min rule alone cannot detect a SUSTAINED
     * slowdown (both reps inflate together and corroborate each other — the
     * round-8 bench recorded five queries at 7-12x their true numbers this
-    * way). Every per-query JSON line records the query's canary values, so
-    * even a run where the WHOLE window was slow (median itself inflated —
-    * nothing discardable) is visibly polluted to any later reader
-    * comparing canaries across rounds.
+    * way). Every per-query JSON line records both canaries plus the OS
+    * loadavg, so even a run where the WHOLE window was slow (median itself
+    * inflated — nothing discardable) is visibly polluted to any later
+    * reader comparing canaries across rounds.
     */
   private def canarySec(): Double = HostCanary.sec()
-  private val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+  private def parCanarySec(): Double = HostCanary.parSec()
+  private val canaries    = scala.collection.mutable.ArrayBuffer.empty[Double]
+  private val parCanaries = scala.collection.mutable.ArrayBuffer.empty[Double]
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) 0.0 else s(s.size / 2)
@@ -96,9 +102,12 @@ object Bench {
     // degraded-window reps are DISCARDED (not just out-voted) and so
     // consume attempts without contributing times.
     val MaxAttempts = 8
-    // Bootstrap the canary reference (also JIT-warms the canary loop so
-    // the first measured canary isn't an interpreter-speed outlier).
-    (1 to 3).foreach(_ => canaries += canarySec())
+    // JIT-warm both canary loops UNTIMED first (an interpreter-speed first
+    // sample would otherwise sit in the clean-median pool and skew the
+    // 1.5x threshold for the first queries), then bootstrap the reference
+    // pools with 3 warm samples each.
+    canarySec(); parCanarySec()
+    (1 to 3).foreach { _ => canaries += canarySec(); parCanaries += parCanarySec() }
     val results = headline.map { n =>
       // Fresh SparkContext per query: clearCache+gc alone still let
       // shuffle files, localCheckpoint blocks, and broadcast state pile
@@ -113,31 +122,44 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warmup $n: $e") }
       spark.catalog.clearCache()
       System.gc()
-      val times      = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val qCanaries  = scala.collection.mutable.ArrayBuffer.empty[Double] // accepted reps
-      val qAllCan    = scala.collection.mutable.ArrayBuffer.empty[Double] // incl. skipped
-      var attempts   = 0
+      val times       = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val qCanaries   = scala.collection.mutable.ArrayBuffer.empty[Double] // accepted reps
+      val qAllCan     = scala.collection.mutable.ArrayBuffer.empty[Double] // incl. skipped
+      val qParCan     = scala.collection.mutable.ArrayBuffer.empty[Double] // accepted reps
+      val qAllParCan  = scala.collection.mutable.ArrayBuffer.empty[Double] // incl. skipped
+      val qLoads      = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var attempts    = 0
       def rep(force: Boolean): Unit = {
         attempts += 1
         val c = canarySec()
-        qAllCan += c
-        // Degradation is judged against the CLEAN-rep median only: feeding
+        val pc = parCanarySec()
+        qAllCan += c; qAllParCan += pc; qLoads += HostCanary.loadAvg()
+        // Degradation is judged against the CLEAN-rep medians only: feeding
         // degraded samples back into the pool would drift the median up
         // during a sustained mid-run slowdown until inflated reps pass the
         // 1.5x test and ship as corroborated minimums — the exact failure
-        // mode this canary exists to catch. A rep in a degraded window is
+        // mode this canary exists to catch. Serial and parallel canaries
+        // gate independently: serial catches whole-JVM freezes/frequency
+        // drops, parallel catches capacity steal (r9's q32: 7x inflated
+        // with a clean serial canary). A rep in a degraded window is
         // SKIPPED (running the query 7-12x slow just to discard the time
         // multiplies the whole run's wall clock for zero information);
-        // after a short pause the canary is re-probed.
-        val degraded = c > 1.5 * median(canaries.toSeq)
+        // after a short pause the canaries are re-probed.
+        val serialBad = c > 1.5 * median(canaries.toSeq)
+        val parBad    = pc > 1.5 * median(parCanaries.toSeq)
+        val degraded  = serialBad || parBad
         if (degraded && !force) {
+          val kind = if (serialBad && parBad) "serial+parallel"
+            else if (serialBad) "serial" else "parallel-capacity"
           System.err.println(
-            f"[bench] $n: rep skipped — canary $c%.2f s > 1.5x clean median " +
-              f"${median(canaries.toSeq)}%.2f s (degraded-host window)")
+            f"[bench] $n: rep skipped — $kind canary degraded " +
+              f"(serial $c%.2f vs median ${median(canaries.toSeq)}%.2f, " +
+              f"parallel $pc%.2f vs median ${median(parCanaries.toSeq)}%.2f, " +
+              f"loadavg ${qLoads.last}%.1f)")
           Thread.sleep(2000)
         } else {
-          if (!degraded) canaries += c
-          qCanaries += c
+          if (!degraded) { canaries += c; parCanaries += pc }
+          qCanaries += c; qParCan += pc
           val t0 = System.nanoTime()
           try { execute(n); times += (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
@@ -155,19 +177,23 @@ object Bench {
       val best = if (times.nonEmpty) times.min else -1.0
       // canary context: accepted reps where any exist (a clean min must
       // not carry a degraded-looking canary from skipped attempts)
-      val qc = median(if (qCanaries.nonEmpty) qCanaries.toSeq else qAllCan.toSeq)
+      val qc  = median(if (qCanaries.nonEmpty) qCanaries.toSeq else qAllCan.toSeq)
+      val qpc = median(if (qParCan.nonEmpty) qParCan.toSeq else qAllParCan.toSeq)
+      val ql  = median(qLoads.toSeq)
       val clean = times.size >= 2 && times.count(_ <= times.min * 1.2) >= 2
       // incremental per-query line — parseable even if the run dies later
-      println(f"""{"metric":"query","name":"$n","value":$best,"unit":"sec","canary":$qc%.3f,"corroborated":$clean,"sf":"$sfDir"}""")
+      println(f"""{"metric":"query","name":"$n","value":$best,"unit":"sec","canary":$qc%.3f,"par_canary":$qpc%.3f,"loadavg":$ql%.1f,"corroborated":$clean,"sf":"$sfDir"}""")
       System.out.flush()
-      (n, best, qc)
+      (n, best, qc, qpc)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val qcs = results.map { case (k, _, c) => f""""$k":$c%.3f""" }
+    val qcs = results.map { case (k, _, c, _) => f""""$k":$c%.3f""" }
+      .mkString("{", ",", "}")
+    val qpcs = results.map { case (k, _, _, p) => f""""$k":$p%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_median":${median(canaries.toSeq)}%.3f,"canaries":$qcs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_median":${median(canaries.toSeq)}%.3f,"par_canary_median":${median(parCanaries.toSeq)}%.3f,"canaries":$qcs,"par_canaries":$qpcs,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

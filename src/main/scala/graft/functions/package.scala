@@ -90,6 +90,13 @@ package object functions {
       new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
         ex(e), k, smallest, 0, 0).toAggregateExpression())
 
+  /** `collect_list` that stops collecting past `maxItems` elements per
+    * group (lazily-grown buffer — near-singleton groups cost one append,
+    * hot keys are bounded; see [[CollectCapped]]). Groups with <= maxItems
+    * rows collect exactly what collect_list would. */
+  def collect_capped(e: Column, maxItems: Int): Column =
+    Bridge.column(CollectCapped(ex(e), maxItems).toAggregateExpression())
+
   /** Z-order (Morton) clustering key over n non-negative dimension
     * columns (ints cast to long; callers normalize to rank-like values
     * first). Sort or range-partition by this before writing so range

@@ -189,18 +189,28 @@ object MinHash {
     // state per group: a plain collect_list materializes a hot bucket's
     // ENTIRE id array before the size filter can drop it, which on the
     // motivating input (one key shared by 10^8+ boilerplate rows at corpus
-    // scale) is an executor OOM, not a cap. The bounded-heap top_k keeps
-    // cap+1 smallest ids — enough to prove oversize — while the exact
-    // bucket_n count (O(1) state) drives the filter and the drop metrics,
-    // and any SURVIVING bucket (n <= cap < cap+1) kept all its ids, so
-    // results are identical to the unbounded collect. For effectively
-    // uncapped calls (cap near Int.MaxValue — the spec's equivalence
-    // twin), cap+1 would overflow and a cap-sized heap is meaningless, so
-    // fall back to collect_list.
+    // scale) is an executor OOM, not a cap. collect_capped grows its buffer
+    // lazily and stops appending at cap+1 — enough to prove oversize —
+    // while the exact bucket_n count (O(1) state) drives the filter and the
+    // drop metrics, and any SURVIVING bucket (n <= cap < cap+1) kept all
+    // its ids, so results are identical to the unbounded collect. (The
+    // previous bounded-heap top_k had the right bound but preallocated a
+    // (cap+1)-slot boxed PriorityQueue per group — allocation churn on the
+    // millions of near-singleton (band,bh) groups that dominate bucket
+    // tables.) For effectively uncapped calls (cap near Int.MaxValue — the
+    // spec's equivalence twin), cap+1 would overflow, so fall back to
+    // collect_list.
     val collector =
       if (cap >= (1 << 20)) collect_list(col(idCol))
-      else graft.functions.top_k(col(idCol), cap + 1, smallest = true)
-    val agged = buckets.groupBy(keyCols.map(col): _*)
+      else graft.functions.collect_capped(col(idCol), cap + 1)
+    // NULL key semantics must match the equality self-join this operator
+    // replaced: a join emits nothing for NULL keys, while groupBy would
+    // collect them into one group and emit pairs — drop them up front.
+    // (Current callers' band keys are never null; this guards the general
+    // contract.)
+    val nonNullKeys = buckets.filter(keyCols.map(col(_).isNotNull)
+      .reduce(_ && _))
+    val agged = nonNullKeys.groupBy(keyCols.map(col): _*)
       .agg(collector.as("__ids"), count(lit(1)).as("__n"))
       .observe(s"graft.lsh.cap.${capId.incrementAndGet()}",
         coalesce(sum(when(col("__n") > cap, 1L)), lit(0L)).as("hot_buckets"),

@@ -12,6 +12,29 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
+
+  /** JVM-scoped scratch root for spec temp dirs, deleted recursively by a
+    * shutdown hook — individual specs creating bare
+    * `Files.createTempDirectory` dirs left `graft-dp-spec*`-style litter
+    * accumulating across sbt test runs. Mirrors the main tree's
+    * query-scratch root. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-spec-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
+  /** A fresh directory under the spec scratch root (unique per call). */
+  def tempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

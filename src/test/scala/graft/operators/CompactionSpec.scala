@@ -11,7 +11,7 @@ import graft.SparkSpec
 class CompactionSpec extends SparkSpec {
 
   private def tmp(): String =
-    java.nio.file.Files.createTempDirectory("compact").toString
+    graft.SparkSpec.tempDir("compact").toString
 
   test("fragmented directory collapses to few files with identical rows") {
     val in = tmp() + "/frag"

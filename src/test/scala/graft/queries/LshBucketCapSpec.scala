@@ -110,6 +110,20 @@ class LshBucketCapSpec extends SparkSpec {
     assert(grouped.nonEmpty && grouped.sameElements(joined))
   }
 
+  test("bucketPairs drops NULL-keyed rows (join semantics)") {
+    // The equality self-join this operator replaced emits NOTHING for a
+    // NULL key; groupBy would collect all NULL-keyed rows into one group
+    // and pair them. bucketPairs must match the join.
+    val buckets = Seq(
+      (0, Option(10L), 1L), (0, Option(10L), 2L),
+      (0, Option.empty[Long], 3L), (0, Option.empty[Long], 4L),
+      (1, Option.empty[Long], 5L))
+      .toDF("band", "bh", "doc_id")
+    val pairs = MinHash.bucketPairs(buckets, Seq("band", "bh"), "doc_id", 5)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("bucketPairs == capped self-join on randomized bucket tables") {
     // Property-style sweep with a fixed seed: random bucket populations
     // (including empty buckets' absence, singletons, exactly-at-cap and
@@ -159,10 +173,17 @@ class LshBucketCapSpec extends SparkSpec {
       val e = Seq((0L, base), (1L, base)).toDF("vec_id", "v")
       DedupQueries.cosineBucketedPairs(e, 0.9, bucketCap = 40)
         .queryExecution.executedPlan
-      Thread.sleep(1000) // status-store updates are async; let them land
-      val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
-      assert(jobs.isEmpty,
-        s"construction launched ${jobs.length} job(s); must be plan-pure")
+      // Status-store updates are async: a fixed sleep can false-PASS if a
+      // construction-launched job lands late. Poll the group's job list
+      // for a full deadline window, failing the moment anything appears —
+      // a late-landing job now has 3 s to show up instead of 1.
+      val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline) {
+        val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
+        assert(jobs.isEmpty,
+          s"construction launched ${jobs.length} job(s); must be plan-pure")
+        Thread.sleep(100)
+      }
     } finally spark.sparkContext.clearJobGroup()
   }
 

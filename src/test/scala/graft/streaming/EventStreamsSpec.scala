@@ -177,8 +177,8 @@ class EventStreamsSpec extends SparkSpec {
   test("foreachBatch CDC upsert converges to keep-latest across micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
-    val tableDir = java.nio.file.Files.createTempDirectory("upsert").toString + "/state"
-    val ckptDir  = java.nio.file.Files.createTempDirectory("upsert_ckpt").toString
+    val tableDir = graft.SparkSpec.tempDir("upsert").toString + "/state"
+    val ckptDir  = graft.SparkSpec.tempDir("upsert_ckpt").toString
     val input = MemoryStream[(Long, Timestamp, Long, String)]
     val df = input.toDF().toDF("event_id", "ts", "user_id", "event_type")
     val q = EventStreams.upsertLatestStream(df, tableDir, ckptDir)
@@ -233,10 +233,8 @@ class EventStreamsSpec extends SparkSpec {
   test("streaming term-stats maintenance equals the batch recompute") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
-    val tableDir = java.nio.file.Files
-      .createTempDirectory("tstats").toString + "/table"
-    val ckptDir = java.nio.file.Files
-      .createTempDirectory("tstats_ckpt").toString
+    val tableDir = graft.SparkSpec.tempDir("tstats").toString + "/table"
+    val ckptDir = graft.SparkSpec.tempDir("tstats_ckpt").toString
     val input = MemoryStream[(Long, String)]
     val q = EventStreams.termStatsStream(
       input.toDF().toDF("doc_id", "text"), tableDir, ckptDir)
@@ -276,11 +274,11 @@ class EventStreamsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
     // the file source wants a directory of files, not a bare file
-    val streamDir = java.nio.file.Files.createTempDirectory("ev_stream")
+    val streamDir = graft.SparkSpec.tempDir("ev_stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"))
-    val q = EventStreams.eventsFileStream(spark, streamDir.toString)
+      java.nio.file.Paths.get(streamDir, "events.parquet"))
+    val q = EventStreams.eventsFileStream(spark, streamDir)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .writeStream.format("memory").queryName("ev_file")
       .outputMode(OutputMode.Complete()).start()
