@@ -127,13 +127,15 @@ object Bench {
       val qAllCan     = scala.collection.mutable.ArrayBuffer.empty[Double] // incl. skipped
       val qParCan     = scala.collection.mutable.ArrayBuffer.empty[Double] // accepted reps
       val qAllParCan  = scala.collection.mutable.ArrayBuffer.empty[Double] // incl. skipped
-      val qLoads      = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val qLoads      = scala.collection.mutable.ArrayBuffer.empty[Double] // accepted reps
+      val qAllLoads   = scala.collection.mutable.ArrayBuffer.empty[Double] // incl. skipped
       var attempts    = 0
       def rep(force: Boolean): Unit = {
         attempts += 1
         val c = canarySec()
         val pc = parCanarySec()
-        qAllCan += c; qAllParCan += pc; qLoads += HostCanary.loadAvg()
+        val la = HostCanary.loadAvg()
+        qAllCan += c; qAllParCan += pc; qAllLoads += la
         // Degradation is judged against the CLEAN-rep medians only: feeding
         // degraded samples back into the pool would drift the median up
         // during a sustained mid-run slowdown until inflated reps pass the
@@ -155,11 +157,11 @@ object Bench {
             f"[bench] $n: rep skipped — $kind canary degraded " +
               f"(serial $c%.2f vs median ${median(canaries.toSeq)}%.2f, " +
               f"parallel $pc%.2f vs median ${median(parCanaries.toSeq)}%.2f, " +
-              f"loadavg ${qLoads.last}%.1f)")
+              f"loadavg $la%.1f)")
           Thread.sleep(2000)
         } else {
           if (!degraded) { canaries += c; parCanaries += pc }
-          qCanaries += c; qParCan += pc
+          qCanaries += c; qParCan += pc; qLoads += la
           val t0 = System.nanoTime()
           try { execute(n); times += (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
@@ -179,22 +181,37 @@ object Bench {
       // not carry a degraded-looking canary from skipped attempts)
       val qc  = median(if (qCanaries.nonEmpty) qCanaries.toSeq else qAllCan.toSeq)
       val qpc = median(if (qParCan.nonEmpty) qParCan.toSeq else qAllParCan.toSeq)
-      val ql  = median(qLoads.toSeq)
+      // like the canaries: accepted-rep loadavg where any rep was accepted
+      // (a clean corroborated min must not carry a degraded-looking loadavg
+      // sampled during SKIPPED attempts), all-sample fallback otherwise
+      val ql  = median(if (qLoads.nonEmpty) qLoads.toSeq else qAllLoads.toSeq)
       val clean = times.size >= 2 && times.count(_ <= times.min * 1.2) >= 2
       // incremental per-query line — parseable even if the run dies later
-      println(f"""{"metric":"query","name":"$n","value":$best,"unit":"sec","canary":$qc%.3f,"par_canary":$qpc%.3f,"loadavg":$ql%.1f,"corroborated":$clean,"sf":"$sfDir"}""")
-      System.out.flush()
-      (n, best, qc, qpc)
+      emit(f"""{"metric":"query","name":"$n","value":$best,"unit":"sec","canary":$qc%.3f,"par_canary":$qpc%.3f,"loadavg":$ql%.1f,"corroborated":$clean,"sf":"$sfDir"}""")
+      (n, best, qc, qpc, ql)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val qcs = results.map { case (k, _, c, _) => f""""$k":$c%.3f""" }
+    val qcs = results.map { case (k, _, c, _, _) => f""""$k":$c%.3f""" }
       .mkString("{", ",", "}")
-    val qpcs = results.map { case (k, _, _, p) => f""""$k":$p%.3f""" }
+    val qpcs = results.map { case (k, _, _, p, _) => f""""$k":$p%.3f""" }
+      .mkString("{", ",", "}")
+    val qls = results.map { case (k, _, _, _, l) => f""""$k":$l%.1f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_median":${median(canaries.toSeq)}%.3f,"par_canary_median":${median(parCanaries.toSeq)}%.3f,"canaries":$qcs,"par_canaries":$qpcs,"sf":"$sfDir"}""")
-    System.out.flush()
+    val summary = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_median":${median(canaries.toSeq)}%.3f,"par_canary_median":${median(parCanaries.toSeq)}%.3f,"canaries":$qcs,"par_canaries":$qpcs,"loadavgs":$qls,"sf":"$sfDir"}"""
+    emit(summary)
+    // The driver captures stdout's TAIL, which has truncated past runs into
+    // unparseable fragments (BENCH_r10: total lost); the file copy makes
+    // every run self-archiving. Summary alone in .json (one parseable
+    // object), full line history in .jsonl.
+    BenchOut.writeSummary("bench-last", summary)
     spark.stop()
+  }
+
+  private def emit(line: String): Unit = {
+    println(line)
+    System.out.flush()
+    BenchOut.appendLine("bench-last", line)
   }
 }

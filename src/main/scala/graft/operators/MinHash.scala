@@ -200,14 +200,23 @@ object MinHash {
     // tables.) For effectively uncapped calls (cap near Int.MaxValue — the
     // spec's equivalence twin), cap+1 would overflow, so fall back to
     // collect_list.
+    // SPARK_GRAFT_LSH_COLLECTOR=top_k re-selects the round-9 bounded-heap
+    // collector — an A/B lever for measuring the two bounded collectors
+    // against each other (results are identical either way: both hold at
+    // most cap+1 elements, and any SURVIVING bucket kept all its ids;
+    // equivalence spec'd in CollectCappedSpec / TopKSpec, pairs
+    // bit-identical at pipeline scale under both).
     val collector =
       if (cap >= (1 << 20)) collect_list(col(idCol))
+      else if (sys.env.get("SPARK_GRAFT_LSH_COLLECTOR").contains("top_k"))
+        graft.functions.top_k(col(idCol), cap + 1, smallest = true)
       else graft.functions.collect_capped(col(idCol), cap + 1)
     // NULL key semantics must match the equality self-join this operator
     // replaced: a join emits nothing for NULL keys, while groupBy would
     // collect them into one group and emit pairs — drop them up front.
     // (Current callers' band keys are never null; this guards the general
     // contract.)
+    require(keyCols.nonEmpty, "bucketPairs needs at least one key column")
     val nonNullKeys = buckets.filter(keyCols.map(col(_).isNotNull)
       .reduce(_ && _))
     val agged = nonNullKeys.groupBy(keyCols.map(col): _*)

@@ -54,24 +54,55 @@ object DataPipelineBench {
     val tag = f"${targetGB}%.2f".replace('.', 'p')
     val in  = Paths.get(s"$workDir/in_$tag")
     if (!Files.exists(in.resolve("_DONE"))) generate(spark, sfDir, in, targetGB, cpus.toInt)
-    val corpus = spark.read.parquet(in.resolve("docs").toString)
+    val baseCorpus = spark.read.parquet(in.resolve("docs").toString)
     val benchmark = spark.read.parquet(in.resolve("bench").toString)
+
+    // SPARK_GRAFT_DP_HOTKEY=N: hot-key stress — plant N near-identical
+    // boilerplate rows (one shared base text + a per-row unique tail token).
+    // Distinct digests survive exact dedup; the shared base makes most of
+    // the 32 band keys COLLIDE across all N rows, so bucketPairs sees ~30
+    // (band, bh) buckets of ~N rows each — the exact shape that OOMs an
+    // unbounded collect_list and that collect_capped bounds at cap+1
+    // elements of state. Self-validating: the run must complete with the
+    // cap listener logging the dropped buckets, the verified-pair count
+    // unchanged vs the unplanted run (tail shingles are row-unique, so hot
+    // rows only ever collide in DROPPED buckets and produce no pairs), and
+    // every stage count shifted by exactly +N.
+    val hotKeyRows = sys.env.get("SPARK_GRAFT_DP_HOTKEY").map(_.toLong).getOrElse(0L)
+    val corpus =
+      if (hotKeyRows <= 0) baseCorpus
+      else {
+        val baseText = baseCorpus.select(col("text"))
+          .filter(size(split(col("text"), " ")) >= 50)
+          .head().getString(0)
+        val maxId = baseCorpus.agg(max(col("doc_id"))).head().getLong(0)
+        baseCorpus.unionByName(
+          spark.range(hotKeyRows).select(
+            (col("id") + maxId + 1L).as("doc_id"),
+            lit("hotkey").as("source"),
+            concat(lit(baseText), lit(" h"), col("id")).as("text")))
+      }
     val gb = corpus.agg(sum(length(col("text")))).head().getLong(0) / 1e9
 
     val outDir = s"$workDir/out_$tag"
-    graft.HostCanary.sec() // JIT-warm
-    val cPre = graft.HostCanary.sec()
+    graft.HostCanary.sec(); graft.HostCanary.parSec() // JIT-warm
+    val cPre  = graft.HostCanary.sec()
+    val pcPre = graft.HostCanary.parSec()
     val t0 = System.nanoTime()
     val counts = run(spark, corpus, benchmark, outDir)
-    val secs  = (System.nanoTime() - t0) / 1e9
-    val cPost = graft.HostCanary.sec()
+    val secs   = (System.nanoTime() - t0) / 1e9
+    val cPost  = graft.HostCanary.sec()
+    val pcPost = graft.HostCanary.parSec()
     val gbPerHr = gb / (secs / 3600.0)
 
-    // canary_pre/post: host-health context bracketing the run — see
-    // graft.HostCanary
+    // canary/par_canary pre/post: host-health context bracketing the run
+    // (dual protocol — serial catches whole-JVM freezes, parallel catches
+    // co-tenant capacity steal) — see graft.HostCanary
     val countsJson = counts.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-    println(f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,$countsJson}""")
+    val summary = f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"hotkey_rows":$hotKeyRows,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,$countsJson}"""
+    println(summary)
     System.out.flush()
+    graft.BenchOut.writeSummary("pipeline-last", summary)
     spark.stop()
   }
 

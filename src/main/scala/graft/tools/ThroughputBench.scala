@@ -66,21 +66,27 @@ object ThroughputBench {
       collections  = in.resolve("collections").toString,
       phrases      = in.resolve("phrases").toString)
 
-    graft.HostCanary.sec() // JIT-warm
-    val cPre = graft.HostCanary.sec()
+    graft.HostCanary.sec(); graft.HostCanary.parSec() // JIT-warm
+    val cPre  = graft.HostCanary.sec()
+    val pcPre = graft.HostCanary.parSec()
     val t0 = System.nanoTime()
     VspacePipeline.run(spark, cfg)
-    val secs  = (System.nanoTime() - t0) / 1e9
-    val cPost = graft.HostCanary.sec()
+    val secs   = (System.nanoTime() - t0) / 1e9
+    val cPost  = graft.HostCanary.sec()
+    val pcPost = graft.HostCanary.parSec()
 
     val gb      = corpusBytes / 1e9
     val gbPerHr = gb / (secs / 3600.0)
     // Reference context at the same core count (4 exec x 8 cores): 1 GB
     // ≤6g = 0.15 h => 6.7 GB/h; sustained 100-265 GB => 18-20 GB/h.
-    // canary_pre/post: host-health context bracketing the run (~0.25 s on
-    // a quiet box) — see graft.HostCanary.
-    println(f"""{"metric":"throughput","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"ngrams":6,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"ref_1gb_gb_per_hour":6.7,"ref_sustained_gb_per_hour":19.5}""")
+    // canary/par_canary pre/post: host-health context bracketing the run
+    // (serial ~0.3 s / parallel ~0.15 s on a quiet box) — serial catches
+    // whole-JVM freezes, parallel catches co-tenant capacity steal; see
+    // graft.HostCanary and Bench's dual-canary protocol.
+    val summary = f"""{"metric":"throughput","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"ngrams":6,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,"ref_1gb_gb_per_hour":6.7,"ref_sustained_gb_per_hour":19.5}"""
+    println(summary)
     System.out.flush()
+    graft.BenchOut.writeSummary("throughput-last", summary)
     spark.stop()
   }
 

@@ -14,7 +14,7 @@ class TablesSpec extends SparkSpec {
   import spark.implicits._
 
   test("BIGINT-ms and TIMESTAMP_NTZ events generations load identically") {
-    val base = graft.SparkSpec.tempDir("graft-tables").toString
+    val base = graft.SparkSpec.tempDir("graft-tables")
     val instantsMs = Seq(1700000000123L, 1700003600456L, 1700007200789L)
     val rows = instantsMs.zipWithIndex.map { case (ms, i) =>
       (i.toLong, ms, i.toLong % 2, "click", 1.5 + i, "{}")

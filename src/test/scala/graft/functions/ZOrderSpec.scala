@@ -54,8 +54,8 @@ class ZOrderSpec extends SparkSpec {
     // 64x64 grid, 8 files per layout
     val grid = spark.range(4096)
       .select(shiftright(col("id"), 6).as("x"), (col("id") % 64).as("y"))
-    val zdir = graft.SparkSpec.tempDir("zorder").toString
-    val ldir = graft.SparkSpec.tempDir("linear").toString
+    val zdir = graft.SparkSpec.tempDir("zorder")
+    val ldir = graft.SparkSpec.tempDir("linear")
     // Exact range buckets (z/512, x/8), one file each — repartitionByRange
     // would express the same layout but its sampled boundaries drift off
     // the 512-cell multiples the 4-file bound needs, making the assertion

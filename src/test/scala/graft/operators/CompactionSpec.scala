@@ -11,7 +11,7 @@ import graft.SparkSpec
 class CompactionSpec extends SparkSpec {
 
   private def tmp(): String =
-    graft.SparkSpec.tempDir("compact").toString
+    graft.SparkSpec.tempDir("compact")
 
   test("fragmented directory collapses to few files with identical rows") {
     val in = tmp() + "/frag"

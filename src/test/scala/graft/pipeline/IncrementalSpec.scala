@@ -11,7 +11,7 @@ import graft.SparkSpec
 class IncrementalSpec extends SparkSpec {
 
   test("only unseen day partitions are processed, exactly once") {
-    val base = graft.SparkSpec.tempDir("incr").toString
+    val base = graft.SparkSpec.tempDir("incr")
     val table = s"$base/events_by_day"
     val ledger = s"$base/ledger.txt"
     val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")

@@ -14,7 +14,7 @@ import graft.sources.CorpusSources
   */
 class VspacePipelineSpec extends SparkSpec {
 
-  private lazy val dir = graft.SparkSpec.tempDir("vspace-fixture").toString
+  private lazy val dir = graft.SparkSpec.tempDir("vspace-fixture")
 
   private lazy val paths: Map[String, String] = {
     val delim = CorpusSources.RecordDelimiter
@@ -207,7 +207,7 @@ class VspacePipelineSpec extends SparkSpec {
   }
 
   test("full pipeline writes five outputs from an INI config") {
-    val out = graft.SparkSpec.tempDir("vspace-out").toString
+    val out = graft.SparkSpec.tempDir("vspace-out")
     val conf =
       s"""[vspace_conf]
          |stagingloc = $dir/staging
@@ -234,7 +234,7 @@ class VspacePipelineSpec extends SparkSpec {
 
     // corpusreader = v2 routes the scan through the DSV2 connector and, on
     // this single-file corpus, must produce identical global stats
-    val out2 = graft.SparkSpec.tempDir("vspace-out-v2").toString
+    val out2 = graft.SparkSpec.tempDir("vspace-out-v2")
     VspacePipeline.run(spark, VspaceConfig.load(confPath)
       .copy(outputFolder = out2, corpusReader = "v2"))
     def statsSet(o: String) = spark.read.option("delimiter", "\t")

@@ -21,7 +21,7 @@ class IvfIndexSpec extends SparkSpec {
     assert(!assigned.queryExecution.executedPlan.toString.contains("Exchange"),
       "IVF cell assignment must not shuffle")
 
-    val idxDir = graft.SparkSpec.tempDir("ivf_index").toString
+    val idxDir = graft.SparkSpec.tempDir("ivf_index")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(idxDir)
 
     // the partition column comes back via directory-name inference (int,
@@ -59,7 +59,7 @@ class IvfIndexSpec extends SparkSpec {
 
   test("incremental append: base files untouched, retrieval == full rebuild") {
     val dir = "/root/testdata/sf0.001"
-    val idxDir = graft.SparkSpec.tempDir("ivfpq_incr").toString
+    val idxDir = graft.SparkSpec.tempDir("ivfpq_incr")
 
     // q49f's body writes the base index, appends the frozen-model-encoded
     // delta, and returns per-query (n_match, k) vs a single-shot encode of
@@ -98,7 +98,7 @@ class IvfIndexSpec extends SparkSpec {
     val pq = graft.operators.PQ.fit(
       SimilarityQueries.ivfResiduals(base, cents), "rv", "vec_id",
       m = 16, k = 16, iters = 3)
-    val idxDir = graft.SparkSpec.tempDir("ivfpq_files").toString
+    val idxDir = graft.SparkSpec.tempDir("ivfpq_files")
     SimilarityQueries.ivfPqEncode(base, cents, pq)
       .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
     def snapshot(): Map[String, (Long, Long)] = {

@@ -18,7 +18,7 @@ class CorpusV2Spec extends SparkSpec {
   private val delim = CorpusSources.RecordDelimiter
 
   private def write(name: String, content: String): String = {
-    val dir = graft.SparkSpec.tempDir("corpus-v2").toString
+    val dir = graft.SparkSpec.tempDir("corpus-v2")
     val p = s"$dir/$name"
     Files.writeString(Paths.get(p), content)
     p
@@ -150,7 +150,7 @@ class CorpusV2Spec extends SparkSpec {
     // the whole directory, whose split packing is largest-file-first — that
     // would put b's docs ahead of a's here. It now enumerates files itself
     // and unions per-file reads in sorted order.
-    val dir = graft.SparkSpec.tempDir("corpus-v2-multi").toString
+    val dir = graft.SparkSpec.tempDir("corpus-v2-multi")
     Files.writeString(Paths.get(s"$dir/a.txt"), Seq("a1", "a2").mkString(delim))
     val bDocs = Seq("b1 padded with extra words to make file b the larger one",
       "b2 also long enough to matter", "b3 trailing doc")
@@ -185,7 +185,7 @@ class CorpusV2Spec extends SparkSpec {
 
   test("V2 write round-trips through both readers and overwrite truncates") {
     import spark.implicits._
-    val dir = graft.SparkSpec.tempDir("corpus-v2-write").toString + "/out"
+    val dir = graft.SparkSpec.tempDir("corpus-v2-write") + "/out"
     val docs = (0 until 37).map(i => s"doc $i body word$i")
     docs.toDF("text").repartition(3)
       .write.format("vspace-corpus").mode("append").save(dir)

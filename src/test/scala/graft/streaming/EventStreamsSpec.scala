@@ -177,8 +177,8 @@ class EventStreamsSpec extends SparkSpec {
   test("foreachBatch CDC upsert converges to keep-latest across micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
-    val tableDir = graft.SparkSpec.tempDir("upsert").toString + "/state"
-    val ckptDir  = graft.SparkSpec.tempDir("upsert_ckpt").toString
+    val tableDir = graft.SparkSpec.tempDir("upsert") + "/state"
+    val ckptDir  = graft.SparkSpec.tempDir("upsert_ckpt")
     val input = MemoryStream[(Long, Timestamp, Long, String)]
     val df = input.toDF().toDF("event_id", "ts", "user_id", "event_type")
     val q = EventStreams.upsertLatestStream(df, tableDir, ckptDir)
@@ -233,8 +233,8 @@ class EventStreamsSpec extends SparkSpec {
   test("streaming term-stats maintenance equals the batch recompute") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
-    val tableDir = graft.SparkSpec.tempDir("tstats").toString + "/table"
-    val ckptDir = graft.SparkSpec.tempDir("tstats_ckpt").toString
+    val tableDir = graft.SparkSpec.tempDir("tstats") + "/table"
+    val ckptDir = graft.SparkSpec.tempDir("tstats_ckpt")
     val input = MemoryStream[(Long, String)]
     val q = EventStreams.termStatsStream(
       input.toDF().toDF("doc_id", "text"), tableDir, ckptDir)

@@ -34,7 +34,7 @@ class DataPipelineSpec extends SparkSpec {
     ).toDF("doc_id", "source", "text")
     val benchmark = Seq((100L, doc("q"))).toDF("bench_id", "text")
 
-    val out = graft.SparkSpec.tempDir("graft-dp-spec").toString
+    val out = graft.SparkSpec.tempDir("graft-dp-spec")
     val counts = DataPipelineBench.run(spark, corpus, benchmark, out).toMap
 
     assert(counts("docs_in") == 8L)
