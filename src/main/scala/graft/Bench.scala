@@ -199,7 +199,21 @@ object Bench {
     val qls = results.map { case (k, _, _, _, l) => f""""$k":$l%.1f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val summary = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_median":${median(canaries.toSeq)}%.3f,"par_canary_median":${median(parCanaries.toSeq)}%.3f,"canaries":$qcs,"par_canaries":$qpcs,"loadavgs":$qls,"sf":"$sfDir"}"""
+    // Post-hoc pollution flag: the degradation gate judges each rep against
+    // the canary pool AS OF THAT MOMENT, so a run that STARTS in a degraded
+    // window bootstraps a degraded pool and accepts inflated early reps
+    // (observed: a run whose first 10 queries carried canaries 0.51-0.63
+    // against a true clean median of 0.35 — all "corroborated", all ~1.5x
+    // reality). The END-of-run medians incorporate every clean sample, so
+    // re-judging each query's accepted-rep canaries against them makes the
+    // early-window pollution machine-readable: splice suspect queries from
+    // a quieter re-run (BENCH_ONLY) rather than trusting their rows.
+    val cMed  = median(canaries.toSeq)
+    val pcMed = median(parCanaries.toSeq)
+    val suspect = results.collect {
+      case (k, _, c, p, _) if c > 1.5 * cMed || p > 1.5 * pcMed => "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    val summary = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_median":$cMed%.3f,"par_canary_median":$pcMed%.3f,"canaries":$qcs,"par_canaries":$qpcs,"loadavgs":$qls,"suspect":$suspect,"sf":"$sfDir"}"""
     emit(summary)
     // The driver captures stdout's TAIL, which has truncated past runs into
     // unparseable fragments (BENCH_r10: total lost); the file copy makes

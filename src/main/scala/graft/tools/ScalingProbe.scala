@@ -26,10 +26,11 @@ import org.apache.spark.sql.functions._
   *    doc into one giant clique and measure a workload no dedup pipeline
   *    sees).
   *  - embeddings: `factor` copies, ids offset; copies beyond the first get
-  *    deterministic hash-derived noise (amplitude 0.5 per component —
-  *    decorrelates them from their source vector, so copies don't form
-  *    f-cliques above the cosine threshold and bucket occupancy grows
-  *    ~linearly).
+  *    deterministic hash-derived noise (amplitude 1.0 per component: the
+  *    testdata vectors are unit-norm dim-64, so the noise norm ~4.6 pushes
+  *    a copy's cosine to its source to ~0.21±0.12 — clearly under q38's
+  *    0.4 threshold; at amplitude 0.5 the expectation lands ON the
+  *    threshold and every source sprouts ~f/2 spurious near-dups).
   *  - lineitem: `factor` copies with BOTH l_orderkey and l_partkey offset
   *    per copy — `factor` disjoint isomorphic copurchase graphs (nodes and
   *    edges x`factor`, identical structure), the honest growth mode for
@@ -146,7 +147,7 @@ object ScalingProbe {
         transform(col("embedding"), (x, i) =>
           when(col("copy") === 0, x).otherwise(
             (x + (pmod(xxhash64(col("copy"), col("vec_id"), i), lit(2001L))
-              - lit(1000L)) / lit(2000.0)).cast("float"))).as("embedding"),
+              - lit(1000L)) / lit(1000.0)).cast("float"))).as("embedding"),
         col("label"))
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
