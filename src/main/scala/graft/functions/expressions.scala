@@ -335,3 +335,84 @@ case class JaroWinkler(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): JaroWinkler =
     copy(left = newLeft, right = newRight)
 }
+
+/** Fused 64-family MinHash signature: for each hash family i in
+  * [0, numHashes), the minimum over the input array of
+  * `xxhash64(seed = i, element)` — exactly the value of
+  * `array_min(transform(h, x => xxhash64_seeded(i, x)))`, but all
+  * families in ONE pass over the array.
+  *
+  * Why this exists: higher-order functions never enter WholeStageCodegen
+  * (each is an interpreted evaluator with a lambda-variable box per
+  * element), so the column-per-family formulation walks the shingle-hash
+  * array 64 times per document with per-element boxing — measured as the
+  * dominant map-side CPU of the LSH candidate stage at pipeline scale.
+  * This kernel reads each element once into a register and folds it into
+  * all 64 running minima (the inner loop is 64 iterations of the public
+  * `XXH64.hashLong` long fast path — branch-free, allocation-free), and
+  * the expression itself is codegen'd so the whole signature pipeline
+  * stays inside the generated stage.
+  *
+  * Equivalence contract (spec'd against the column-per-family form in
+  * MinHashSpec): a null element hashes to its family seed (Catalyst's
+  * HashExpression leaves the running hash at the seed for null input);
+  * an empty or null-min-less array yields null elements exactly where
+  * `array_min` would (empty -> all-null signature). Family quality is
+  * unchanged — this is the same public XxHash64 family, same seeds.
+  */
+case class MinHashSignatures(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(numHashes > 0, "minhash_signatures needs at least one family")
+
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = true)
+  override def prettyName: String = "minhash_signatures"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.signatures(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashKernel.signatures($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatures =
+    copy(child = newChild)
+}
+
+object MinHashKernel {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** One pass over the hash array, k running minima. Shared by interpreted
+    * eval and generated code. */
+  def signatures(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0)
+      // array_min(empty) = null per family
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](k))
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      if (arr.isNullAt(j)) {
+        // xxhash64(seed=i, null) leaves the hash at the seed, and
+        // array_min folds that seed value in
+        var i = 0
+        while (i < k) { if (i < mins(i)) mins(i) = i.toLong; i += 1 }
+      } else {
+        val x = arr.getLong(j)
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashLong(x, i.toLong)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}

@@ -34,6 +34,12 @@ package object functions {
     Bridge.column(
       org.apache.spark.sql.catalyst.expressions.XxHash64(cols.map(ex), seed))
 
+  /** Fused k-family MinHash signature over an array<long> of base hashes:
+    * element i = min over the array of xxhash64(seed = i, x), all families
+    * in one codegen'd pass (see [[MinHashSignatures]]). */
+  def minhash_signatures(hashes: Column, k: Int): Column =
+    Bridge.column(MinHashSignatures(ex(hashes), k))
+
   /** Whitespace tokens of the normalized text; empty array for empty text
     * (plain `split("")` would yield `[""]`). */
   def norm_tokens(c: Column): Column = {

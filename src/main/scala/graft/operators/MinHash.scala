@@ -60,12 +60,13 @@ object MinHash {
         .as(s"mh_$i")
     }
 
-  /** One (band, bh) struct per band, hashing that band's signature rows. */
-  private def bandStructs: Seq[Column] =
+  /** One (band, bh) struct per band, hashing that band's signature rows
+    * (read out of the fused signature array — see bandKeys). */
+  private def bandStructs(sig: Column): Seq[Column] =
     (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         xxhash64_seeded(1000L + b,
-          (0 until BandRows).map(r => col(s"mh_${b * BandRows + r}")): _*)
+          (0 until BandRows).map(r => sig.getItem(b * BandRows + r)): _*)
           .as("bh"))
     }
 
@@ -88,16 +89,23 @@ object MinHash {
       .filter(size(split(col(textCol), " ")) >= n)
       .withColumn("__sh", shingles(col(textCol), n))
       // materialize the one-string-hash-per-shingle array as its own
-      // projection: the 64 family columns then traverse an array<long>
-      // (see signature's scaladoc — inlining would re-hash the strings
-      // 64x). The explicit select boundaries keep CollapseProject from
-      // folding the non-cheap transform into its 64 consumers.
+      // projection (each string hashed ONCE; the family derivation re-mixes
+      // the 8-byte result), then the FUSED 64-family signature: one
+      // codegen'd pass computing all minima, instead of 64 interpreted
+      // array_min(transform(...)) traversals per document (HOFs never enter
+      // WholeStageCodegen — the column-per-family form was the dominant
+      // map-side CPU of the candidate stage at pipeline scale; equivalence
+      // with it is spec'd in MinHashSpec). The explicit select boundaries
+      // keep CollapseProject from folding either non-cheap projection into
+      // its downstream consumers.
       .select(carryCols.map(col) :+
         transform(col("__sh"),
           s => xxhash64_seeded(BaseHashSeed, s)).as("__h"): _*)
-      .select(carryCols.map(col) ++ signatureFromHashes(col("__h")): _*)
+      .select(carryCols.map(col) :+
+        graft.functions.minhash_signatures(col("__h"), NumHashes).as("__sig"): _*)
     sigs
-      .select(carryCols.map(col) :+ explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(carryCols.map(col) :+
+        explode(array(bandStructs(col("__sig")): _*)).as("bk"): _*)
       .select(carryCols.map(col) :+ col("bk.band").as("band") :+ col("bk.bh").as("bh"): _*)
   }
 

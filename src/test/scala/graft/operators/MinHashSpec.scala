@@ -36,4 +36,35 @@ class MinHashSpec extends SparkSpec {
     val b = MinHash.bandKeys(docs, "text", Seq("doc_id")).collect().toSet
     assert(a == b)
   }
+
+  test("fused signature equals the column-per-family formulation") {
+    import org.apache.spark.sql.functions._
+    // real text: the harness documents at the smallest SF
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("__h", transform(MinHash.shingles(col("text")),
+        s => graft.functions.xxhash64_seeded(MinHash.BaseHashSeed, s)))
+    val fused = real.select(col("doc_id"),
+      graft.functions.minhash_signatures(col("__h"), MinHash.NumHashes).as("sig"))
+    val perCol = real.select(col("doc_id") +: MinHash.signatureFromHashes(col("__h")): _*)
+      .select(col("doc_id"),
+        array((0 until MinHash.NumHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+    assert(fused.exceptAll(perCol).isEmpty && perCol.exceptAll(fused).isEmpty)
+
+    // edge cases the real corpus can't produce: empty hash array (all-null
+    // signature like array_min(empty)) and a null element (hashes to its
+    // family seed, exactly xxhash64_seeded(i, null))
+    val edge = Seq(
+      (1L, Seq.empty[java.lang.Long]),
+      (2L, Seq[java.lang.Long](42L, null, -7L)))
+      .toDF("id", "__h")
+    val fusedEdge = edge.select(col("id"),
+      graft.functions.minhash_signatures(col("__h"), MinHash.NumHashes).as("sig"))
+    val perColEdge = edge.select(col("id") +: MinHash.signatureFromHashes(col("__h")): _*)
+      .select(col("id"),
+        array((0 until MinHash.NumHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+    assert(fusedEdge.exceptAll(perColEdge).isEmpty &&
+      perColEdge.exceptAll(fusedEdge).isEmpty)
+  }
 }
