@@ -19,6 +19,44 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextKernels {
   private val WordRun: Pattern = Pattern.compile("\\w+", Pattern.UNICODE_CHARACTER_CLASS)
 
+  /** One-pass exact set Jaccard over two string arrays — the kernel behind
+    * [[graft.functions.SetJaccard]]; semantics identical to
+    * `size(array_intersect(a, b)) / size(array_union(a, b))` including
+    * null-element dedup and the both-empty 0.0/0 = NaN case. */
+  def setJaccard(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val na = a.numElements()
+    val setA = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+      Math.max(8, na * 2))
+    var aHasNull = false
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i)) aHasNull = true else setA.add(a.getUTF8String(i))
+      i += 1
+    }
+    val nb = b.numElements()
+    val seenB = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+      Math.max(8, nb * 2))
+    var bHasNull = false
+    var inter = 0
+    var bOnly = 0
+    i = 0
+    while (i < nb) {
+      if (b.isNullAt(i)) bHasNull = true
+      else {
+        val s = b.getUTF8String(i)
+        if (seenB.add(s)) {
+          if (setA.contains(s)) inter += 1 else bOnly += 1
+        }
+      }
+      i += 1
+    }
+    if (aHasNull && bHasNull) inter += 1
+    val sizeA = setA.size() + (if (aHasNull) 1 else 0)
+    val sizeBOnly = bOnly + (if (bHasNull && !aHasNull) 1 else 0)
+    inter.toDouble / (sizeA + sizeBOnly)
+  }
+
   def normalize(s: String): String = {
     val nfc   = Normalizer.normalize(s, Normalizer.Form.NFC)
     val lower = nfc.toLowerCase(Locale.ROOT)

@@ -416,3 +416,38 @@ object MinHashKernel {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 }
+
+/** Fused exact set-Jaccard over two string arrays: exactly
+  * `size(array_intersect(a, b)) / size(array_union(a, b))` (set semantics
+  * — duplicates and null elements deduplicate; the ONE divergence is
+  * both-empty input, where ANSI mode makes the built-in division RAISE
+  * DIVIDE_BY_ZERO while this returns NaN — callers' candidate shingle
+  * arrays are never empty), computed in one pass with two hash sets and NO
+  * materialized intermediate arrays. The built-in formulation allocates
+  * the full intersection AND union arrays per row just to take their
+  * sizes; this kernel allocates only the two sets. Measured impact on the
+  * 2.3 GB pipeline's verify stage: NEUTRAL within the host-variance band
+  * (the stage is dominated by the explode-join-regroup shuffle of shingle
+  * arrays, not by per-pair set math) — kept as a per-row allocation
+  * reduction whose value grows with array width. Codegen'd, so pair
+  * scoring stays inside the generated stage.
+  */
+case class SetJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "set_jaccard"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextKernels.setJaccard(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextKernels.setJaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SetJaccard =
+    copy(left = newLeft, right = newRight)
+}

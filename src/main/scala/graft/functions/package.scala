@@ -34,6 +34,12 @@ package object functions {
     Bridge.column(
       org.apache.spark.sql.catalyst.expressions.XxHash64(cols.map(ex), seed))
 
+  /** Fused exact set-Jaccard of two string arrays — identical to
+    * `size(array_intersect(a,b))/size(array_union(a,b))` without
+    * materializing either intermediate array (see [[SetJaccard]]). */
+  def set_jaccard(a: Column, b: Column): Column =
+    Bridge.column(SetJaccard(ex(a), ex(b)))
+
   /** Fused k-family MinHash signature over an array<long> of base hashes:
     * element i = min over the array of xxhash64(seed = i, x), all families
     * in one codegen'd pass (see [[MinHashSignatures]]). */

@@ -29,9 +29,13 @@ object DedupQueries {
       graft.operators.MinHash.shingles(col("text")).as("shingles"))
 
   /** Exact Jaccard between two pre-distinct shingle arrays (set semantics
-    * on both engines: array_intersect/array_union vs list_intersect). */
+    * on both engines, matching the oracles' list_intersect/list_distinct
+    * form). Fused one-pass kernel — value-identical to
+    * `size(array_intersect)/size(array_union)` but without materializing
+    * either intermediate array per pair (see functions.SetJaccard; the
+    * equivalence is spec'd in TextKernelsSpec). */
   private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    graft.functions.set_jaccard(a, b)
 
   /** Multi-table random-hyperplane LSH over cosine similarity: 8
     * independent plane-sets, each vector exploded to one (table, bucket)

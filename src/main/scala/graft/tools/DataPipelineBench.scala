@@ -201,8 +201,7 @@ object DataPipelineBench {
       .agg(max(when(col("doc_id") === col("id_a"), col("sh"))).as("sh_a"),
         max(when(col("doc_id") === col("id_b"), col("sh"))).as("sh_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jac"))
+        graft.functions.set_jaccard(col("sh_a"), col("sh_b")).as("jac"))
       .filter(col("jac") >= 0.7)
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .localCheckpoint()

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** set_jaccard must be value-identical to the built-in
+  * size(array_intersect)/size(array_union) formulation it replaces —
+  * including duplicate elements (set semantics), null elements
+  * (intersect only when present on both sides), and the both-empty
+  * NaN case. The gated dedup queries' oracles depend on this exact
+  * equality. */
+class SetJaccardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def builtin = size(array_intersect(col("a"), col("b")))
+    .cast("double") / size(array_union(col("a"), col("b")))
+
+  test("matches the built-in formulation on generated arrays") {
+    // deterministic pseudo-random arrays with duplicates and skewed overlap
+    val df = spark.range(2000).select(
+      transform(sequence(lit(0), pmod(col("id") * 7, lit(40))),
+        i => concat(lit("t"), pmod(col("id") * 13 + i * i, lit(50)))).as("a"),
+      transform(sequence(lit(0), pmod(col("id") * 11, lit(40))),
+        i => concat(lit("t"), pmod(col("id") * 17 + i * 3, lit(50)))).as("b"))
+    val diff = df.select(
+        graft.functions.set_jaccard(col("a"), col("b")).as("fused"),
+        builtin.as("ref"))
+      .filter(!(col("fused") === col("ref") ||
+        (isnan(col("fused")) && isnan(col("ref")))))
+    assert(diff.isEmpty)
+  }
+
+  test("edge cases: nulls, empties, full overlap") {
+    val rows: Seq[(Seq[String], Seq[String])] = Seq(
+      (Seq("x", "y"), Seq("x", "y")),             // identical
+      (Seq("x"), Seq("y")),                       // disjoint
+      (Seq.empty, Seq("x")),                      // one empty
+      (Seq("x", null, "x"), Seq(null, "z")),      // null in both + dup
+      (Seq("x", null), Seq("x")),                 // null on one side only
+      (Seq("x", "x", "x"), Seq("x")))             // dups collapse
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+        graft.functions.set_jaccard(col("a"), col("b")).as("fused"),
+        builtin.as("ref"))
+      .collect()
+    got.foreach { r =>
+      val (f, ref) = (r.getDouble(0), r.getDouble(1))
+      assert(f == ref || (f.isNaN && ref.isNaN), s"$f != $ref")
+    }
+    // both-empty: the ANSI built-in formulation RAISES DIVIDE_BY_ZERO
+    // (int-typed size divisor); the fused kernel returns NaN instead —
+    // the one documented divergence. Callers' candidate shingle arrays
+    // are never empty (bandKeys drops shingle-less docs before pairing).
+    val e = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+      .select(graft.functions.set_jaccard(col("a"), col("b")).as("j"))
+      .collect()
+    assert(e.head.getDouble(0).isNaN)
+    // null input arrays -> null result, like the built-ins
+    val n = Seq((Option.empty[Seq[String]], Option(Seq("x"))))
+      .toDF("a", "b")
+      .select(graft.functions.set_jaccard(col("a"), col("b")).as("j"))
+      .collect()
+    assert(n.head.isNullAt(0))
+  }
+}
