@@ -106,6 +106,39 @@ case class NGramCounts(child: Expression, maxN: Int)
 object NGramKernel {
   private val Space = UTF8String.fromString(" ")
 
+  /** One-pass distinct n-grams, first-occurrence order — the kernel behind
+    * [[WordNgramsDistinct]]. Null tokens are skipped within a gram
+    * (UTF8String.concatWs skips nulls, exactly like array_join). */
+  def distinctGrams(arr: ArrayData, n: Int): ArrayData = {
+    val total = arr.numElements()
+    if (total < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    val toks = new Array[UTF8String](total)
+    var i = 0
+    while (i < total) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String]((total - n + 1) * 2)
+    var start = 0
+    while (start + n <= total) {
+      val gram =
+        if (n == 1) {
+          val t = toks(start)
+          if (t == null) UTF8String.EMPTY_UTF8 else t
+        } else UTF8String.concatWs(Space,
+          java.util.Arrays.copyOfRange(toks, start, start + n): _*)
+      seen.add(gram)
+      start += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** One-pass n-gram counting over a token array; insertion-ordered output
     * (first occurrence first — deterministic, though consumers aggregate or
     * sort anyway). Called from both interpreted eval and generated code. */
@@ -450,4 +483,143 @@ case class SetJaccard(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SetJaccard =
     copy(left = newLeft, right = newRight)
+}
+
+/** Fused word-n-gram hashing: for every n-token window of a token array,
+  * the XxHash64 (with `seed`) of the space-joined gram — BIT-EQUAL to
+  * `transform(word_ngrams(tokens, n), g => xxhash64_seeded(seed, g))`
+  * (Catalyst hashes a string as XXH64 over its UTF-8 bytes; this kernel
+  * assembles each gram's bytes in a reused thread-local scratch buffer and
+  * calls the same public `XXH64.hashUnsafeBytes`), without EVER
+  * materializing a gram string. Fewer than n tokens yields an empty array,
+  * matching word_ngrams' `when(size >= n)` guard.
+  *
+  * Why: every n-gram consumer that only needs gram IDENTITY (decontam
+  * semi-joins, shingle base hashes for MinHash signatures) was paying one
+  * string concatenation per position per document — at pipeline scale
+  * hundreds of millions of short-lived UTF8String allocations whose bytes
+  * are immediately hashed and discarded. Null tokens (impossible from
+  * `split`, the only caller shape) fall back to the exact array_join
+  * semantics (nulls skipped) via the string path, keeping bit-equality on
+  * every input.
+  */
+case class WordNgramHashes(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n > 0, "word_ngram_hashes needs n >= 1")
+
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "word_ngram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHashKernel.hashes(input.asInstanceOf[ArrayData], n, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NgramHashKernel.hashes($c, $n, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramHashes =
+    copy(child = newChild)
+}
+
+object NgramHashKernel {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.Platform
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val scratch = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](1 << 10)
+  }
+
+  def hashes(arr: ArrayData, n: Int, seed: Long): ArrayData = {
+    val total = arr.numElements()
+    val cnt = total - n + 1
+    if (cnt <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val toks = new Array[UTF8String](total)
+    var hasNull = false
+    var i = 0
+    while (i < total) {
+      if (arr.isNullAt(i)) hasNull = true else toks(i) = arr.getUTF8String(i)
+      i += 1
+    }
+    if (hasNull) return hashesWithNulls(toks, n, seed, cnt)
+    val out = new Array[Long](cnt)
+    var start = 0
+    while (start < cnt) {
+      // gram bytes = tok(start) ++ ' ' ++ ... ++ tok(start+n-1)
+      var len = n - 1
+      var j = start
+      while (j < start + n) { len += toks(j).numBytes; j += 1 }
+      var buf = scratch.get()
+      if (buf.length < len) {
+        buf = new Array[Byte](java.lang.Integer.highestOneBit(len) * 2)
+        scratch.set(buf)
+      }
+      var pos = Platform.BYTE_ARRAY_OFFSET
+      j = start
+      while (j < start + n) {
+        if (j > start) { Platform.putByte(buf, pos, ' '.toByte); pos += 1 }
+        val t = toks(j)
+        Platform.copyMemory(t.getBaseObject, t.getBaseOffset, buf, pos,
+          t.numBytes)
+        pos += t.numBytes
+        j += 1
+      }
+      out(start) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, seed)
+      start += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Rare path (null tokens — impossible from split()): reproduce
+    * word_ngrams' array_join semantics exactly (nulls skipped, no
+    * doubled separators) by building the gram string. */
+  private def hashesWithNulls(toks: Array[UTF8String], n: Int, seed: Long,
+      cnt: Int): ArrayData = {
+    val out = new Array[Long](cnt)
+    var start = 0
+    while (start < cnt) {
+      val parts = (start until start + n).map(toks(_)).filter(_ != null)
+      val gram = UTF8String.concatWs(UTF8String.fromString(" "), parts: _*)
+      out(start) = XXH64.hashUnsafeBytes(gram.getBaseObject,
+        gram.getBaseOffset, gram.numBytes, seed)
+      start += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Fused distinct word-n-grams: the BIT-IDENTICAL result of
+  * `array_distinct(word_ngrams(tokens, n))` — each n-token window
+  * space-joined, first-occurrence order, fewer-than-n tokens yielding an
+  * empty array — in ONE pass. The composed form is interpreted end to end
+  * (word_ngrams is transform+slice+array_join — a lambda box, a sub-array
+  * allocation, and an interpreted join per position — and array_distinct
+  * re-walks the result into a set); measured as the dominant CPU of every
+  * shingle consumer at pipeline scale. Null tokens are skipped inside a
+  * gram exactly like array_join does (impossible from `split`, the only
+  * caller shape, but pinned for equality on every input).
+  */
+case class WordNgramsDistinct(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n > 0, "word_ngrams_distinct needs n >= 1")
+
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams_distinct"
+
+  override def nullSafeEval(input: Any): Any =
+    NGramKernel.distinctGrams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NGramKernel.distinctGrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsDistinct =
+    copy(child = newChild)
 }

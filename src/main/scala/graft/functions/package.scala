@@ -34,6 +34,18 @@ package object functions {
     Bridge.column(
       org.apache.spark.sql.catalyst.expressions.XxHash64(cols.map(ex), seed))
 
+  /** Fused distinct n-grams: bit-identical to
+    * `array_distinct(word_ngrams(tokens, n))` in one codegen'd pass
+    * (see [[WordNgramsDistinct]]). */
+  def word_ngrams_distinct(tokens: Column, n: Int): Column =
+    Bridge.column(WordNgramsDistinct(ex(tokens), n))
+
+  /** Fused word-n-gram hashing: one hash per n-token window, bit-equal to
+    * `transform(word_ngrams(tokens, n), g => xxhash64_seeded(seed, g))`
+    * but with no gram-string materialization (see [[WordNgramHashes]]). */
+  def word_ngram_hashes(tokens: Column, n: Int, seed: Long): Column =
+    Bridge.column(WordNgramHashes(ex(tokens), n, seed))
+
   /** Fused exact set-Jaccard of two string arrays — identical to
     * `size(array_intersect(a,b))/size(array_union(a,b))` without
     * materializing either intermediate array (see [[SetJaccard]]). */

@@ -21,9 +21,13 @@ object MinHash {
   val BandRows  = 2 // 32 bands x 2 rows: P(miss | j>=0.8) ~ 6e-15
   val NumBands: Int = NumHashes / BandRows
 
-  /** Distinct n-token shingles of a whitespace-tokenized text column. */
+  /** Distinct n-token shingles of a whitespace-tokenized text column —
+    * the fused one-pass kernel, bit-identical to
+    * `array_distinct(word_ngrams(split(text, " "), n))` (spec'd in
+    * MinHashSpec; the composed form is interpreted end to end and was the
+    * dominant CPU of the verification stage at pipeline scale). */
   def shingles(text: Column, n: Int = 3): Column =
-    array_distinct(word_ngrams(split(text, " "), n))
+    graft.functions.word_ngrams_distinct(split(text, " "), n)
 
   /** Seed for the one-per-shingle base hash the signature family derives
     * from (distinct from the family seeds 0..63 and the band seeds
@@ -87,20 +91,21 @@ object MinHash {
       // the exchange. The token-count form keeps the pushed-down predicate
       // a cheap split+size.
       .filter(size(split(col(textCol), " ")) >= n)
-      .withColumn("__sh", shingles(col(textCol), n))
-      // materialize the one-string-hash-per-shingle array as its own
-      // projection (each string hashed ONCE; the family derivation re-mixes
-      // the 8-byte result), then the FUSED 64-family signature: one
-      // codegen'd pass computing all minima, instead of 64 interpreted
-      // array_min(transform(...)) traversals per document (HOFs never enter
-      // WholeStageCodegen — the column-per-family form was the dominant
-      // map-side CPU of the candidate stage at pipeline scale; equivalence
-      // with it is spec'd in MinHashSpec). The explicit select boundaries
-      // keep CollapseProject from folding either non-cheap projection into
-      // its downstream consumers.
+      // FUSED base-hash projection: one hash per n-token window straight
+      // off the token array (word_ngram_hashes — bit-equal to hashing the
+      // joined gram string, no gram-string materialization, no
+      // array_distinct: the signature is a per-family MINIMUM, so
+      // duplicate shingles cannot change it — min over a multiset equals
+      // min over its set; spec'd in MinHashSpec), then the FUSED 64-family
+      // signature: one codegen'd pass computing all minima, instead of 64
+      // interpreted array_min(transform(...)) traversals per document
+      // (HOFs never enter WholeStageCodegen — the column-per-family form
+      // was the dominant map-side CPU of the candidate stage at pipeline
+      // scale). The explicit select boundaries keep CollapseProject from
+      // folding either non-cheap projection into its downstream consumers.
       .select(carryCols.map(col) :+
-        transform(col("__sh"),
-          s => xxhash64_seeded(BaseHashSeed, s)).as("__h"): _*)
+        graft.functions.word_ngram_hashes(split(col(textCol), " "), n,
+          BaseHashSeed).as("__h"): _*)
       .select(carryCols.map(col) :+
         graft.functions.minhash_signatures(col("__h"), NumHashes).as("__sig"): _*)
     sigs

@@ -228,15 +228,18 @@ object DataPipelineBench {
     // sharing ANY hash is dropped. The benchmark side is tiny by contract
     // so its hash set broadcasts and the whole stage is one map-side
     // semi-join probe: text never crosses a shuffle.
+    // word_ngram_hashes: bit-equal to exploding the gram STRINGS and
+    // hashing them (same XXH64 bytes), but the corpus side skips hundreds
+    // of millions of short-lived gram-string allocations
     val heldoutGrams = benchmark
       .select(normalize_text(col("text")).as("text"))
-      .select(explode(word_ngrams(split(col("text"), " "), 7)).as("g"))
-      .select(xxhash64_seeded(56L, col("g")).as("h"))
+      .select(explode(graft.functions.word_ngram_hashes(
+        split(col("text"), " "), 7, 56L)).as("h"))
       .distinct()
     val docGrams = nearSurvivors
       .select(col("doc_id"),
-        explode(word_ngrams(split(col("text"), " "), 7)).as("g"))
-      .select(col("doc_id"), xxhash64_seeded(56L, col("g")).as("h"))
+        explode(graft.functions.word_ngram_hashes(
+          split(col("text"), " "), 7, 56L)).as("h"))
     val contaminated = docGrams
       .join(broadcast(heldoutGrams), Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()

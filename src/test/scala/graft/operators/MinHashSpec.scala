@@ -37,6 +37,74 @@ class MinHashSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("word_ngram_hashes is bit-equal to hashing the joined gram strings") {
+    import org.apache.spark.sql.functions._
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(split(col("text"), " ").as("toks"))
+    for (n <- Seq(3, 7)) {
+      val fused = real.select(graft.functions.word_ngram_hashes(
+        col("toks"), n, MinHash.BaseHashSeed).as("h"))
+      val viaStrings = real.select(transform(
+        graft.functions.word_ngrams(col("toks"), n),
+        g => graft.functions.xxhash64_seeded(MinHash.BaseHashSeed, g)).as("h"))
+      assert(fused.exceptAll(viaStrings).isEmpty &&
+        viaStrings.exceptAll(fused).isEmpty, s"n=$n")
+    }
+    // edges: fewer tokens than n -> empty; empty-string tokens (doubled
+    // spaces) hash like the string path
+    val edge = Seq(Seq("a"), Seq.empty[String], Seq("a", "", "b", "c"))
+      .toDF("toks")
+    val f = edge.select(graft.functions.word_ngram_hashes(col("toks"), 3, -9L).as("h"))
+    val s = edge.select(transform(graft.functions.word_ngrams(col("toks"), 3),
+      g => graft.functions.xxhash64_seeded(-9L, g)).as("h"))
+    assert(f.exceptAll(s).isEmpty && s.exceptAll(f).isEmpty)
+  }
+
+  test("fused shingles equal array_distinct(word_ngrams(...)) bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(split(col("text"), " ").as("toks"))
+    for (n <- Seq(1, 3, 5)) {
+      val fused = real.select(
+        graft.functions.word_ngrams_distinct(col("toks"), n).as("sh"))
+      val composed = real.select(
+        array_distinct(graft.functions.word_ngrams(col("toks"), n)).as("sh"))
+      // exceptAll compares full arrays — ORDER included, so this pins
+      // first-occurrence order, not just set equality
+      assert(fused.exceptAll(composed).isEmpty &&
+        composed.exceptAll(fused).isEmpty, s"n=$n")
+    }
+    val edge = Seq(Seq("a", "b"), Seq.empty[String], Seq("a", "", "a", ""))
+      .toDF("toks")
+    val f = edge.select(graft.functions.word_ngrams_distinct(col("toks"), 3).as("sh"))
+    val c = edge.select(
+      array_distinct(graft.functions.word_ngrams(col("toks"), 3)).as("sh"))
+    assert(f.exceptAll(c).isEmpty && c.exceptAll(f).isEmpty)
+  }
+
+  test("bandKeys equals the round-10 shingle-string formulation") {
+    import org.apache.spark.sql.functions._
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val now = MinHash.bandKeys(real, "text", Seq("doc_id"))
+    // the old path: distinct shingle STRINGS -> per-shingle hash -> 64
+    // column-per-family signature -> same band structs (distinct vs
+    // multiset cannot matter: each family takes a MINIMUM)
+    val old = real
+      .filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("__h", transform(MinHash.shingles(col("text")),
+        s => graft.functions.xxhash64_seeded(MinHash.BaseHashSeed, s)))
+      .select(col("doc_id") +: MinHash.signatureFromHashes(col("__h")): _*)
+      .select(col("doc_id"), explode(array((0 until MinHash.NumBands).map { b =>
+        struct(lit(b).as("band"),
+          graft.functions.xxhash64_seeded(1000L + b,
+            col(s"mh_${b * MinHash.BandRows}"),
+            col(s"mh_${b * MinHash.BandRows + 1}")).as("bh"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    assert(now.exceptAll(old).isEmpty && old.exceptAll(now).isEmpty)
+  }
+
   test("fused signature equals the column-per-family formulation") {
     import org.apache.spark.sql.functions._
     // real text: the harness documents at the smallest SF
