@@ -24,6 +24,10 @@ import org.apache.spark.sql.graftbridge.Bridge
   *   - `everygrams(toks, lo, hi)`— all n-grams for n in [lo, hi]
   *   - `zorder_key(c1, c2, …)`   — Morton bit-interleave layout key
   *   - `top_k(e, k[, smallest])` — bounded-heap per-group top-k aggregate
+  *   - `word_ngrams_distinct(toks, n)` — fused distinct n-grams
+  *   - `word_ngram_hashes(toks, n, seed)` — fused per-window gram hashes
+  *   - `set_jaccard(a, b)`       — one-pass exact set-Jaccard
+  *   - `minhash_signatures(h, k)`— fused k-family MinHash signature
   *
   * All of these compose from built-ins or codegen'd expressions — no UDF
   * registry entries, so SQL users get identical plans (and identical 100 TB
@@ -104,6 +108,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Bridge.toExpression(
           graft.functions.everygrams(Bridge.column(exprs.head), lo, hi))
       }))
+
+    ext.injectFunction((FunctionIdentifier("word_ngrams_distinct"),
+      info("word_ngrams_distinct", "word_ngrams_distinct(tokens, n) - distinct space-joined n-grams, first-occurrence order; fused one-pass equivalent of array_distinct(word_ngrams(tokens, n))."),
+      (exprs: Seq[Expression]) => graft.functions.WordNgramsDistinct(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+
+    ext.injectFunction((FunctionIdentifier("word_ngram_hashes"),
+      info("word_ngram_hashes", "word_ngram_hashes(tokens, n, seed) - one xxhash64 per n-token window, bit-equal to hashing the space-joined gram strings, with no gram materialization."),
+      (exprs: Seq[Expression]) => graft.functions.WordNgramHashes(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        exprs(2).eval(null).asInstanceOf[Number].longValue())))
+
+    ext.injectFunction((FunctionIdentifier("set_jaccard"),
+      info("set_jaccard", "set_jaccard(a, b) - exact set-Jaccard of two string arrays, equal to size(array_intersect(a,b))/size(array_union(a,b)) without materializing either array."),
+      (exprs: Seq[Expression]) => graft.functions.SetJaccard(exprs(0), exprs(1))))
+
+    ext.injectFunction((FunctionIdentifier("minhash_signatures"),
+      info("minhash_signatures", "minhash_signatures(hashes, k) - k-family MinHash signature of an array<long>: element i = min over the array of xxhash64_seeded(i, x), all families in one pass."),
+      (exprs: Seq[Expression]) => graft.functions.MinHashSignatures(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue())))
 
     ext.injectFunction((FunctionIdentifier("zorder_key"),
       info("zorder_key", "zorder_key(c1, c2, ...) - Z-order (Morton) bit-interleave of non-negative long dimension columns; sort by it before writing for multi-dimensional file clustering."),

@@ -121,6 +121,14 @@ object DataPipelineBench {
       val now = System.nanoTime()
       println(f"[dp] $stage: ${(now - tLast) / 1e9}%.1f s")
       tLast = now
+      // Shuffle files from completed stages are reaped by the
+      // ContextCleaner only when their ShuffleDependency objects are GC'd
+      // on the driver; in one long-lived job over a multi-GB corpus the
+      // accumulated dead spill was the DISK ceiling (measured: the 3x-size
+      // run filled the volume with shuffle files three stages after the
+      // shuffles were last referenced). One explicit gc per stage boundary
+      // lets the cleaner keep pace; wall cost is milliseconds per stage.
+      System.gc()
     }
 
     // --- stage 1: one scan computes everything per-doc and map-side:
@@ -156,6 +164,16 @@ object DataPipelineBench {
       .join(keepExact, Seq("doc_id"), "left_semi")
       .localCheckpoint()
     val nExact = exactSurvivors.count()
+    // Stage-frame lifecycle: each localCheckpoint materializes a
+    // corpus-sized frame, and holding every stage's copy to the end means
+    // ~5 live corpus copies of block storage (measured as the disk ceiling
+    // of the 3x-size run; the same 5x storage bill would be paid by a real
+    // cluster's executors). Once the NEXT checkpoint is materialized, the
+    // previous stage's frame is dead — nothing re-reads it — so unpersist
+    // it and cap live storage at ~2 copies. (Unpersisting a
+    // local-checkpointed frame destroys it irrecoverably; safe here
+    // precisely because no later stage references it.)
+    scored.unpersist()
     lap("exact_dedup")
 
     // --- stage 4: near-dup dedup on the survivors — band keys map-side,
@@ -206,9 +224,11 @@ object DataPipelineBench {
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .localCheckpoint()
     println(s"[dp]   near: verified pairs=${pairs.count()}")
+    cands.unpersist() // dead once the verified pairs are materialized
     lap("  near:verify")
     val clusters = graft.operators.Dedup.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("cluster_id"))
+    pairs.unpersist() // connectedComponents checkpointed its own output
     lap("  near:cc")
     val keepBest = clusters
       .join(exactSurvivors.select(col("doc_id"), col("quality")), "doc_id")
@@ -221,6 +241,7 @@ object DataPipelineBench {
       .unionByName(exactSurvivors.join(keepBest, Seq("doc_id"), "left_semi"))
       .localCheckpoint()
     val nNear = nearSurvivors.count()
+    exactSurvivors.unpersist() // superseded by nearSurvivors
     lap("near_dedup")
 
     // --- stage 5: benchmark decontamination — the EXTERNAL benchmark
@@ -247,6 +268,7 @@ object DataPipelineBench {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val nClean = clean.count()
+    nearSurvivors.unpersist() // superseded by clean
     lap("decontam")
 
     // --- stage 6: split + write (near-dups are gone, so a doc-hash split

@@ -151,4 +151,23 @@ class GraftExtensionsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF"))
   }
+
+  test("fused n-gram kernels from SQL match their composed twins") {
+    val r = spark.sql(
+      """SELECT word_ngrams_distinct(array('a','b','a','b'), 2) AS d,
+        |       word_ngram_hashes(array('a','b','c'), 2, 56) AS h,
+        |       transform(word_ngrams(array('a','b','c'), 2),
+        |                 g -> xxhash64_seeded(56, g)) AS href,
+        |       set_jaccard(array('x','y','z'), array('y','z','w')) AS j,
+        |       minhash_signatures(array(42L, -7L), 4) AS sig""".stripMargin)
+      .head()
+    assert(r.getSeq[String](0) == Seq("a b", "b a"))
+    assert(r.getSeq[Long](1) == r.getSeq[Long](2))
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-12)
+    val sig = r.getSeq[Long](4)
+    assert(sig.length == 4 && sig == sig) // deterministic, 4 families
+    val again = spark.sql(
+      "SELECT minhash_signatures(array(42L, -7L), 4) AS sig").head().getSeq[Long](0)
+    assert(sig == again)
+  }
 }
