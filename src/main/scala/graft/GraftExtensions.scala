@@ -110,18 +110,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((FunctionIdentifier("word_ngrams_distinct"),
-      info("word_ngrams_distinct", "word_ngrams_distinct(tokens, n) - distinct space-joined n-grams, first-occurrence order; fused one-pass equivalent of array_distinct(word_ngrams(tokens, n))."),
+      info("word_ngrams_distinct", "word_ngrams_distinct(tokens, n) - distinct space-joined n-grams, first-occurrence order; fused one-pass equivalent of array_distinct(word_ngrams(tokens, n)) on every input including null (-> empty array)."),
       (exprs: Seq[Expression]) => graft.functions.WordNgramsDistinct(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue())))
 
     ext.injectFunction((FunctionIdentifier("word_ngram_hashes"),
-      info("word_ngram_hashes", "word_ngram_hashes(tokens, n, seed) - one xxhash64 per n-token window, bit-equal to hashing the space-joined gram strings, with no gram materialization."),
+      info("word_ngram_hashes", "word_ngram_hashes(tokens, n, seed) - one xxhash64 per n-token window, bit-equal to hashing the space-joined gram strings, with no gram materialization; null input -> empty array, like the composed form."),
       (exprs: Seq[Expression]) => graft.functions.WordNgramHashes(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue(),
         exprs(2).eval(null).asInstanceOf[Number].longValue())))
 
     ext.injectFunction((FunctionIdentifier("set_jaccard"),
-      info("set_jaccard", "set_jaccard(a, b) - exact set-Jaccard of two string arrays, equal to size(array_intersect(a,b))/size(array_union(a,b)) without materializing either array."),
+      info("set_jaccard", "set_jaccard(a, b) - exact set-Jaccard of two string arrays, equal to size(array_intersect(a,b))/size(array_union(a,b)) under default (non-ANSI) SQL, without materializing either array. Both-empty input is 0/0 and returns NULL (ANSI mode of the composed form would raise DIVIDE_BY_ZERO)."),
       (exprs: Seq[Expression]) => graft.functions.SetJaccard(exprs(0), exprs(1))))
 
     ext.injectFunction((FunctionIdentifier("minhash_signatures"),

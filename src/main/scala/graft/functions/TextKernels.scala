@@ -21,10 +21,15 @@ object TextKernels {
 
   /** One-pass exact set Jaccard over two string arrays — the kernel behind
     * [[graft.functions.SetJaccard]]; semantics identical to
-    * `size(array_intersect(a, b)) / size(array_union(a, b))` including
-    * null-element dedup and the both-empty 0.0/0 = NaN case. */
+    * `size(array_intersect(a, b)) / size(array_union(a, b))` under default
+    * (non-ANSI) SQL, including null-element dedup and the both-empty case:
+    * 0/0 divides to NULL, and NULL is what this returns (boxed). An earlier
+    * revision returned NaN there — dangerous on the SQL surface, because
+    * Spark orders NaN GREATER than every number, so `jac >= threshold`
+    * would silently ADMIT a both-empty pair that every built-in
+    * formulation rejects. */
   def setJaccard(a: org.apache.spark.sql.catalyst.util.ArrayData,
-      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+      b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
     val na = a.numElements()
     val setA = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
       Math.max(8, na * 2))
@@ -54,7 +59,8 @@ object TextKernels {
     if (aHasNull && bHasNull) inter += 1
     val sizeA = setA.size() + (if (aHasNull) 1 else 0)
     val sizeBOnly = bOnly + (if (bHasNull && !aHasNull) 1 else 0)
-    inter.toDouble / (sizeA + sizeBOnly)
+    val union = sizeA + sizeBOnly
+    if (union == 0) null else java.lang.Double.valueOf(inter.toDouble / union)
   }
 
   def normalize(s: String): String = {

@@ -106,6 +106,17 @@ case class NGramCounts(child: Expression, maxN: Int)
 object NGramKernel {
   private val Space = UTF8String.fromString(" ")
 
+  private val Empty: ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+
+  /** Shared zero-element array — the null-input result of the fused n-gram
+    * expressions (their composed twins' `when(size(tokens) >= n, ...)`
+    * guard has a null condition for null input and falls to the
+    * `otherwise(array())` branch, so the composed forms yield EMPTY, never
+    * null). Immutable and element-type-agnostic, so one instance serves
+    * both the string-gram and gram-hash kernels. */
+  def emptyArray: ArrayData = Empty
+
   /** One-pass distinct n-grams, first-occurrence order — the kernel behind
     * [[WordNgramsDistinct]]. Null tokens are skipped within a gram
     * (UTF8String.concatWs skips nulls, exactly like array_join). */
@@ -390,7 +401,11 @@ case class JaroWinkler(left: Expression, right: Expression)
   * MinHashSpec): a null element hashes to its family seed (Catalyst's
   * HashExpression leaves the running hash at the seed for null input);
   * an empty or null-min-less array yields null elements exactly where
-  * `array_min` would (empty -> all-null signature). Family quality is
+  * `array_min` would (empty -> all-null signature). A NULL input array
+  * propagates to a NULL signature (standard nullSafeEval; note the
+  * composed form wrapped in `array(col1..colK)` would instead give an
+  * array of K nulls — unreachable divergence: `MinHash.shingles` and
+  * `word_ngram_hashes` never yield null). Family quality is
   * unchanged — this is the same public XxHash64 family, same seeds.
   */
 case class MinHashSignatures(child: Expression, numHashes: Int)
@@ -451,19 +466,22 @@ object MinHashKernel {
 }
 
 /** Fused exact set-Jaccard over two string arrays: exactly
-  * `size(array_intersect(a, b)) / size(array_union(a, b))` (set semantics
-  * — duplicates and null elements deduplicate; the ONE divergence is
-  * both-empty input, where ANSI mode makes the built-in division RAISE
-  * DIVIDE_BY_ZERO while this returns NaN — callers' candidate shingle
-  * arrays are never empty), computed in one pass with two hash sets and NO
-  * materialized intermediate arrays. The built-in formulation allocates
-  * the full intersection AND union arrays per row just to take their
-  * sizes; this kernel allocates only the two sets. Measured impact on the
-  * 2.3 GB pipeline's verify stage: NEUTRAL within the host-variance band
-  * (the stage is dominated by the explode-join-regroup shuffle of shingle
-  * arrays, not by per-pair set math) — kept as a per-row allocation
-  * reduction whose value grows with array width. Codegen'd, so pair
-  * scoring stays inside the generated stage.
+  * `size(array_intersect(a, b)) / size(array_union(a, b))` under default
+  * (non-ANSI) SQL (set semantics — duplicates and null elements
+  * deduplicate; both-empty input is 0/0 and returns NULL exactly like the
+  * built-in division — ANSI mode's built-in would instead RAISE
+  * DIVIDE_BY_ZERO; callers' candidate shingle arrays are never empty, and
+  * a NULL, unlike the NaN an earlier revision returned, correctly FAILS a
+  * `jac >= threshold` filter on the SQL surface), computed in one pass
+  * with two hash sets and NO materialized intermediate arrays. The
+  * built-in formulation allocates the full intersection AND union arrays
+  * per row just to take their sizes; this kernel allocates only the two
+  * sets. Measured impact on the 2.3 GB pipeline's verify stage: NEUTRAL
+  * within the host-variance band (the stage is dominated by the
+  * explode-join-regroup shuffle of shingle arrays, not by per-pair set
+  * math) — kept as a per-row allocation reduction whose value grows with
+  * array width. Codegen'd, so pair scoring stays inside the generated
+  * stage.
   */
 case class SetJaccard(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -471,14 +489,22 @@ case class SetJaccard(left: Expression, right: Expression)
   override def inputTypes: Seq[ArrayType] =
     Seq(ArrayType(StringType), ArrayType(StringType))
   override def dataType: DataType = DoubleType
+  // both-empty input yields null even when neither child is null
+  override def nullable: Boolean = true
   override def prettyName: String = "set_jaccard"
 
   override def nullSafeEval(l: Any, r: Any): Any =
     TextKernels.setJaccard(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.TextKernels.setJaccard($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("jac")
+      s"""
+         |java.lang.Double $boxed = graft.functions.TextKernels.setJaccard($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SetJaccard =
@@ -501,7 +527,9 @@ case class SetJaccard(left: Expression, right: Expression)
   * are immediately hashed and discarded. Null tokens (impossible from
   * `split`, the only caller shape) fall back to the exact array_join
   * semantics (nulls skipped) via the string path, keeping bit-equality on
-  * every input.
+  * every input. A NULL input array yields an EMPTY array — the composed
+  * twin's `when(size >= n)` guard has a null condition on null input and
+  * falls to `otherwise(array())` — so this expression is never null.
   */
 case class WordNgramHashes(child: Expression, n: Int, seed: Long)
     extends UnaryExpression with ExpectsInputTypes {
@@ -511,14 +539,28 @@ case class WordNgramHashes(child: Expression, n: Int, seed: Long)
   override def inputTypes: Seq[ArrayType] = Seq(ArrayType(StringType))
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = false
   override def prettyName: String = "word_ngram_hashes"
 
-  override def nullSafeEval(input: Any): Any =
-    NgramHashKernel.hashes(input.asInstanceOf[ArrayData], n, seed)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) NGramKernel.emptyArray
+    else NgramHashKernel.hashes(v.asInstanceOf[ArrayData], n, seed)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.NgramHashKernel.hashes($c, $n, ${seed}L)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          ${childGen.isNull}
+            ? graft.functions.NGramKernel.emptyArray()
+            : graft.functions.NgramHashKernel.hashes(${childGen.value}, $n, ${seed}L);
+      """, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): WordNgramHashes =
     copy(child = newChild)
@@ -602,7 +644,10 @@ object NgramHashKernel {
   * re-walks the result into a set); measured as the dominant CPU of every
   * shingle consumer at pipeline scale. Null tokens are skipped inside a
   * gram exactly like array_join does (impossible from `split`, the only
-  * caller shape, but pinned for equality on every input).
+  * caller shape, but pinned for equality on every input). A NULL input
+  * array yields an EMPTY array, exactly like the composed twin (its
+  * `when(size >= n)` guard falls to `otherwise(array())` on null input) —
+  * so this expression is never null.
   */
 case class WordNgramsDistinct(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -611,14 +656,28 @@ case class WordNgramsDistinct(child: Expression, n: Int)
 
   override def inputTypes: Seq[ArrayType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
   override def prettyName: String = "word_ngrams_distinct"
 
-  override def nullSafeEval(input: Any): Any =
-    NGramKernel.distinctGrams(input.asInstanceOf[ArrayData], n)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) NGramKernel.emptyArray
+    else NGramKernel.distinctGrams(v.asInstanceOf[ArrayData], n)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.NGramKernel.distinctGrams($c, $n)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          ${childGen.isNull}
+            ? graft.functions.NGramKernel.emptyArray()
+            : graft.functions.NGramKernel.distinctGrams(${childGen.value}, $n);
+      """, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): WordNgramsDistinct =
     copy(child = newChild)

@@ -58,6 +58,34 @@ package object functions {
   def minhash_signatures(hashes: Column, k: Int): Column =
     Bridge.column(MinHashSignatures(ex(hashes), k))
 
+  /** Max element multiplicity of a string array — value-identical to
+    * `array_max(transform(array_distinct(a), x => size(filter(a, y => y === x))))`
+    * in one hashed pass (see [[TopCount]]). */
+  def top_count(a: Column): Column = Bridge.column(TopCount(ex(a)))
+
+  /** Sliding minima over an array<long>: element k = min of the w-wide
+    * window starting at k, output length max(n - w + 1, 1) — the q53
+    * winnowing fold, fused (see [[WindowMins]]). */
+  def window_mins(hashes: Column, w: Int): Column =
+    Bridge.column(WindowMins(ex(hashes), w))
+
+  /** Sum of squared codepoints of a string — the frame-energy inner fold,
+    * fused (see [[CodepointEnergy]]). */
+  def codepoint_energy(c: Column): Column =
+    Bridge.column(CodepointEnergy(ex(c.cast("string"))))
+
+  /** Best cosine match of `v` against a broadcast array of (id, bv)
+    * structs: struct(sim, id) with HALF_UP 4-dp rounding and lowest-id
+    * tie-break — q121's fold, fused (see [[BestCosine]]). */
+  def best_cosine(v: Column, bench: Column): Column =
+    Bridge.column(BestCosine(ex(v), ex(bench)))
+
+  /** Shared-span statistics struct(n, mx, cov) for one candidate pair's
+    * window arrays — q91's position scan + interval-merge fold, fused
+    * (see [[SharedSpanStats]]). */
+  def shared_span_stats(wa: Column, wb: Column, w: Int): Column =
+    Bridge.column(SharedSpanStats(ex(wa), ex(wb), w))
+
   /** Whitespace tokens of the normalized text; empty array for empty text
     * (plain `split("")` would yield `[""]`). */
   def norm_tokens(c: Column): Column = {

@@ -31,7 +31,16 @@ object Dedup {
     * write, and cadence is the knob that trades lineage growth against
     * write round-trips. Default 3 (measured best on the q36 graph). */
   private val CheckpointEvery =
-    sys.env.get("SPARK_GRAFT_CC_CKPT_EVERY").map(_.toInt).getOrElse(3)
+    sys.env.get("SPARK_GRAFT_CC_CKPT_EVERY").flatMap { s =>
+      // validated: it is used as a modulus deep inside a long CC run, where
+      // a 0 (ArithmeticException) or junk (NumberFormatException at
+      // class-init) would abort hours in — fall back loudly instead
+      val parsed = scala.util.Try(s.trim.toInt).toOption.filter(_ >= 1)
+      if (parsed.isEmpty)
+        System.err.println(
+          s"[graft] ignoring invalid SPARK_GRAFT_CC_CKPT_EVERY='$s' (need integer >= 1); using default 3")
+      parsed
+    }.getOrElse(3)
 
   /** SPARK_GRAFT_CC_PROFILE=1: log a per-round wall-time split to stderr —
     * join/materialize wall vs checkpoint-write wall vs convergence-check

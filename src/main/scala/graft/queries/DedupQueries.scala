@@ -1323,7 +1323,7 @@ object DedupQueries {
     * proportional to candidate docs plus per-row work bounded by doc
     * length² — no window functions, no per-pair shuffle, no text through
     * any exchange. */
-  private[queries] def sharedSpans(docs: DataFrame, w: Int): DataFrame = {
+  private[graft] def sharedSpans(docs: DataFrame, w: Int): DataFrame = {
     val cands = hashWindowCands(docs, w)
     val toks = split(col("text"), " ")
     val aWins = docs.join(cands.select(col("id_a").as("doc_id")).distinct(),
@@ -1365,6 +1365,35 @@ object DedupQueries {
       .join(bWins, "id_b")
       .select(col("id_a"), col("id_b"), ps.as("ps"))
       .select(col("id_a"), col("id_b"), folded.as("sp"))
+      .select(col("id_a"), col("id_b"),
+        col("sp.n").cast("long").as("n_spans"),
+        col("sp.mx").cast("long").as("max_span_tokens"),
+        col("sp.cov").cast("long").as("covered_tokens"))
+      .filter(col("n_spans") > 0)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** [[sharedSpans]] with the per-pair position scan + interval-merge fold
+    * replaced by the fused [[graft.functions.SharedSpanStats]] kernel —
+    * O(|wa| + |wb|) hashed per pair instead of O(|wa| x |wb|) interpreted
+    * string comparisons. Value-identical (FoldKernelsSpec pins kernel
+    * equality against the composed fold; the surrounding plan is shared
+    * code). */
+  private[graft] def sharedSpansFused(docs: DataFrame, w: Int): DataFrame = {
+    val cands = hashWindowCands(docs, w)
+    val toks = split(col("text"), " ")
+    val aWins = docs.join(cands.select(col("id_a").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("id_a"), word_ngrams(toks, w).as("wa"))
+    val bWins = docs.join(cands.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("id_b"),
+        array_distinct(word_ngrams(toks, w)).as("wb"))
+    cands
+      .join(aWins, "id_a")
+      .join(bWins, "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.shared_span_stats(col("wa"), col("wb"), w).as("sp"))
       .select(col("id_a"), col("id_b"),
         col("sp.n").cast("long").as("n_spans"),
         col("sp.mx").cast("long").as("max_span_tokens"),

@@ -72,9 +72,14 @@ object DataPipelineBench {
     val corpus =
       if (hotKeyRows <= 0) baseCorpus
       else {
-        val baseText = baseCorpus.select(col("text"))
-          .filter(size(split(col("text"), " ")) >= 50)
-          .head().getString(0)
+        // The shared base is SYNTHESIZED from tokens guaranteed absent from
+        // the corpus (an earlier revision sampled a real corpus document,
+        // whose own buckets — and therefore its GENUINE near-dup pairs —
+        // went hot and were capped away, spuriously breaking the
+        // "verified pairs unchanged" invariant below). 64 unique synthetic
+        // tokens give the planted rows a full shingle set that collides
+        // only among themselves.
+        val baseText = (0 until 64).map(i => s"zzhotkeybase$i").mkString(" ")
         val maxId = baseCorpus.agg(max(col("doc_id"))).head().getLong(0)
         baseCorpus.unionByName(
           spark.range(hotKeyRows).select(
@@ -128,6 +133,11 @@ object DataPipelineBench {
       // run filled the volume with shuffle files three stages after the
       // shuffles were last referenced). One explicit gc per stage boundary
       // lets the cleaner keep pace; wall cost is milliseconds per stage.
+      // NOTE for cluster deployment: Spark ships a CONFIG for exactly this
+      // — `spark.cleaner.periodicGC.interval` (default 30min; set it to
+      // ~1-5min for long shuffle-heavy jobs). Tune the config there, not
+      // the code; the explicit call stays here only because this tool's
+      // per-stage laps want deterministic reap points inside ONE job.
       System.gc()
     }
 

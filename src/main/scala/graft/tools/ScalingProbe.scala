@@ -83,7 +83,12 @@ object ScalingProbe {
       System.gc()
       val c  = graft.HostCanary.sec()
       val pc = graft.HostCanary.parSec()
-      val t  = math.min(run(), run())
+      // a failing (query, scale) cell records a -1 sentinel instead of
+      // aborting the probe — the remaining measurements of a long box-hour
+      // run are the point; growth ratios skip sentinel cells below
+      val t = try math.min(run(), run())
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] timed $q@$tag FAILED: $e"); -1.0 }
       spark.stop()
       val line = f"""{"metric":"scale","name":"$q","scale":"$tag","value":$t%.2f,"unit":"sec","canary":$c%.3f,"par_canary":$pc%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f}"""
       println(line)
@@ -95,8 +100,9 @@ object ScalingProbe {
     val byQ = rows.groupBy(_._1)
     val growth = queries.flatMap { q =>
       for {
-        t1 <- byQ(q).find(_._2 == "x1").map(_._3)
-        tf <- byQ(q).find(_._2 == s"x$factor").map(_._3)
+        cells <- byQ.get(q)
+        t1 <- cells.find(r => r._2 == "x1" && r._3 >= 0).map(_._3)
+        tf <- cells.find(r => r._2 == s"x$factor" && r._3 >= 0).map(_._3)
       } yield f""""$q":{"t1":$t1%.2f,"tf":$tf%.2f,"growth":${tf / t1}%.2f}"""
     }
     val summary =

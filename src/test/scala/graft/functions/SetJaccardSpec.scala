@@ -6,10 +6,12 @@ import graft.SparkSpec
 
 /** set_jaccard must be value-identical to the built-in
   * size(array_intersect)/size(array_union) formulation it replaces —
-  * including duplicate elements (set semantics), null elements
-  * (intersect only when present on both sides), and the both-empty
-  * NaN case. The gated dedup queries' oracles depend on this exact
-  * equality. */
+  * including duplicate elements (set semantics) and null elements
+  * (intersect only when present on both sides). Both-empty input is 0/0
+  * and returns NULL, matching the non-ANSI integer-division built-in (a
+  * NaN there would be ordered GREATER than every number and silently PASS
+  * `jac >= threshold` filters on the SQL surface). The gated dedup
+  * queries' oracles depend on this exact equality. */
 class SetJaccardSpec extends SparkSpec {
   import spark.implicits._
 
@@ -48,14 +50,20 @@ class SetJaccardSpec extends SparkSpec {
       val (f, ref) = (r.getDouble(0), r.getDouble(1))
       assert(f == ref || (f.isNaN && ref.isNaN), s"$f != $ref")
     }
-    // both-empty: the ANSI built-in formulation RAISES DIVIDE_BY_ZERO
-    // (int-typed size divisor); the fused kernel returns NaN instead —
-    // the one documented divergence. Callers' candidate shingle arrays
+    // both-empty: 0/0. The non-ANSI integer-division built-in yields NULL
+    // (ANSI raises DIVIDE_BY_ZERO); the fused kernel returns NULL, so a
+    // downstream `jac >= threshold` filter REJECTS a both-empty pair just
+    // like every built-in formulation. Callers' candidate shingle arrays
     // are never empty (bandKeys drops shingle-less docs before pairing).
     val e = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
       .select(graft.functions.set_jaccard(col("a"), col("b")).as("j"))
       .collect()
-    assert(e.head.getDouble(0).isNaN)
+    assert(e.head.isNullAt(0))
+    // ...and specifically: a threshold filter must DROP the both-empty pair
+    val admitted = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+      .filter(graft.functions.set_jaccard(col("a"), col("b")) >= 0.7)
+      .count()
+    assert(admitted == 0L)
     // null input arrays -> null result, like the built-ins
     val n = Seq((Option.empty[Seq[String]], Option(Seq("x"))))
       .toDF("a", "b")

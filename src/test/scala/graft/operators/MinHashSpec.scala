@@ -51,8 +51,10 @@ class MinHashSpec extends SparkSpec {
         viaStrings.exceptAll(fused).isEmpty, s"n=$n")
     }
     // edges: fewer tokens than n -> empty; empty-string tokens (doubled
-    // spaces) hash like the string path
-    val edge = Seq(Seq("a"), Seq.empty[String], Seq("a", "", "b", "c"))
+    // spaces) hash like the string path; a NULL token array -> empty
+    // array, exactly like the composed form's when()-guard fallthrough
+    val edge = Seq(Seq("a"), Seq.empty[String], Seq("a", "", "b", "c"),
+        null.asInstanceOf[Seq[String]])
       .toDF("toks")
     val f = edge.select(graft.functions.word_ngram_hashes(col("toks"), 3, -9L).as("h"))
     val s = edge.select(transform(graft.functions.word_ngrams(col("toks"), 3),
@@ -74,7 +76,9 @@ class MinHashSpec extends SparkSpec {
       assert(fused.exceptAll(composed).isEmpty &&
         composed.exceptAll(fused).isEmpty, s"n=$n")
     }
-    val edge = Seq(Seq("a", "b"), Seq.empty[String], Seq("a", "", "a", ""))
+    // incl. a NULL token array -> empty array, like the composed form
+    val edge = Seq(Seq("a", "b"), Seq.empty[String], Seq("a", "", "a", ""),
+        null.asInstanceOf[Seq[String]])
       .toDF("toks")
     val f = edge.select(graft.functions.word_ngrams_distinct(col("toks"), 3).as("sh"))
     val c = edge.select(
