@@ -28,6 +28,14 @@ import org.apache.spark.sql.graftbridge.Bridge
   *   - `word_ngram_hashes(toks, n, seed)` — fused per-window gram hashes
   *   - `set_jaccard(a, b)`       — one-pass exact set-Jaccard
   *   - `minhash_signatures(h, k)`— fused k-family MinHash signature
+  *   - `top_count(arr)`          — fused max element multiplicity
+  *   - `window_mins(h, w)`       — fused sliding-window minima
+  *   - `codepoint_energy(s)`     — fused sum of squared codepoints
+  *   - `best_cosine(v, bench)`   — fused best-cosine broadcast fold
+  *   - `shared_span_stats(a,b,w)`— fused shared-span merge statistics
+  *   - `simhash64(hashes)`       — fused 64-bit SimHash majority fold
+  *   - `word_ngram_top_count(t,n)` — fused gram-free max multiplicity
+  *   - `word_ngram_rolling_hashes(t,n)` — fused gram-free rolling hashes
   *
   * All of these compose from built-ins or codegen'd expressions — no UDF
   * registry entries, so SQL users get identical plans (and identical 100 TB
@@ -128,6 +136,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_signatures", "minhash_signatures(hashes, k) - k-family MinHash signature of an array<long>: element i = min over the array of xxhash64_seeded(i, x), all families in one pass."),
       (exprs: Seq[Expression]) => graft.functions.MinHashSignatures(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue())))
+
+    ext.injectFunction((FunctionIdentifier("top_count"),
+      info("top_count", "top_count(arr) - max element multiplicity of a string array, equal to array_max(transform(array_distinct(arr), x -> size(filter(arr, y -> y = x)))) in one hashed pass; empty -> null, null elements count 0."),
+      (exprs: Seq[Expression]) => graft.functions.TopCount(exprs.head)))
+
+    ext.injectFunction((FunctionIdentifier("window_mins"),
+      info("window_mins", "window_mins(hashes, w) - sliding minima of an array<long>: element k = min of the w-wide window starting at k, output length max(n-w+1, 1); the winnowing fold, fused."),
+      (exprs: Seq[Expression]) => graft.functions.WindowMins(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+
+    ext.injectFunction((FunctionIdentifier("codepoint_energy"),
+      info("codepoint_energy", "codepoint_energy(str) - sum of squared codepoints, equal to the per-char ascii(substr())^2 aggregate fold in one decode loop; empty -> 0."),
+      (exprs: Seq[Expression]) => graft.functions.CodepointEnergy(exprs.head)))
+
+    ext.injectFunction((FunctionIdentifier("best_cosine"),
+      info("best_cosine", "best_cosine(v, bench) - struct(sim, id): best HALF_UP-4dp-rounded cosine of v against an array<struct<id,bv>> (ascending visit order keeps the lowest id on rounded ties)."),
+      (exprs: Seq[Expression]) => graft.functions.BestCosine(exprs(0), exprs(1))))
+
+    ext.injectFunction((FunctionIdentifier("word_ngram_top_count"),
+      info("word_ngram_top_count", "word_ngram_top_count(tokens, n) - max multiplicity over the n-token windows, equal to top_count(word_ngrams(tokens, n)) with no gram array; fewer than n tokens -> null."),
+      (exprs: Seq[Expression]) => graft.functions.WordNgramTopCount(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+
+    ext.injectFunction((FunctionIdentifier("word_ngram_rolling_hashes"),
+      info("word_ngram_rolling_hashes", "word_ngram_rolling_hashes(tokens, n) - rolling_hash of every n-token window, bit-equal to transform(word_ngrams(tokens, n), g -> rolling_hash(g)) with no gram strings; null input -> empty array."),
+      (exprs: Seq[Expression]) => graft.functions.WordNgramRollingHashes(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(hashes) - 64-bit SimHash of an array<long>: bit b set iff the count of hashes with bit b set exceeds the count without; one pass (empty or any-null input -> 0)."),
+      (exprs: Seq[Expression]) => graft.functions.SimHash64(exprs.head)))
+
+    ext.injectFunction((FunctionIdentifier("shared_span_stats"),
+      info("shared_span_stats", "shared_span_stats(wa, wb, w) - struct(n, mx, cov): merged shared-window spans of two window arrays (positions of wa whose window occurs in wb, intervals [p, p+w-1] merged when overlapping/adjacent)."),
+      (exprs: Seq[Expression]) => graft.functions.SharedSpanStats(exprs(0), exprs(1),
+        exprs(2).eval(null).asInstanceOf[Number].intValue())))
 
     ext.injectFunction((FunctionIdentifier("zorder_key"),
       info("zorder_key", "zorder_key(c1, c2, ...) - Z-order (Morton) bit-interleave of non-negative long dimension columns; sort by it before writing for multi-dimensional file clustering."),

@@ -192,10 +192,215 @@ case class SharedSpanStats(left: Expression, right: Expression, w: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Max n-gram multiplicity straight from the token array — value-identical
+  * to `top_count(word_ngrams(tokens, n))` (and therefore to the composed
+  * `array_max(transform(array_distinct(g), x => size(filter(g, y => y === x))))`
+  * over the materialized gram array) WITHOUT ever materializing the gram
+  * array: one pass building each space-joined gram in place and counting
+  * multiplicities in a hash map. The round-12 HofLap measured that fusing
+  * only the terminal fold (top_count over a composed word_ngrams array)
+  * was NEUTRAL at pipeline scale — the interpreted per-position
+  * slice+array_join gram construction was the cost, exactly like round
+  * 11's shingle kernels. Fewer than n tokens -> null (top_count of the
+  * empty gram array); null tokens skipped within a gram like array_join.
+  */
+case class WordNgramTopCount(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n > 0, "word_ngram_top_count needs n >= 1")
+
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_ngram_top_count"
+
+  override def nullSafeEval(input: Any): Any =
+    FoldKernels.wordNgramTopCount(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("tc")
+      s"""
+         |java.lang.Integer $boxed =
+         |  graft.functions.FoldKernels.wordNgramTopCount($c, $n);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.intValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramTopCount =
+    copy(child = newChild)
+}
+
+/** Rolling-hash of every n-token window — bit-identical to
+  * `transform(word_ngrams(tokens, n), g => rolling_hash(g))` (the q53
+  * winnowing shingle chain: TextKernels.rollingHash over the space-joined
+  * gram's UTF-16 units) with NO gram-string materialization: the
+  * polynomial fold runs over each window's token chars directly, with the
+  * single-space separator folded between tokens exactly where array_join
+  * puts it (null tokens skipped, separator-correctly). Fewer than n tokens
+  * -> empty array; null input -> empty array (the composed twin's
+  * when()-guard fallthrough), so never null.
+  */
+case class WordNgramRollingHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n > 0, "word_ngram_rolling_hashes needs n >= 1")
+
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "word_ngram_rolling_hashes"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) NGramKernel.emptyArray
+    else FoldKernels.wordNgramRollingHashes(v.asInstanceOf[ArrayData], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          ${childGen.isNull}
+            ? graft.functions.NGramKernel.emptyArray()
+            : graft.functions.FoldKernels.wordNgramRollingHashes(${childGen.value}, $n);
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordNgramRollingHashes =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of an array<long> of token hashes (q34's signature) —
+  * value-identical to the composed nested fold
+  * `aggregate(sequence(0, 63), 0L, (acc, bit) -> acc + IF(aggregate(hs, 0L, (a, h) -> a + ((shiftrightunsigned(h, bit) & 1) * 2 - 1)) > 0, shiftleft(1, bit), 0))`
+  * — per bit, +1 for a set bit and -1 for a clear bit over all hashes, the
+  * bit lands in the signature iff the sum is positive — computed as ONE
+  * pass over the array updating 64 counters instead of 64 interpreted
+  * re-walks (the composed form is O(64 x tokens) with a lambda box per
+  * step). Edges pinned by the composed semantics: an empty array -> 0L
+  * (every bit sum is 0, not > 0); ANY null element -> 0L (the inner fold's
+  * accumulator goes null, and IF(null > 0) takes the 0 branch for every
+  * bit); null input -> null.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    FoldKernels.simHash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FoldKernels.simHash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** Shared JVM kernels (static forwarders) for the fold expressions — one
   * implementation behind both interpreted eval and generated code, so
   * there is no eval/codegen split-brain risk. */
 object FoldKernels {
+
+  def wordNgramTopCount(arr: ArrayData, n: Int): java.lang.Integer = {
+    val total = arr.numElements()
+    val cnt = total - n + 1
+    if (cnt <= 0) return null // top_count(empty gram array) = null
+    val toks = new Array[UTF8String](total)
+    var i = 0
+    while (i < total) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val space = UTF8String.fromString(" ")
+    val counts = new java.util.HashMap[UTF8String, Array[Int]](cnt * 2)
+    var max = 0
+    var start = 0
+    while (start < cnt) {
+      val gram =
+        if (n == 1) {
+          val t = toks(start)
+          if (t == null) UTF8String.EMPTY_UTF8 else t
+        } else UTF8String.concatWs(space,
+          java.util.Arrays.copyOfRange(toks, start, start + n): _*)
+      val c = counts.get(gram)
+      val v = if (c == null) { counts.put(gram, Array(1)); 1 }
+        else { c(0) += 1; c(0) }
+      if (v > max) max = v
+      start += 1
+    }
+    java.lang.Integer.valueOf(max)
+  }
+
+  def wordNgramRollingHashes(arr: ArrayData, n: Int): ArrayData = {
+    val total = arr.numElements()
+    val cnt = total - n + 1
+    if (cnt <= 0)
+      return new GenericArrayData(Array.emptyLongArray)
+    // toString once per token (rollingHash is defined over UTF-16 units);
+    // null tokens stay null and are skipped separator-correctly below
+    val toks = new Array[String](total)
+    var i = 0
+    while (i < total) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString
+      i += 1
+    }
+    val out = new Array[Long](cnt)
+    var start = 0
+    while (start < cnt) {
+      var h = 0L
+      var first = true
+      var k = start
+      while (k < start + n) {
+        val t = toks(k)
+        if (t != null) { // array_join skips nulls AND their separators
+          if (!first) h = h * 1000003L + ' '.toLong
+          var c = 0
+          while (c < t.length) {
+            h = h * 1000003L + t.charAt(c).toLong
+            c += 1
+          }
+          first = false
+        }
+        k += 1
+      }
+      out(start) = h
+      start += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def simHash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return 0L // composed: null poisons every bit sum
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
 
   def topCount(arr: ArrayData): java.lang.Integer = {
     val n = arr.numElements()

@@ -86,6 +86,30 @@ package object functions {
   def shared_span_stats(wa: Column, wb: Column, w: Int): Column =
     Bridge.column(SharedSpanStats(ex(wa), ex(wb), w))
 
+  /** 64-bit SimHash of an array<long> of token hashes — the q34 nested
+    * majority fold, fused into one pass (see [[SimHash64]]). */
+  def simhash64(hashes: Column): Column = Bridge.column(SimHash64(ex(hashes)))
+
+  /** Max n-gram multiplicity straight from tokens, no gram array —
+    * value-identical to `top_count(word_ngrams(tokens, n))`
+    * (see [[WordNgramTopCount]]). */
+  def word_ngram_top_count(tokens: Column, n: Int): Column =
+    Bridge.column(WordNgramTopCount(ex(tokens), n))
+
+  /** Rolling hash of every n-token window, bit-equal to
+    * `transform(word_ngrams(tokens, n), g => rolling_hash(g))` with no
+    * gram materialization (see [[WordNgramRollingHashes]]). */
+  def word_ngram_rolling_hashes(tokens: Column, n: Int): Column =
+    Bridge.column(WordNgramRollingHashes(ex(tokens), n))
+
+  /** Gram count of the materialized `word_ngrams(tokens, n)` array without
+    * materializing it: `when(size(tokens) >= n, size - n + 1).otherwise(0)`
+    * — the composed form's transform output length (its when-guard yields
+    * an empty array below n tokens). Null tokens -> 0 like size(empty)
+    * after the guard's null-condition fallthrough. */
+  def word_ngram_count(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n, size(tokens) - n + 1).otherwise(lit(0))
+
   /** Whitespace tokens of the normalized text; empty array for empty text
     * (plain `split("")` would yield `[""]`). */
   def norm_tokens(c: Column): Column = {

@@ -88,6 +88,16 @@ object VspaceConfig {
   */
 object VspacePipeline {
 
+  /** SPARK_GRAFT_VSPACE_LAPS=1: print a per-action wall-time lap to stderr
+    * (vocabulary sink / normalized-corpus sink / n-gram+filter materialize
+    * / per-source stats / global stats). Laps mode additionally forces the
+    * `counts` cache through a count() action between the corpus and stats
+    * jobs so "per-doc n-gram CPU" is separately timeable from "stats
+    * joins+agg+sinks" — a measurement-only materialization production
+    * rounds don't pay (the Dedup profile-mode convention: the split is the
+    * signal, not the absolute sum). */
+  private val Laps = sys.env.get("SPARK_GRAFT_VSPACE_LAPS").contains("1")
+
   def run(spark: SparkSession, cfg: VspaceConfig,
       useBroadcastFilter: Boolean = false): Unit = {
     cfg.splits.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
@@ -96,6 +106,12 @@ object VspacePipeline {
     // stage the same way, base.py:341,362,373,399)
     def stage(name: String): Unit =
       spark.sparkContext.setJobGroup(name, s"vspace $name", interruptOnCancel = false)
+    var tLap = System.nanoTime()
+    def lap(name: String): Unit = if (Laps) {
+      val now = System.nanoTime()
+      System.err.println(f"[vspace-lap] $name: ${(now - tLap) / 1e9}%.1f s")
+      tLap = now
+    }
 
     // --- vocabulary job (reference base.py:341-371) ---
     stage("vocabulary")
@@ -104,6 +120,7 @@ object VspacePipeline {
       CorpusSources.loadCollections(spark, cfg.collections))
       .persist(StorageLevel.MEMORY_AND_DISK)
     Sinks.writeVocabulary(vocabulary, s"$out/vocabulary")
+    lap("vocabulary")
 
     val tokenFilter =
       if (useBroadcastFilter) Vocabulary.BroadcastSetFilter(spark, vocabulary)
@@ -126,10 +143,12 @@ object VspacePipeline {
     // second normalize pass over the full corpus.
     val norm = Corpus.normalized(raw).persist(StorageLevel.MEMORY_AND_DISK)
     Sinks.writeNormalizedCorpus(norm, s"$out/normalized_corpus")
+    lap("read+normalize+corpus_sink")
     val counts = tokenFilter(
       Corpus.tokenCountsFromNormalized(norm, cfg.maxNgrams, cfg.compatOffByOne),
         "token")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    if (Laps) { counts.count(); lap("ngrams+vocab_filter (laps-only materialize)") }
 
     // --- stats job (reference base.py:399-439) ---
     stage("stats")
@@ -138,8 +157,10 @@ object VspacePipeline {
     val withSources = Stats.combineCorpusWithSources(counts, index, sources)
     Sinks.writeStatsBySource(
       Stats.computeStats(withSources, Seq("token", "source")), s"$out/stats_by_source")
+    lap("per_source_stats")
     Sinks.writeStatsGlobal(
       Stats.computeStats(counts, Seq("token")), s"$out/stats_global")
+    lap("global_stats")
 
     counts.unpersist()
     norm.unpersist()

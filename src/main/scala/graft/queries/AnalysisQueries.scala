@@ -338,14 +338,17 @@ object AnalysisQueries {
     //     the corpus; every doc has >= 10). ---
     Q("q53_fingerprint_winnow",
       (s, dir) => {
+        // word_ngram_rolling_hashes + window_mins (round 12): BOTH halves
+        // of the composed chain fused — the gram-string construction
+        // (transform+slice+array_join, interpreted) and the per-position
+        // slice+array_min window fold (bit-identical incl. short/empty
+        // arrays — FoldKernelsSpec)
         val sh = fanout(Tables(s, dir, "documents"))
           .select(col("doc_id"),
-            transform(word_ngrams(split(col("text"), " "), 3),
-              g => rolling_hash(g)).as("hashes"))
+            graft.functions.word_ngram_rolling_hashes(
+              split(col("text"), " "), 3).as("hashes"))
         sh.select(col("doc_id"),
-            transform(
-              sequence(lit(1), greatest(size(col("hashes")) - 3, lit(1))),
-              i => array_min(slice(col("hashes"), i, lit(4)))).as("wins"))
+            graft.functions.window_mins(col("hashes"), 4).as("wins"))
           .select(col("doc_id"),
             size(array_distinct(col("wins"))).as("n_fingerprints"),
             array_min(col("wins")).as("min_fp"))
@@ -438,15 +441,17 @@ object AnalysisQueries {
     //     flag ~1/5 of the synthetic corpus so both classes appear. ---
     Q("q57_repetition_filter",
       (s, dir) => {
+        // gram-free like q57b (round 12): distinct counts via the fused
+        // kernel, raw counts arithmetically — no gram arrays materialized
+        import graft.functions.{word_ngram_count, word_ngrams_distinct}
+        val toks = split(col("text"), " ")
+        def dupFrac(n: Int): Column = round(lit(1.0) -
+          size(word_ngrams_distinct(toks, n)).cast("double")
+            / greatest(word_ngram_count(toks, n), lit(1)), 4)
         fanout(Tables(s, dir, "documents"))
           .select(col("doc_id"),
-            word_ngrams(split(col("text"), " "), 2).as("bg"),
-            word_ngrams(split(col("text"), " "), 3).as("tg"))
-          .select(col("doc_id"),
-            round(lit(1.0) - size(array_distinct(col("bg"))).cast("double")
-              / greatest(size(col("bg")), lit(1)), 4).as("dup_bigram_frac"),
-            round(lit(1.0) - size(array_distinct(col("tg"))).cast("double")
-              / greatest(size(col("tg")), lit(1)), 4).as("dup_trigram_frac"))
+            dupFrac(2).as("dup_bigram_frac"),
+            dupFrac(3).as("dup_trigram_frac"))
           .withColumn("repetitive",
             col("dup_bigram_frac") > 0.05 || col("dup_trigram_frac") > 0.02)
           .orderBy(col("doc_id"))
@@ -483,18 +488,26 @@ object AnalysisQueries {
     Q("q57b_gopher_repetition",
       (s, dir) => {
         val toks = split(col("text"), " ")
-        def dupFrac(g: Column): Column = round(lit(1.0) -
-          size(array_distinct(g)).cast("double") / greatest(size(g), lit(1)), 4)
+        // Fully gram-free (round 12): the HofLap lap showed fusing only the
+        // terminal mode fold was NEUTRAL at pipeline scale — the
+        // interpreted word_ngrams ARRAY construction was the cost (the r11
+        // shingle lesson again). Now: distinct counts via the fused
+        // word_ngrams_distinct, raw gram counts computed arithmetically
+        // (word_ngram_count — the transform's output length), and the mode
+        // via the gram-fused word_ngram_top_count; no gram array is ever
+        // materialized. Value-identical (FoldKernelsSpec; oracle
+        // unchanged).
+        import graft.functions.{word_ngram_count, word_ngram_top_count, word_ngrams_distinct}
+        def dupFrac(n: Int): Column = round(lit(1.0) -
+          size(word_ngrams_distinct(toks, n)).cast("double")
+            / greatest(word_ngram_count(toks, n), lit(1)), 4)
         fanout(Tables(s, dir, "documents"))
-          .select(col("doc_id"), word_ngrams(toks, 2).as("bg"),
-            word_ngrams(toks, 5).as("g5"), word_ngrams(toks, 10).as("g10"))
           .select(col("doc_id"),
-            dupFrac(col("g5")).as("dup_5gram_frac"),
-            dupFrac(col("g10")).as("dup_10gram_frac"),
+            dupFrac(5).as("dup_5gram_frac"),
+            dupFrac(10).as("dup_10gram_frac"),
             round(coalesce(
-              array_max(transform(array_distinct(col("bg")), x =>
-                size(filter(col("bg"), y => y === x)))).cast("double")
-                / greatest(size(col("bg")), lit(1)), lit(0.0)), 4)
+              word_ngram_top_count(toks, 2).cast("double")
+                / greatest(word_ngram_count(toks, 2), lit(1)), lit(0.0)), 4)
               .as("top_bigram_share"))
           .withColumn("repetitive",
             col("dup_5gram_frac") > 0.10 || col("dup_10gram_frac") > 0.05 ||

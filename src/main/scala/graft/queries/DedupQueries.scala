@@ -566,16 +566,18 @@ object DedupQueries {
     Q("q34_dedup_simhash",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
+        // fused simhash64 (round 12): the composed nested fold re-walked
+        // the token-hash array 64 times interpreted (O(64 x tokens) lambda
+        // steps per doc); the kernel is one pass over 64 counters —
+        // value-identical incl. empty/null edges (FoldKernelsSpec). The
+        // token hashing itself fuses to word_ngram_hashes at n=1 (bit-equal
+        // to transform + xxhash64_seeded — MinHashSpec, n-generic).
         val sims = fanout(docs)
           .select(col("doc_id"),
-            transform(split(col("text"), " "),
-              t => xxhash64_seeded(7L, t)).as("hs"))
-          .select(col("doc_id"), expr(
-            """aggregate(sequence(0, 63), 0L, (acc, bit) ->
-              |  acc + IF(aggregate(hs, 0L,
-              |             (a, h) -> a + ((shiftrightunsigned(h, bit) & 1L) * 2 - 1)
-              |           ) > 0,
-              |           shiftleft(1L, bit), 0L))""".stripMargin).as("simhash"))
+            graft.functions.word_ngram_hashes(
+              split(col("text"), " "), 1, 7L).as("hs"))
+          .select(col("doc_id"),
+            graft.functions.simhash64(col("hs")).as("simhash"))
         val chunks = sims.select(col("doc_id"), col("simhash"),
           explode(sequence(lit(0), lit(3))).as("c"))
           .select(col("doc_id"), col("simhash"), col("c"),
@@ -714,18 +716,15 @@ object DedupQueries {
         val benchArr = e.filter(col("label") === 0)
           .agg(sort_array(collect_list(
             struct(col("vec_id").as("id"), col("v").as("bv")))).as("bench"))
+        // fused broadcast fold (round 12): the composed `aggregate` was an
+        // interpreted struct-state lambda per bench element that also
+        // recomputed the invariant query-vector norm per element;
+        // best_cosine is one codegen'd pass (value-identical incl. the
+        // HALF_UP rounding and lowest-id tie-break — FoldKernelsSpec)
         fanout(e.filter(col("label") =!= 0))
           .crossJoin(broadcast(benchArr))
           .select(col("vec_id"),
-            aggregate(col("bench"),
-              struct(lit(-2.0).as("sim"), lit(-1L).as("id")),
-              (acc, b) => {
-                val sim = round(
-                  graft.functions.cosine_sim(col("v"), b.getField("bv")), 4)
-                when(sim > acc.getField("sim"),
-                  struct(sim.as("sim"), b.getField("id").as("id")))
-                  .otherwise(acc)
-              }).as("best"))
+            graft.functions.best_cosine(col("v"), col("bench")).as("best"))
           .select(col("vec_id"), col("best.id").as("near_id"),
             col("best.sim").as("max_sim"))
           .withColumn("contaminated", (col("max_sim") >= 0.4).cast("int"))
@@ -802,7 +801,11 @@ object DedupQueries {
     //     transform/filter + one aggregate fold) — no text through any
     //     exchange, no window functions. ---
     Q("q91_shared_span_merge",
-      (s, dir) => sharedSpans(Tables(s, dir, "documents"), w = 30),
+      // fused span kernel (round 12): O(|wa|+|wb|) hashed per pair instead
+      // of the composed O(|wa| x |wb|) interpreted scan; value-identical
+      // (FoldKernelsSpec pins kernel equality AND full-body equality vs
+      // the composed sharedSpans on real corpus data)
+      (s, dir) => sharedSpansFused(Tables(s, dir, "documents"), w = 30),
       oracle = Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
              |            FROM documents),
              |g AS (SELECT doc_id,

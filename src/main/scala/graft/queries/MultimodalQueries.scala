@@ -215,10 +215,12 @@ object MultimodalQueries {
             expr("substr(text, cast(frame_idx * 64 + 1 as int), 64)").as("fb"))
           .filter(length(col("fb")) > 0)
           .select(col("media_id"), col("frame_idx"),
-            round(sqrt(
-              expr("""aggregate(transform(sequence(1, length(fb)),
-                     |  i -> cast(ascii(substr(fb, i, 1)) as double)),
-                     |  0D, (a, x) -> a + x * x)""".stripMargin)
+            // codepoint_energy (round 12): the per-char ascii(substr)^2
+            // aggregate fold — ~4 interpreted nodes per CHARACTER —
+            // fused into one codegen'd decode loop (bit-identical,
+            // FoldKernelsSpec; sqrt/round stay built-in so the
+            // arithmetic order is unchanged)
+            round(sqrt(graft.functions.codepoint_energy(col("fb"))
                 / length(col("fb"))), 4).as("rms"))
           .withColumn("silent", (col("rms") < 99.0).cast("int"))
           .orderBy(col("media_id"), col("frame_idx"))

@@ -194,21 +194,28 @@ object HofLap {
 
     // --- fused twins (the FoldKernels expressions; bit-equality spec'd in
     //     FoldKernelsSpec — here they are TIMED against the composed forms
-    //     on the same data) ---
-    val q57bFused = () => docs
-      .select(col("doc_id"), word_ngrams(toks, 2).as("bg"),
-        word_ngrams(toks, 5).as("g5"), word_ngrams(toks, 10).as("g10"))
-      .select(col("doc_id"),
-        dupFrac(col("g5")).as("dup_5gram_frac"),
-        dupFrac(col("g10")).as("dup_10gram_frac"),
+    //     on the same data). First-lap lesson baked in: fusing only the
+    //     TERMINAL fold (top_count over a composed word_ngrams array)
+    //     measured NEUTRAL (272 -> 264 s at 2.27 GB) because the
+    //     interpreted gram-ARRAY construction was the cost — so the fused
+    //     variants below are fully gram-free. ---
+    val q57bFused = () => {
+      import graft.functions.{word_ngram_count, word_ngram_top_count, word_ngrams_distinct}
+      def dupFracF(n: Int) = round(lit(1.0) -
+        size(word_ngrams_distinct(toks, n)).cast("double")
+          / greatest(word_ngram_count(toks, n), lit(1)), 4)
+      docs.select(col("doc_id"),
+        dupFracF(5).as("dup_5gram_frac"),
+        dupFracF(10).as("dup_10gram_frac"),
         round(coalesce(
-          graft.functions.top_count(col("bg")).cast("double")
-            / greatest(size(col("bg")), lit(1)), lit(0.0)), 4)
+          word_ngram_top_count(toks, 2).cast("double")
+            / greatest(word_ngram_count(toks, 2), lit(1)), lit(0.0)), 4)
           .as("top_bigram_share"))
+    }
 
     val q53Fused = () => docs
       .select(col("doc_id"),
-        transform(word_ngrams(toks, 3), g => rolling_hash(g)).as("hashes"))
+        graft.functions.word_ngram_rolling_hashes(toks, 3).as("hashes"))
       .select(col("doc_id"),
         graft.functions.window_mins(col("hashes"), 4).as("wins"))
       .select(col("doc_id"),

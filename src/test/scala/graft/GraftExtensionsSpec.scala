@@ -170,4 +170,31 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT minhash_signatures(array(42L, -7L), 4) AS sig").head().getSeq[Long](0)
     assert(sig == again)
   }
+
+  test("fused fold kernels from SQL match their composed twins") {
+    val r = spark.sql(
+      """SELECT top_count(array('a','b','a','a')) AS tc,
+        |       array_max(transform(array_distinct(array('a','b','a','a')),
+        |         x -> size(filter(array('a','b','a','a'), y -> y = x)))) AS tcref,
+        |       window_mins(array(9L,2L,7L,5L,1L,8L), 4) AS wm,
+        |       transform(sequence(1, greatest(size(array(9L,2L,7L,5L,1L,8L)) - 3, 1)),
+        |         i -> array_min(slice(array(9L,2L,7L,5L,1L,8L), i, 4))) AS wmref,
+        |       codepoint_energy('abc') AS ce,
+        |       shared_span_stats(array('a b','b c','x y'), array('a b','x y'), 2) AS sp
+        |""".stripMargin).head()
+    assert(r.getInt(0) == r.getInt(1) && r.getInt(0) == 3)
+    assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    assert(math.abs(r.getDouble(4) - (97.0*97 + 98.0*98 + 99.0*99)) < 1e-12)
+    val sp = r.getStruct(5)
+    // matches at p=1 ('a b') and p=3 ('x y'); intervals [1,2] and [3,4]
+    // are ADJACENT (3 <= e+1 = 3) so they merge: one span [1,4]
+    assert(sp.getInt(0) == 1 && sp.getInt(1) == 4 && sp.getInt(2) == 4)
+    // best_cosine: orthogonal vs identical benchmark vectors
+    val bc = spark.sql(
+      """SELECT best_cosine(array(1D, 0D),
+        |  array(struct(10L AS id, array(0D, 1D) AS bv),
+        |        struct(11L AS id, array(1D, 0D) AS bv))) AS b""".stripMargin)
+      .head().getStruct(0)
+    assert(bc.getDouble(0) == 1.0 && bc.getLong(1) == 11L)
+  }
 }

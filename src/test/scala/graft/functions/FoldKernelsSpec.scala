@@ -179,6 +179,83 @@ class FoldKernelsSpec extends SparkSpec {
     assertSame(fused, composed, "span folds")
   }
 
+  test("word_ngram_top_count equals top_count over the gram array") {
+    for (n <- Seq(1, 2, 5)) {
+      val composed = realToks.select(col("doc_id"),
+        graft.functions.top_count(
+          graft.functions.word_ngrams(col("toks"), n)).as("m"))
+      val fused = realToks.select(col("doc_id"),
+        graft.functions.word_ngram_top_count(col("toks"), n).as("m"))
+      assertSame(fused, composed, s"gram-free top count n=$n")
+    }
+    // short-array edge: fewer tokens than n -> null
+    val short = Seq(Seq("a")).toDF("toks")
+      .select(graft.functions.word_ngram_top_count(col("toks"), 3)).collect()
+    assert(short.head.isNullAt(0))
+  }
+
+  test("word_ngram_rolling_hashes equals rolling_hash over the gram array") {
+    for (n <- Seq(1, 3)) {
+      val composed = realToks.select(col("doc_id"),
+        transform(graft.functions.word_ngrams(col("toks"), n),
+          g => graft.functions.rolling_hash(g)).as("h"))
+      val fused = realToks.select(col("doc_id"),
+        graft.functions.word_ngram_rolling_hashes(col("toks"), n).as("h"))
+      assertSame(fused, composed, s"gram-free rolling hashes n=$n")
+    }
+    // edges: short, empty-string tokens, nulls (skipped separator-
+    // correctly, like array_join), null input -> empty
+    val edge = Seq(Seq("a"), Seq.empty[String], Seq("a", "", "b"),
+        Seq("a", null, "b"), null.asInstanceOf[Seq[String]])
+      .toDF("toks")
+    val c = edge.select(transform(
+      graft.functions.word_ngrams(col("toks"), 2),
+      g => graft.functions.rolling_hash(g)).as("h"))
+    val f = edge.select(
+      graft.functions.word_ngram_rolling_hashes(col("toks"), 2).as("h"))
+    assertSame(f, c, "edge arrays")
+  }
+
+  test("word_ngram_count equals size of the materialized gram array") {
+    val edge = Seq(Seq("a"), Seq.empty[String], Seq("a", "b", "c"),
+        null.asInstanceOf[Seq[String]])
+      .toDF("toks")
+    for (n <- Seq(1, 2, 10)) {
+      val c = edge.select(
+        size(graft.functions.word_ngrams(col("toks"), n)).as("n"))
+      val f = edge.select(graft.functions.word_ngram_count(col("toks"), n).as("n"))
+      assertSame(f, c, s"gram count n=$n")
+    }
+  }
+
+  test("simhash64 equals the q34 nested majority fold") {
+    val hs = realToks.select(col("doc_id"),
+      transform(col("toks"), t =>
+        graft.functions.xxhash64_seeded(7L, t)).as("hs"))
+      .union(Seq(
+        (-1L, Seq.empty[java.lang.Long]),                  // empty -> 0
+        (-2L, Seq[java.lang.Long](5L, null)),              // any null -> 0
+        (-3L, Seq[java.lang.Long](-1L)),                   // all bits set
+        (-4L, Seq[java.lang.Long](1L, 1L, 2L)))            // mixed majority
+        .toDF("doc_id", "hs"))
+    val composed = hs.select(col("doc_id"), expr(
+      """aggregate(sequence(0, 63), 0L, (acc, bit) ->
+        |  acc + IF(aggregate(hs, 0L,
+        |             (a, h) -> a + ((shiftrightunsigned(h, bit) & 1L) * 2 - 1)
+        |           ) > 0,
+        |           shiftleft(1L, bit), 0L))""".stripMargin).as("sig"))
+    val fused = hs.select(col("doc_id"),
+      graft.functions.simhash64(col("hs")).as("sig"))
+    assertSame(fused, composed, "simhash signatures")
+    // and the q34 token-hash projection: word_ngram_hashes at n=1 equals
+    // the per-token transform it replaced
+    val viaTransform = realToks.select(
+      transform(col("toks"), t => graft.functions.xxhash64_seeded(7L, t)).as("h"))
+    val viaKernel = realToks.select(
+      graft.functions.word_ngram_hashes(col("toks"), 1, 7L).as("h"))
+    assertSame(viaKernel, viaTransform, "unigram hash path")
+  }
+
   test("fused query bodies match: sharedSpansFused == sharedSpans on sf0.001") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = graft.queries.DedupQueries.sharedSpans(docs, w = 10)
