@@ -52,7 +52,13 @@ object Corpus {
         explode(graft.functions.ngram_counts(col("tokens"), maxN)).as("e"))
       .select(col("document_index"), col("wc"),
         col("e.token").as("token"), col("e.tf").as("tf"))
-      .filter(!col("token").rlike(DocIdPattern))
+      // prefix short-circuit (round 12): every DocIdPattern match starts
+      // with the literal prefix, so `rlike => startsWith` and the regex
+      // (a per-ROW java.util.regex match + UTF8String->String conversion,
+      // paid once per exploded n-gram at corpus scale) only runs on the
+      // vanishingly rare prefixed tokens; And-codegen short-circuits.
+      .filter(!(col("token").startsWith("nferdoccount_") &&
+        col("token").rlike(DocIdPattern)))
   }
 
   /** [[tokenCounts]] over text that is ALREADY normalized (single-space
@@ -72,7 +78,13 @@ object Corpus {
         explode(graft.functions.ngram_counts(col("tokens"), maxN)).as("e"))
       .select(col("document_index"), col("wc"),
         col("e.token").as("token"), col("e.tf").as("tf"))
-      .filter(!col("token").rlike(DocIdPattern))
+      // prefix short-circuit (round 12): every DocIdPattern match starts
+      // with the literal prefix, so `rlike => startsWith` and the regex
+      // (a per-ROW java.util.regex match + UTF8String->String conversion,
+      // paid once per exploded n-gram at corpus scale) only runs on the
+      // vanishingly rare prefixed tokens; And-codegen short-circuits.
+      .filter(!(col("token").startsWith("nferdoccount_") &&
+        col("token").rlike(DocIdPattern)))
   }
 
   /** Reference-shape output: one row per doc with a token_counts map

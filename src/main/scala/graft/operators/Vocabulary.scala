@@ -49,14 +49,30 @@ object Vocabulary {
     def apply(df: DataFrame, tokenCol: String): DataFrame
   }
 
-  /** Default, scale path: left-semi join against the vocabulary relation.
-    * Unigrams bypass the join via a union of the two disjoint predicates. */
+  /** Default, scale path: ONE left join against the (distinct) vocabulary
+    * marks membership, one filter keeps unigrams (bypass) or marked
+    * multigrams, and the original column order is restored.
+    *
+    * History (round-12 stage laps): the previous shape — a UNION of a
+    * unigram filter branch and a multigram left-semi branch — computed the
+    * expensive upstream TWICE, because Spark shares no sub-plan across
+    * union branches without an explicit cache, and the upstream here is
+    * the full exploded n-gram pipeline (measured as 72% of the vspace
+    * run's wall clock at 13 GB, paid once per branch). Semantics are
+    * identical: the vocabulary is distinct'd before the join so the left
+    * join cannot duplicate rows, and `unigram OR marked` is exactly
+    * `unigram ∪ (multigram ⋉ vocabulary)` row-for-row (the oracle gate
+    * and the filter-agreement spec pin it). At huge vocabularies the join
+    * degrades to SMJ exactly like the semi-join did — the one-pass shape
+    * then shuffles unigram rows too (~1/6 of ≤6-gram traffic), still far
+    * cheaper than recomputing the gram pipeline per branch. */
   final case class SemiJoinFilter(vocabulary: DataFrame) extends TokenFilter {
     override def apply(df: DataFrame, tokenCol: String): DataFrame = {
-      val unigrams   = df.filter(!col(tokenCol).contains(" "))
-      val multigrams = df.filter(col(tokenCol).contains(" "))
-        .join(vocabulary.select(col("token").as(tokenCol)), Seq(tokenCol), "left_semi")
-      unigrams.unionByName(multigrams)
+      val marked = vocabulary.select(col("token").as(tokenCol)).distinct()
+        .withColumn("__invocab", lit(true))
+      df.join(marked, Seq(tokenCol), "left")
+        .filter(!col(tokenCol).contains(" ") || col("__invocab"))
+        .select(df.columns.map(col): _*)
     }
   }
 

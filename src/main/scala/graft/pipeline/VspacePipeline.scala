@@ -98,6 +98,16 @@ object VspacePipeline {
     * signal, not the absolute sum). */
   private val Laps = sys.env.get("SPARK_GRAFT_VSPACE_LAPS").contains("1")
 
+  /** SPARK_GRAFT_VSPACE_NOCACHE=1: do NOT persist the filtered n-gram
+    * `counts` frame between its two stats consumers — each recomputes from
+    * the cached normalized corpus instead. Measurement lever for the
+    * round-12 stage-lap question: the counts frame is the exploded ≤6-gram
+    * stream (~12 B rows at 13 GB input), and materializing it into the
+    * block store costs serialization + spill I/O that recomputation from
+    * `norm` (one cache read + the codegen'd gram kernel) may undercut now
+    * that the per-doc CPU is fused. */
+  private val NoCacheCounts = sys.env.get("SPARK_GRAFT_VSPACE_NOCACHE").contains("1")
+
   def run(spark: SparkSession, cfg: VspaceConfig,
       useBroadcastFilter: Boolean = false): Unit = {
     cfg.splits.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
@@ -144,11 +154,15 @@ object VspacePipeline {
     val norm = Corpus.normalized(raw).persist(StorageLevel.MEMORY_AND_DISK)
     Sinks.writeNormalizedCorpus(norm, s"$out/normalized_corpus")
     lap("read+normalize+corpus_sink")
-    val counts = tokenFilter(
+    val countsBase = tokenFilter(
       Corpus.tokenCountsFromNormalized(norm, cfg.maxNgrams, cfg.compatOffByOne),
         "token")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    if (Laps) { counts.count(); lap("ngrams+vocab_filter (laps-only materialize)") }
+    val counts =
+      if (NoCacheCounts) countsBase
+      else countsBase.persist(StorageLevel.MEMORY_AND_DISK)
+    if (Laps && !NoCacheCounts) {
+      counts.count(); lap("ngrams+vocab_filter (laps-only materialize)")
+    }
 
     // --- stats job (reference base.py:399-439) ---
     stage("stats")
@@ -162,7 +176,7 @@ object VspacePipeline {
       Stats.computeStats(counts, Seq("token")), s"$out/stats_global")
     lap("global_stats")
 
-    counts.unpersist()
+    if (!NoCacheCounts) counts.unpersist()
     norm.unpersist()
     vocabulary.unpersist()
   }
