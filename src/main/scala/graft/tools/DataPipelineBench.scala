@@ -370,6 +370,14 @@ object DataPipelineBench {
         (x, p) => when(p % 3 === 2, salt).otherwise(x)),
       " ")
     docs.crossJoin(spark.range(copies).toDF("copy"))
+      // Distribute BEFORE the heavy text synthesis: `docs` is ONE
+      // partition (the dense re-index window above is global), so without
+      // this exchange the crossJoin product — and the two saltEvery3
+      // string passes over every synthesized row — ran in a single task
+      // (found by the 20 GB generation sitting at loadavg ~1; the salting
+      // below is ~all of the generator's CPU). The old repartition at the
+      // WRITE was below the projections and did not help.
+      .repartition(cpus * 4)
       .withColumn("gid", floor(col("copy") / 5))
       .withColumn("variant", col("copy") % 5)
       .withColumn("r", col("idx") * copies + col("copy"))
@@ -391,7 +399,6 @@ object DataPipelineBench {
           .when(col("variant") === 3 && pmod(col("r"), lit(211L)) === 0,
             concat(col("unique_text"), lit(" "), col("bench_text")))
           .otherwise(col("unique_text")).as("text"))
-      .repartition(cpus * 4)
       .write.mode(SaveMode.Overwrite).parquet(in.resolve("docs").toString)
 
     Files.createDirectories(in)
