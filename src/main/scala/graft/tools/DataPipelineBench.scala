@@ -387,8 +387,16 @@ object DataPipelineBench {
       .join(broadcast(benchTexts), "bench_idx")
       .withColumn("base", saltEvery3(col("text"),
         concat(lit("g"), col("idx"), lit("x"), col("gid"))))
+      // salt is UNIQUE PER ROW: an earlier mod-1000003 ring reused each
+      // salt ~38x at a 38 M-doc corpus, and rows sharing a salt AND
+      // overlapping real-token pairs produced spurious band collisions —
+      // +0.7% verified pairs at 19 M docs (documented in round 11),
+      // +140% CANDIDATES at 38 M docs (measured: 32.2 M vs the ~13 M the
+      // group structure implies), which more than doubled the verify
+      // stage's shuffle. The synthesized dup structure must stay
+      // scale-invariant for the self-validation to mean anything.
       .withColumn("unique_text", saltEvery3(col("rot_text"),
-        concat(lit("s"), pmod(col("r"), lit(1000003L)))))
+        concat(lit("s"), col("r"))))
       .select(
         col("r").as("doc_id"),
         col("source"),
