@@ -514,6 +514,40 @@ object EventStreams {
       }
       .start()
 
+  /** The composed streaming ingest pipeline in ONE query — the streaming
+    * twin of the batch training-data chain (read → exact dedup → near-dup
+    * drop → term stats): watermark-bounded exact dedup on the content
+    * digest (stateful `dropDuplicatesWithinWatermark` — replayed or
+    * re-crawled documents are dropped while their key is within the
+    * watermark) feeds a foreachBatch sink that (a) drops documents
+    * near-duplicating the STANDING corpus — the batch MinHash band keys
+    * of the micro-batch, LEFT ANTI the static band index, exactly the
+    * candidate-level drop [[nearDupFlags]] flags — and (b) additively
+    * merges the survivors' term stats into the warehouse table
+    * ([[termStatsUpsertBatch]]; exact because DF/TF/tdsum are pure sums).
+    * `docs` must carry (doc_id, `eventTimeCol`, digest, text). The spec
+    * pins the composition end-to-end: after replayed duplicates and a
+    * corpus near-dup flow through, the table equals the batch recompute
+    * over exactly the unique, non-near-dup documents. */
+  def ingestPipelineStream(docs: DataFrame, corpusIndex: DataFrame,
+      tableDir: String, checkpointDir: String,
+      eventTimeCol: String = "ts", watermark: String = "10 minutes")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val deduped = dedupStream(docs, eventTimeCol, watermark, Seq("digest"))
+    deduped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val flagged = graft.operators.MinHash
+          .bandKeys(batch, "text", Seq("doc_id"))
+          .join(corpusIndex, Seq("band", "bh"), "left_semi")
+          .select(col("doc_id")).distinct()
+        val clean = batch.join(flagged, Seq("doc_id"), "left_anti")
+        termStatsUpsertBatch(clean, tableDir)
+      }
+      .start()
+  }
+
   /** Streaming CDC keep-latest upsert: each micro-batch flows through
     * [[upsertBatch]] via foreachBatch — the standard stream-to-warehouse
     * MERGE shape (arbitrary batch logic per trigger, exactly-once via the

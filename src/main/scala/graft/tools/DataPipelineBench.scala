@@ -359,6 +359,17 @@ object DataPipelineBench {
     val copies = math.max(5L,
       math.ceil(targetGB * 1e9 / (bytes.toDouble + nDocs * 16)).toLong / 5 * 5)
 
+    // Contamination planting must stay BOUNDED PER BENCH DOC: the planted
+    // rows append raw benchmark text (unsalted by necessity — the decontam
+    // stage must hit their 7-grams exactly), so every planted row sharing
+    // a bench doc band-collides with every other (mid-similarity pairs
+    // flood 32x2 banding — the round-6 lesson). A fixed 1-in-211 rate
+    // against a FIXED ~52-doc bench set went quadratic at 38 M rows
+    // (~700-row cohorts per bench doc -> 31 M candidates, 2.4x the group
+    // structure; the verify spill filled the volume). Cap at ~16 planted
+    // rows per bench doc — realistic (eval contamination is rare in
+    // absolute terms) and keeps candidates ∝ groups at every scale.
+    val plantStep = math.max(211L, nDocs * copies / (16L * nBench))
     val rotated = docs.select(col("idx").as("rot_idx"),
       col("text").as("rot_text"))
     val benchTexts = bench
@@ -390,11 +401,11 @@ object DataPipelineBench {
       // salt is UNIQUE PER ROW: an earlier mod-1000003 ring reused each
       // salt ~38x at a 38 M-doc corpus, and rows sharing a salt AND
       // overlapping real-token pairs produced spurious band collisions —
-      // +0.7% verified pairs at 19 M docs (documented in round 11),
-      // +140% CANDIDATES at 38 M docs (measured: 32.2 M vs the ~13 M the
-      // group structure implies), which more than doubled the verify
-      // stage's shuffle. The synthesized dup structure must stay
-      // scale-invariant for the self-validation to mean anything.
+      // +0.7% verified pairs at 19 M docs (round 11), ~0.8 M extra
+      // candidates at 38 M docs (measured 32.2 M ring vs 31.4 M unique;
+      // the DOMINANT super-proportional term was the contamination
+      // cohort, fixed separately above). Unique salts keep the dup
+      // structure scale-invariant for the self-validation.
       .withColumn("unique_text", saltEvery3(col("rot_text"),
         concat(lit("s"), col("r"))))
       .select(
@@ -402,9 +413,10 @@ object DataPipelineBench {
         col("source"),
         when(col("variant") <= 1, col("base"))
           .when(col("variant") === 2, concat(col("base"), lit(" zz")))
-          // ~0.5% of the unique rows get PLANTED benchmark contamination
-          // (a benchmark doc's text appended) — what stage 5 must catch
-          .when(col("variant") === 3 && pmod(col("r"), lit(211L)) === 0,
+          // PLANTED benchmark contamination (a benchmark doc's text
+          // appended) — what stage 5 must catch; rate bounded per bench
+          // doc via plantStep, see above
+          .when(col("variant") === 3 && pmod(col("r"), lit(plantStep)) === 0,
             concat(col("unique_text"), lit(" "), col("bench_text")))
           .otherwise(col("unique_text")).as("text"))
       .write.mode(SaveMode.Overwrite).parquet(in.resolve("docs").toString)

@@ -457,4 +457,49 @@ class EventStreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("composed ingest pipeline: dedup -> near-dup drop -> term stats in one query") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val tableDir = graft.SparkSpec.tempDir("ingest") + "/table"
+    val ckptDir  = graft.SparkSpec.tempDir("ingest_ckpt")
+    // standing corpus: near-dups of these must be dropped by the anti-join
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "completely different reference material written here today"))
+      .toDF("doc_id", "text")
+    val index = EventStreams.corpusBandIndex(corpus)
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val q = EventStreams.ingestPipelineStream(
+      input.toDF().toDF("doc_id", "ts", "digest", "text"),
+      index, tableDir, ckptDir)
+    // batch 1: d1 unique; d2 an exact copy of corpus doc 100 (all bands
+    // collide -> near-dup drop); d1 replayed in-batch (same digest ->
+    // exact-dedup drop)
+    input.addData(
+      (1L, ts(0), "D1", "alpha beta alpha gamma"),
+      (2L, ts(1), "D2", "the quick brown fox jumps over the lazy dog today"),
+      (1L, ts(2), "D1", "alpha beta alpha gamma"))
+    q.processAllAvailable()
+    // batch 2: d1 replayed again (digest still within watermark ->
+    // dropped), d3 unique
+    input.addData(
+      (1L, ts(5), "D1", "alpha beta alpha gamma"),
+      (3L, ts(6), "D3", "beta delta"))
+    q.processAllAvailable()
+    q.stop()
+    // expected = the BATCH recompute over exactly the unique, clean docs
+    val expectedDir = graft.SparkSpec.tempDir("ingest_expected") + "/table"
+    EventStreams.termStatsUpsertBatch(
+      Seq((1L, "alpha beta alpha gamma"), (3L, "beta delta"))
+        .toDF("doc_id", "text"),
+      expectedDir)
+    def asMap(dir: String) = spark.read.parquet(dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(asMap(tableDir) == asMap(expectedDir))
+    // sanity on the expectation itself
+    assert(asMap(expectedDir)("alpha") == ((1L, 2L, 4L)))
+    assert(asMap(expectedDir)("beta") == ((2L, 2L, 6L)))
+  }
 }
