@@ -82,7 +82,14 @@ object Bench {
   private def saveCanaryRef(serial: Double, parallel: Double): Unit =
     try
       java.nio.file.Files.write(CanaryRefPath,
-        f"""{"serial":$serial%.3f,"parallel":$parallel%.3f}%n"""
+        // Locale.ROOT explicitly: the f-interpolator formats with the JVM
+        // default locale, and under a comma-decimal locale (de_DE) this
+        // file would round-trip through loadCanaryRef's [0-9.]+ regex as a
+        // silently TRUNCATED value ("0,351" → 0.0-ish band) rather than
+        // failing — corrupting the degradation gate's reference.
+        String.format(java.util.Locale.ROOT,
+          "{\"serial\":%.3f,\"parallel\":%.3f}%n",
+          Double.box(serial), Double.box(parallel))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
@@ -112,6 +119,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // every emitted JSON line is built with the f-interpolator, which
+    // formats via the default locale — pin it so numbers are always
+    // dot-decimal regardless of the host's locale
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     var spark = newSession()
 
     def execute(name: String): Unit = {
@@ -242,8 +253,15 @@ object Bench {
       // sampled during SKIPPED attempts), all-sample fallback otherwise
       val ql  = median(if (qLoads.nonEmpty) qLoads.toSeq else qAllLoads.toSeq)
       val clean = times.size >= 2 && times.count(_ <= times.min * 1.2) >= 2
+      // canary/band RATIO printed per query (round-12 finding: the driver's
+      // q36 ran at 1.26x the clean band — under the 1.5x skip gate, so
+      // "corroborated", but 1.4x the quiet-window number — and diagnosing
+      // it required cross-referencing three maps; the ratio makes 1.2-1.5x
+      // rows discountable on sight)
+      val cRatio  = if (refSerial > 0) qc / refSerial else -1.0
+      val pcRatio = if (refParallel > 0) qpc / refParallel else -1.0
       // incremental per-query line — parseable even if the run dies later
-      emit(f"""{"metric":"query","name":"$n","value":$best,"unit":"sec","canary":$qc%.3f,"par_canary":$qpc%.3f,"loadavg":$ql%.1f,"corroborated":$clean,"sf":"$sfDir"}""")
+      emit(f"""{"metric":"query","name":"$n","value":$best,"unit":"sec","canary":$qc%.3f,"par_canary":$qpc%.3f,"canary_ratio":$cRatio%.2f,"par_canary_ratio":$pcRatio%.2f,"loadavg":$ql%.1f,"corroborated":$clean,"sf":"$sfDir"}""")
       (n, best, qc, qpc, ql)
     }
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
@@ -273,7 +291,17 @@ object Bench {
     val suspect = results.collect {
       case (k, _, c, p, _) if c > 1.5 * cRef || p > 1.5 * pcRef => "\"" + k + "\""
     }.mkString("[", ",", "]")
-    val summary = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_median":$cMed%.3f,"par_canary_median":$pcMed%.3f,"canary_ref":$cRef%.3f,"par_canary_ref":$pcRef%.3f,"canaries":$qcs,"par_canaries":$qpcs,"loadavgs":$qls,"suspect":$suspect,"sf":"$sfDir"}"""
+    // amber = 1.2-1.5x the clean band on either canary: inside the skip
+    // gate (so the row shipped) but far enough from clean that a reader
+    // comparing rounds should discount the row before calling it a
+    // regression — the residual instrument limit the >1.5x suspect list
+    // cannot see (round-12 finding #4)
+    val amber = results.collect {
+      case (k, _, c, p, _)
+        if (c > 1.2 * cRef || p > 1.2 * pcRef) &&
+          !(c > 1.5 * cRef || p > 1.5 * pcRef) => "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    val summary = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_median":$cMed%.3f,"par_canary_median":$pcMed%.3f,"canary_ref":$cRef%.3f,"par_canary_ref":$pcRef%.3f,"canaries":$qcs,"par_canaries":$qpcs,"loadavgs":$qls,"suspect":$suspect,"amber":$amber,"sf":"$sfDir"}"""
     emit(summary)
     // monotone-downward band update, only from a run with a real sample base
     if (canaries.size >= 8 && parCanaries.size >= 8) {

@@ -23,7 +23,18 @@ object BenchOut {
     * jsonl from the previous run. */
   private val started = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  def appendLine(name: String, line: String): Unit = synchronized {
+  /** Variant tag (`SPARK_GRAFT_BENCH_TAG`): A/B legs and tuned-config runs
+    * persist to DISTINCT artifacts instead of overwriting the headline.
+    * Round-12 loss this prevents: the vspace no-cache A/B leg overwrote
+    * `throughput-last.json`, leaving the cached 35.19 GB/h headline as
+    * SURVEY prose only — the same class of loss the file persistence was
+    * built to stop. `SPARK_GRAFT_BENCH_TAG=nocache` → `<name>-nocache`. */
+  private def tagged(name: String): String =
+    sys.env.get("SPARK_GRAFT_BENCH_TAG").map(_.trim).filter(_.nonEmpty)
+      .map(t => s"$name-$t").getOrElse(name)
+
+  def appendLine(rawName: String, line: String): Unit = synchronized {
+    val name = tagged(rawName)
     try {
       val p = dir.resolve(s"$name.jsonl")
       val opts =
@@ -37,7 +48,8 @@ object BenchOut {
     }
   }
 
-  def writeSummary(name: String, json: String): Unit = synchronized {
+  def writeSummary(rawName: String, json: String): Unit = synchronized {
+    val name = tagged(rawName)
     try
       Files.write(dir.resolve(s"$name.json"),
         (json + "\n").getBytes(StandardCharsets.UTF_8),

@@ -572,10 +572,16 @@ object DedupQueries {
         // value-identical incl. empty/null edges (FoldKernelsSpec). The
         // token hashing itself fuses to word_ngram_hashes at n=1 (bit-equal
         // to transform + xxhash64_seeded — MinHashSpec, n-generic).
+        // NULL-text edge pinned explicitly: word_ngram_hashes(null) → []
+        // → simhash 0, so without the guard every null-text doc would
+        // share signature 0 and band-collide (the composed
+        // transform/aggregate form yielded NULL, which never joins); the
+        // when() restores the composed semantics on corpora with nulls.
         val sims = fanout(docs)
           .select(col("doc_id"),
-            graft.functions.word_ngram_hashes(
-              split(col("text"), " "), 1, 7L).as("hs"))
+            when(col("text").isNotNull,
+              graft.functions.word_ngram_hashes(
+                split(col("text"), " "), 1, 7L)).as("hs"))
           .select(col("doc_id"),
             graft.functions.simhash64(col("hs")).as("simhash"))
         val chunks = sims.select(col("doc_id"), col("simhash"),

@@ -528,7 +528,16 @@ object EventStreams {
     * `docs` must carry (doc_id, `eventTimeCol`, digest, text). The spec
     * pins the composition end-to-end: after replayed duplicates and a
     * corpus near-dup flow through, the table equals the batch recompute
-    * over exactly the unique, non-near-dup documents. */
+    * over exactly the unique, non-near-dup documents.
+    *
+    * Replay guard: an additive merge is NOT idempotent under foreachBatch's
+    * at-least-once, so the committed batch id is recorded next to the table
+    * (`tableDir + "__commit"`) and an already-committed batch id is skipped
+    * — the standard restart path (Structured Streaming re-offers the last
+    * un-checkpointed batch) no longer double-counts DF/TF/tdsum. The
+    * residual window is a crash BETWEEN the table swap and the marker
+    * write (one batch double-counted once); closing it needs a sink with
+    * transactional batch-id storage (Delta/Iceberg `txn` metadata). */
   def ingestPipelineStream(docs: DataFrame, corpusIndex: DataFrame,
       tableDir: String, checkpointDir: String,
       eventTimeCol: String = "ts", watermark: String = "10 minutes")
@@ -537,13 +546,29 @@ object EventStreams {
     deduped.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val flagged = graft.operators.MinHash
-          .bandKeys(batch, "text", Seq("doc_id"))
-          .join(corpusIndex, Seq("band", "bh"), "left_semi")
-          .select(col("doc_id")).distinct()
-        val clean = batch.join(flagged, Seq("doc_id"), "left_anti")
-        termStatsUpsertBatch(clean, tableDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val commitPath = new org.apache.hadoop.fs.Path(tableDir + "__commit")
+        val fs = commitPath.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        val lastCommitted =
+          if (!fs.exists(commitPath)) -1L
+          else {
+            val in = fs.open(commitPath)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+            finally in.close()
+          }
+        if (batchId > lastCommitted) {
+          val flagged = graft.operators.MinHash
+            .bandKeys(batch, "text", Seq("doc_id"))
+            .join(corpusIndex, Seq("band", "bh"), "left_semi")
+            .select(col("doc_id")).distinct()
+          val clean = batch.join(flagged, Seq("doc_id"), "left_anti")
+          termStatsUpsertBatch(clean, tableDir)
+          val out = fs.create(commitPath, true)
+          try out.write(batchId.toString.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
       }
       .start()
   }

@@ -29,6 +29,7 @@ import org.apache.spark.sql.functions._
 object DataPipelineBench {
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // dot-decimal JSON under any host locale
     val targetGB = if (args.length > 0) args(0).toDouble else 2.0
     val workDir  = if (args.length > 1) args(1) else "target/dpbench"
     val cpus     = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -53,9 +54,15 @@ object DataPipelineBench {
 
     val tag = f"${targetGB}%.2f".replace('.', 'p')
     val in  = Paths.get(s"$workDir/in_$tag")
-    if (!Files.exists(in.resolve("_DONE"))) generate(spark, sfDir, in, targetGB, cpus.toInt)
+    // `planted` missing ⇒ a corpus from the pre-fix generator (round 12's
+    // planting bug, or no ground truth persisted) — regenerate
+    if (!Files.exists(in.resolve("_DONE")) ||
+        !Files.exists(in.resolve("planted")))
+      generate(spark, sfDir, in, targetGB, cpus.toInt)
     val baseCorpus = spark.read.parquet(in.resolve("docs").toString)
     val benchmark = spark.read.parquet(in.resolve("bench").toString)
+    val planted = spark.read.parquet(in.resolve("planted").toString)
+    val nPlanted = planted.count()
 
     // SPARK_GRAFT_DP_HOTKEY=N: hot-key stress — plant N near-identical
     // boilerplate rows (one shared base text + a per-row unique tail token).
@@ -94,7 +101,7 @@ object DataPipelineBench {
     val cPre  = graft.HostCanary.sec()
     val pcPre = graft.HostCanary.parSec()
     val t0 = System.nanoTime()
-    val counts = run(spark, corpus, benchmark, outDir)
+    val counts = run(spark, corpus, benchmark, outDir, Some(planted))
     val secs   = (System.nanoTime() - t0) / 1e9
     val cPost  = graft.HostCanary.sec()
     val pcPost = graft.HostCanary.parSec()
@@ -104,10 +111,35 @@ object DataPipelineBench {
     // (dual protocol — serial catches whole-JVM freezes, parallel catches
     // co-tenant capacity steal) — see graft.HostCanary
     val countsJson = counts.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-    val summary = f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"hotkey_rows":$hotKeyRows,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,$countsJson}"""
+    val summary = f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"hotkey_rows":$hotKeyRows,"planted":$nPlanted,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,$countsJson}"""
     println(summary)
     System.out.flush()
     graft.BenchOut.writeSummary("pipeline-last", summary)
+
+    // SELF-VALIDATION GATE (round-12 lesson: the buggy generator planted
+    // ZERO contamination rows, the decontam stage went vacuous, and the
+    // run printed plausible counts — `after_decontam == after_near_dedup`
+    // — with nothing failing). A run whose planted ground truth is empty,
+    // mostly eaten before the decontam stage, or <90% caught BY the
+    // decontam stage exits non-zero so the vacuity is loud.
+    val cm = counts.toMap
+    val atNear  = cm.getOrElse("planted_after_near", 0L)
+    val escaped = cm.getOrElse("planted_after_decontam", 0L)
+    val caught  = atNear - escaped
+    val plantedOk =
+      nPlanted > 0 &&
+      atNear >= (0.5 * nPlanted).toLong && // generator sanity: planted rows must REACH decontam
+      caught >= (0.9 * atNear).toLong
+    if (!plantedOk) {
+      System.err.println(
+        s"[dp] SELF-VALIDATION FAILED: planted=$nPlanted reached_decontam=" +
+        s"$atNear caught=$caught escaped=$escaped — decontamination ground " +
+        "truth is vacuous or the stage missed >10% of it")
+      spark.stop()
+      sys.exit(1)
+    }
+    println(f"[dp] decontam self-validation: planted=$nPlanted reached=" +
+      f"$atNear caught=$caught (${100.0 * caught / math.max(1L, atNear)}%.1f%%)")
     spark.stop()
   }
 
@@ -116,9 +148,18 @@ object DataPipelineBench {
     * shape); docs sharing any 7-gram with it are dropped. Returns
     * per-stage survivor counts (each stage's count comes from the job
     * that produced it — no extra scans except the deliberately
-    * materialized stage boundaries). */
+    * materialized stage boundaries).
+    *
+    * `plantedIds`, when given (doc_id column; the generator's planted
+    * contamination ground truth), adds two id-only semi-join counts at
+    * the decontamination stage's boundaries — `planted_after_near` (how
+    * many planted rows REACHED decontam) and `planted_after_decontam`
+    * (how many escaped it) — so the caller can assert the stage actually
+    * caught the contamination instead of trusting survivor totals. Both
+    * probes run against already-checkpointed frames with a broadcast-
+    * small right side: wall cost is seconds against a 20-minute run. */
   def run(spark: SparkSession, corpus: DataFrame, benchmark: DataFrame,
-      outDir: String): Seq[(String, Long)] = {
+      outDir: String, plantedIds: Option[DataFrame] = None): Seq[(String, Long)] = {
     import graft.functions.{normalize_text, word_ngrams, xxhash64_seeded}
 
     var tLast = System.nanoTime()
@@ -278,6 +319,16 @@ object DataPipelineBench {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val nClean = clean.count()
+    // planted-contamination probes at this stage's boundaries, while the
+    // nearSurvivors frame is still alive (see scaladoc)
+    val plantedCounts = plantedIds.map { p =>
+      val pb = broadcast(p.select(col("doc_id")))
+      Seq(
+        "planted_after_near" ->
+          nearSurvivors.join(pb, Seq("doc_id"), "left_semi").count(),
+        "planted_after_decontam" ->
+          clean.join(pb, Seq("doc_id"), "left_semi").count())
+    }.getOrElse(Seq.empty)
     nearSurvivors.unpersist() // superseded by clean
     lap("decontam")
 
@@ -298,7 +349,8 @@ object DataPipelineBench {
 
     Seq("docs_in" -> nIn, "after_quality" -> nQualified,
       "after_exact_dedup" -> nExact, "after_near_dedup" -> nNear,
-      "after_decontam" -> nClean, "train" -> nTrain, "val" -> nVal)
+      "after_decontam" -> nClean, "train" -> nTrain, "val" -> nVal) ++
+      plantedCounts
   }
 
   /** Synthesize a ~targetGB parquet corpus with a CONTROLLED duplicate
@@ -325,9 +377,15 @@ object DataPipelineBench {
     *    (globally unique rows).
     *
     * ~1% of source docs are carved out as the EXTERNAL benchmark set
-    * (never synthesized into the corpus), and ~0.5% of the unique rows
-    * get a benchmark doc's text APPENDED — planted contamination the
-    * decontamination stage must catch.
+    * (never synthesized into the corpus), and a HASH-gated ~16 rows per
+    * bench doc among the variant-3 uniques get a benchmark doc's text
+    * APPENDED — planted contamination the decontamination stage must
+    * catch. The planted doc_ids are persisted (`in/planted`) as ground
+    * truth; the main() gate fails the run loudly when the decontam stage
+    * catches <90% of the planted rows that reach it, or when planting is
+    * vacuous (round 12 shipped a 14.4 GB run with ZERO planted rows — a
+    * modular-arithmetic clash between the plant step and the variant
+    * stride — and nothing noticed).
     *
     * Expected pipeline behavior per 5-group: exact dedup removes 1 row,
     * near-dup dedup removes 1 more (cluster of exactly 2, best quality
@@ -369,7 +427,21 @@ object DataPipelineBench {
     // structure; the verify spill filled the volume). Cap at ~16 planted
     // rows per bench doc — realistic (eval contamination is rare in
     // absolute terms) and keeps candidates ∝ groups at every scale.
-    val plantStep = math.max(211L, nDocs * copies / (16L * nBench))
+    //
+    // Gate by HASH, decoupled from the copy/variant moduli. The round-12
+    // revision gated on `variant === 3 && r % plantStep == 0` with a
+    // data-dependent plantStep — arithmetically UNSATISFIABLE whenever
+    // plantStep is a multiple of 5 (copies is a multiple of 5, so
+    // variant-3 rows are exactly r ≡ 3 (mod 5), and every multiple of a
+    // 5-divisible plantStep is ≡ 0 (mod 5)): the 14.4 GB run planted ZERO
+    // rows and the decontam self-validation went silently vacuous. Even a
+    // coprime plantStep planted at 1/5 the documented rate (only every
+    // 5th multiple lands on variant 3). A hash gate over the variant-3
+    // rows has no modulus to collide with: variant-3 rows number
+    // nDocs·copies/5, so 1-in-plantEvery of them ≈ 16·nBench planted.
+    val plantEvery = math.max(1L, nDocs * copies / (5L * 16L * nBench))
+    val plantedGate = col("variant") === 3 &&
+      pmod(xxhash64(lit("plant"), col("r")), lit(plantEvery)) === 0
     val rotated = docs.select(col("idx").as("rot_idx"),
       col("text").as("rot_text"))
     val benchTexts = bench
@@ -393,7 +465,12 @@ object DataPipelineBench {
       .withColumn("variant", col("copy") % 5)
       .withColumn("r", col("idx") * copies + col("copy"))
       .withColumn("rot_idx", (col("idx") + col("gid")) % nDocs)
-      .withColumn("bench_idx", pmod(col("r"), lit(nBench)))
+      // bench_idx by hash too: an arithmetic pmod(r, nBench) concentrates
+      // planted rows on a subset of bench docs whenever the plant gate's
+      // row spacing shares a factor with nBench (gcd alignment) —
+      // recreating the quadratic cohort the per-doc cap bounds away
+      .withColumn("bench_idx",
+        pmod(xxhash64(lit("bench"), col("r")), lit(nBench)))
       .join(broadcast(rotated), "rot_idx")
       .join(broadcast(benchTexts), "bench_idx")
       .withColumn("base", saltEvery3(col("text"),
@@ -415,11 +492,23 @@ object DataPipelineBench {
           .when(col("variant") === 2, concat(col("base"), lit(" zz")))
           // PLANTED benchmark contamination (a benchmark doc's text
           // appended) — what stage 5 must catch; rate bounded per bench
-          // doc via plantStep, see above
-          .when(col("variant") === 3 && pmod(col("r"), lit(plantStep)) === 0,
+          // doc via the hash gate, see above
+          .when(plantedGate,
             concat(col("unique_text"), lit(" "), col("bench_text")))
           .otherwise(col("unique_text")).as("text"))
       .write.mode(SaveMode.Overwrite).parquet(in.resolve("docs").toString)
+
+    // Persist the planted ground truth so the run can self-validate the
+    // decontamination stage against it (round-12 lesson: without this,
+    // a vacuous decontam stage — zero planted rows — printed plausible
+    // equal counts and nothing noticed). The planted predicate is pure
+    // doc_id arithmetic (doc_id == r), so this is one column-pruned scan.
+    spark.read.parquet(in.resolve("docs").toString)
+      .select(col("doc_id"))
+      .filter(col("doc_id") % 5 === 3 &&
+        pmod(xxhash64(lit("plant"), col("doc_id")), lit(plantEvery)) === 0)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(in.resolve("planted").toString)
 
     Files.createDirectories(in)
     Files.write(in.resolve("_DONE"), Array.emptyByteArray)

@@ -44,6 +44,7 @@ import graft.functions.{rolling_hash, word_ngrams}
 object HofLap {
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // dot-decimal JSON under any host locale
     val corpusDir = if (args.length > 0) args(0) else "target/dpbench/in_2p00/docs"
     val only = if (args.length > 1) Some(args(1).split(",").map(_.trim).toSet)
       else None

@@ -52,6 +52,7 @@ object ScalingProbe {
     "q38_dedup_cosine_lsh", "q28_everygram_vocab_stats")
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // dot-decimal JSON under any host locale
     val factor  = if (args.length > 0) args(0).toInt else 10
     val workDir = if (args.length > 1) args(1) else "target/scaleprobe"
     val queries = if (args.length > 2) args(2).split(",").toSeq else DefaultQueries

@@ -24,6 +24,7 @@ import graft.sources.CorpusSources
 object ThroughputBench {
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // dot-decimal JSON under any host locale
     val targetGB = if (args.length > 0) args(0).toDouble else 1.0
     val workDir  = if (args.length > 1) args(1) else "target/tpbench"
     val cpus     = sys.env.getOrElse("SPARK_GRAFT_CPUS",
