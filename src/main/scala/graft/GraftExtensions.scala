@@ -36,6 +36,7 @@ import org.apache.spark.sql.graftbridge.Bridge
   *   - `simhash64(hashes)`       — fused 64-bit SimHash majority fold
   *   - `word_ngram_top_count(t,n)` — fused gram-free max multiplicity
   *   - `word_ngram_rolling_hashes(t,n)` — fused gram-free rolling hashes
+  *   - `ngram_count_hashes(t,maxN)` — hash-keyed in-row n-gram histogram
   *
   * All of these compose from built-ins or codegen'd expressions — no UDF
   * registry entries, so SQL users get identical plans (and identical 100 TB
@@ -106,6 +107,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("ngram_counts"),
       info("ngram_counts", "ngram_counts(tokens, maxN) - in-row per-document n-gram histogram as array<struct<token,tf>>."),
       (exprs: Seq[Expression]) => graft.functions.NGramCounts(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+
+    ext.injectFunction((FunctionIdentifier("ngram_count_hashes"),
+      info("ngram_count_hashes", "ngram_count_hashes(tokens, maxN) - hash-keyed in-row n-gram histogram as array<struct<h,n,tf,tok>> with h = xxhash64(gram) and tok the unigram string (null for multigrams)."),
+      (exprs: Seq[Expression]) => graft.functions.NGramCountHashes(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue())))
 
     ext.injectFunction((FunctionIdentifier("everygrams"),

@@ -633,6 +633,147 @@ object NgramHashKernel {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Seed of Spark's built-in `xxhash64(col)` — countHashes uses it so a
+    * gram's hash equals `xxhash64(gram_string)` and dictionary sides
+    * (vocabulary, oracles) can hash plain strings with the built-in. */
+  val BuiltinSeed = 42L
+
+  /** HASH-keyed per-document n-gram histogram: all word n-grams for n in
+    * [1, maxN] as `(h = xxhash64(gram_string), n, tf, tok)` where `tok`
+    * carries the token STRING for unigrams only (`null` for multigrams) —
+    * the string join-back source for unigram stats, with multigram strings
+    * recoverable from the (small) vocabulary after its membership filter.
+    *
+    * Same per-doc semantics as [[NGramKernel.counts]] (insertion-ordered,
+    * one entry per distinct gram) but no gram STRING is ever materialized:
+    * gram bytes are assembled in a reused scratch buffer and hashed, and
+    * the histogram is an open-addressed long-keyed table instead of a
+    * string-keyed LinkedHashMap. Two grams colliding on the full 64 bits
+    * merge (their tfs sum, the first-seen n/tok win) — ~n²/2⁶⁵ odds,
+    * certified per corpus by A/B equality against the string path rather
+    * than by construction. */
+  def countHashes(arr: ArrayData, maxN: Int): ArrayData = {
+    val total = arr.numElements()
+    val toks = new Array[UTF8String](total)
+    var i = 0
+    while (i < total) { toks(i) = arr.getUTF8String(i); i += 1 }
+    var instances = 0L
+    var len = 1
+    while (len <= maxN) {
+      val c = total - len + 1
+      if (c > 0) instances += c
+      len += 1
+    }
+    var cap = 16
+    while (cap < instances * 2 && cap < (1 << 30)) cap <<= 1
+    val mask   = cap - 1
+    val keys   = new Array[Long](cap)
+    val filled = new Array[Boolean](cap)
+    val cnts   = new Array[Int](cap)
+    val ns     = new Array[Int](cap)
+    val tokAt  = new Array[UTF8String](cap)
+    val order  = new Array[Int](instances.min(cap.toLong).toInt)
+    var m = 0
+    len = 1
+    while (len <= maxN) {
+      val lim = total - len
+      var start = 0
+      while (start <= lim) {
+        var h = 0L
+        var tok: UTF8String = null
+        if (len == 1) {
+          tok = toks(start)
+          h = XXH64.hashUnsafeBytes(tok.getBaseObject, tok.getBaseOffset,
+            tok.numBytes, BuiltinSeed)
+        } else {
+          var blen = len - 1
+          var j = start
+          while (j < start + len) { blen += toks(j).numBytes; j += 1 }
+          var buf = scratch.get()
+          if (buf.length < blen) {
+            buf = new Array[Byte](java.lang.Integer.highestOneBit(blen) * 2)
+            scratch.set(buf)
+          }
+          var pos = Platform.BYTE_ARRAY_OFFSET
+          j = start
+          while (j < start + len) {
+            if (j > start) { Platform.putByte(buf, pos, ' '.toByte); pos += 1 }
+            val t = toks(j)
+            Platform.copyMemory(t.getBaseObject, t.getBaseOffset, buf, pos,
+              t.numBytes)
+            pos += t.numBytes
+            j += 1
+          }
+          h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, blen,
+            BuiltinSeed)
+        }
+        var slot = ((h ^ (h >>> 32)).toInt) & mask
+        while (filled(slot) && keys(slot) != h) slot = (slot + 1) & mask
+        if (!filled(slot)) {
+          filled(slot) = true
+          keys(slot) = h
+          cnts(slot) = 1
+          ns(slot) = len
+          tokAt(slot) = tok
+          order(m) = slot
+          m += 1
+        } else cnts(slot) += 1
+        start += 1
+      }
+      len += 1
+    }
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val s = order(j)
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        keys(s), ns(s), cnts(s), tokAt(s))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Hash-keyed [[NGramCounts]] — the per-doc histogram with 8-byte gram
+  * hashes in place of gram strings (`array<struct<h, n, tf, tok>>`; `tok`
+  * is the unigram string, null for multigrams). Motivation (round-12
+  * vspace stage laps): the exploded ≤6-gram stream is the pipeline's
+  * dominant cost, and every downstream byte — the counts block-store
+  * materialization, the vocabulary-filter probe, both stats exchanges —
+  * carries the gram STRING only so the final vocab-sized report can print
+  * it. Keying by `xxhash64(gram_string)` (computed without materializing
+  * the string, [[NgramHashKernel.countHashes]]) shrinks all of that to
+  * fixed-width rows; strings rejoin at the stats OUTPUT from the unigram
+  * `tok` carry + the broadcast vocabulary dictionary. */
+case class NGramCountHashes(child: Expression, maxN: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(maxN > 0, "ngram_count_hashes needs maxN >= 1")
+
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("tok", StringType,
+        nullable = true))),
+    containsNull = false)
+  override def prettyName: String = "ngram_count_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHashKernel.countHashes(input.asInstanceOf[ArrayData], maxN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NgramHashKernel.countHashes($c, $maxN)")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramCountHashes =
+    copy(child = newChild)
 }
 
 /** Fused distinct word-n-grams: the BIT-IDENTICAL result of

@@ -144,6 +144,14 @@ package object functions {
   def ngram_counts(tokens: Column, maxN: Int): Column =
     Bridge.column(NGramCounts(ex(tokens), maxN))
 
+  /** Hash-keyed per-document n-gram histogram:
+    * `array<struct<h = xxhash64(gram), n, tf, tok>>` with `tok` carried
+    * for unigrams only — the fixed-width-row form of [[ngram_counts]] for
+    * stats pipelines that only need gram strings at the vocab-sized
+    * OUTPUT (see [[NGramCountHashes]]). */
+  def ngram_count_hashes(tokens: Column, maxN: Int): Column =
+    Bridge.column(NGramCountHashes(ex(tokens), maxN))
+
   /** Bounded-heap top-k aggregate (public Catalyst `CollectTopK`): keeps
     * the k greatest — or, with `smallest = true`, the k least — values of
     * `e` per group in a k-element priority queue and returns them sorted

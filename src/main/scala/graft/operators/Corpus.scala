@@ -87,6 +87,34 @@ object Corpus {
         col("token").rlike(DocIdPattern)))
   }
 
+  /** [[tokenCountsFromNormalized]] with HASH gram keys: long format
+    * `(document_index, wc, h, n, tf, tok)` where `h = xxhash64(gram)`,
+    * `n` is the gram order, and `tok` carries the STRING for unigrams
+    * only. The scale rationale: every downstream consumer of the gram
+    * stream — the counts block-store materialization, the vocabulary
+    * probe, both stats exchanges — pays gram-string bytes it only needs
+    * again at the vocab-sized report, so keying the corpus-scale rows by
+    * 8-byte hashes and joining strings back at the OUTPUT
+    * ([[Stats.computeStatsHashed]]) shrinks the pipeline's dominant
+    * storage and shuffle volume to fixed-width rows. The pseudo-token
+    * drop matches the string path exactly: only unigrams can match the
+    * anchored [[DocIdPattern]] (multigrams contain a space), and unigram
+    * rows carry their string. */
+  def tokenCountHashesFromNormalized(normalized: DataFrame, maxNgrams: Int,
+      compatOffByOne: Boolean = false): DataFrame = {
+    val maxN = maxDepth(maxNgrams, compatOffByOne)
+    normalized
+      .select(col("document_index"),
+        graft.functions.ws_tokens(col("text")).as("tokens"))
+      .select(col("document_index"), size(col("tokens")).as("wc"),
+        explode(graft.functions.ngram_count_hashes(col("tokens"), maxN)).as("e"))
+      .select(col("document_index"), col("wc"), col("e.h").as("h"),
+        col("e.n").as("n"), col("e.tf").as("tf"), col("e.tok").as("tok"))
+      .filter(col("n") =!= 1 ||
+        !(col("tok").startsWith("nferdoccount_") &&
+          col("tok").rlike(DocIdPattern)))
+  }
+
   /** Reference-shape output: one row per doc with a token_counts map
     * (`base.py:165-188`). Only for compat surfaces — prefer long format. */
   def toTokenCountsMap(tokenCounts: DataFrame): DataFrame =

@@ -26,6 +26,38 @@ object Stats {
         sum(col("tf")).as("term_frequency"),
         sum(col("wc")).as("tdsum"))
 
+  /** [[computeStats]] over the HASH-keyed gram frame
+    * ([[graft.operators.Corpus.tokenCountHashesFromNormalized]] shape):
+    * aggregate DF/TF/tdsum by `(h[, extra])` — the exchange carries 8-byte
+    * keys instead of gram strings — then restore `token` at the
+    * vocab-sized OUTPUT: unigram strings ride the aggregation itself
+    * (`max(tok)`; non-null only on unigram rows, and all rows of one `h`
+    * are the same gram), multigram strings come from the broadcast
+    * vocabulary dictionary (post-filter multigrams are vocabulary members
+    * by construction). Column names/order match [[computeStats]] exactly.
+    *
+    * Exactness caveat: two grams colliding on the full 64-bit
+    * `xxhash64(gram)` would merge one stats row (~n²/2⁶⁵ odds); the
+    * hashed path is certified per corpus by A/B output equality against
+    * the string path (VspacePipelineSpec), not by construction. */
+  def computeStatsHashed(countsHashed: DataFrame, vocabulary: DataFrame,
+      extraGrouping: Seq[String]): DataFrame = {
+    val dict = vocabulary
+      .select(xxhash64(col("token")).as("h"), col("token").as("__vtok"))
+      .dropDuplicates("h")
+    countsHashed
+      .groupBy(("h" +: extraGrouping).map(col): _*)
+      .agg(count(lit(1)).as("document_frequency"),
+        sum(col("tf")).as("term_frequency"),
+        sum(col("wc")).as("tdsum"),
+        max(col("tok")).as("__utok"))
+      .join(broadcast(dict), Seq("h"), "left")
+      .select(coalesce(col("__utok"), col("__vtok")).as("token") +:
+        (extraGrouping.map(col) ++
+          Seq(col("document_frequency"), col("term_frequency"),
+            col("tdsum"))): _*)
+  }
+
   /** index ⋈ broadcast(sources) on subsource, then corpus ⋈ map on
     * document_index, then explode to one row per (doc, source). */
   def combineCorpusWithSources(corpus: DataFrame, index: DataFrame,

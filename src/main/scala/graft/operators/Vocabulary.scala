@@ -76,6 +76,21 @@ object Vocabulary {
     }
   }
 
+  /** [[SemiJoinFilter]] for HASH-keyed gram frames
+    * ([[graft.operators.Corpus.tokenCountHashesFromNormalized]] shape):
+    * the same one-pass membership-marker left join, probing on the 8-byte
+    * `h` column against `xxhash64(vocabulary.token)` instead of on gram
+    * strings, with the unigram bypass read from the explicit gram order
+    * `n` instead of from a contains-space test. */
+  def hashedSemiJoinFilter(df: DataFrame, vocabulary: DataFrame): DataFrame = {
+    val marked = vocabulary
+      .select(xxhash64(col("token")).as("h")).distinct()
+      .withColumn("__invocab", lit(true))
+    df.join(marked, Seq("h"), "left")
+      .filter(col("n") === 1 || col("__invocab"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Reference-shaped path: vocabulary collected once, broadcast as a
     * sorted array, probed per row by binary search. Bounded by driver
     * memory — use only when the vocabulary is known-small. */

@@ -30,7 +30,15 @@ final case class VspaceConfig(
       * splits — the path for corpora whose files dwarf a default split.
       * Ids are contiguous under both; their file ordering differs on
       * multi-file corpora (see CorpusSources.loadRawCorpusV2). */
-    corpusReader: String = "builtin")
+    corpusReader: String = "builtin",
+    /** Key the gram stream by `xxhash64(gram)` instead of gram strings
+      * through the counts materialization, vocabulary probe, and both
+      * stats exchanges, restoring strings at the vocab-sized stats
+      * output (Corpus.tokenCountHashesFromNormalized +
+      * Stats.computeStatsHashed). Same five outputs, same rows —
+      * certified by A/B equality per corpus (a 64-bit gram-hash
+      * collision would merge one stats row, ~n²/2⁶⁵). */
+    hashedStats: Boolean = false)
 
 object VspaceConfig {
   /** Minimal INI parser: `[section]` headers, `key = value` pairs, `#`/`;`
@@ -76,7 +84,8 @@ object VspaceConfig {
       collections  = in("collections"),
       phrases      = in("phrases"),
       compatOffByOne = conf.get("compatoffbyone").exists(_.toBoolean),
-      corpusReader   = reader)
+      corpusReader   = reader,
+      hashedStats    = conf.get("hashedstats").exists(_.toBoolean))
   }
 }
 
@@ -154,9 +163,14 @@ object VspacePipeline {
     val norm = Corpus.normalized(raw).persist(StorageLevel.MEMORY_AND_DISK)
     Sinks.writeNormalizedCorpus(norm, s"$out/normalized_corpus")
     lap("read+normalize+corpus_sink")
-    val countsBase = tokenFilter(
-      Corpus.tokenCountsFromNormalized(norm, cfg.maxNgrams, cfg.compatOffByOne),
-        "token")
+    val countsBase =
+      if (cfg.hashedStats)
+        Vocabulary.hashedSemiJoinFilter(
+          Corpus.tokenCountHashesFromNormalized(norm, cfg.maxNgrams,
+            cfg.compatOffByOne), vocabulary)
+      else tokenFilter(
+        Corpus.tokenCountsFromNormalized(norm, cfg.maxNgrams, cfg.compatOffByOne),
+          "token")
     val counts =
       if (NoCacheCounts) countsBase
       else countsBase.persist(StorageLevel.MEMORY_AND_DISK)
@@ -170,10 +184,15 @@ object VspacePipeline {
     val sources = CorpusSources.loadSources(spark, cfg.src2sub)
     val withSources = Stats.combineCorpusWithSources(counts, index, sources)
     Sinks.writeStatsBySource(
-      Stats.computeStats(withSources, Seq("token", "source")), s"$out/stats_by_source")
+      if (cfg.hashedStats)
+        Stats.computeStatsHashed(withSources, vocabulary, Seq("source"))
+      else Stats.computeStats(withSources, Seq("token", "source")),
+      s"$out/stats_by_source")
     lap("per_source_stats")
     Sinks.writeStatsGlobal(
-      Stats.computeStats(counts, Seq("token")), s"$out/stats_global")
+      if (cfg.hashedStats) Stats.computeStatsHashed(counts, vocabulary, Seq.empty)
+      else Stats.computeStats(counts, Seq("token")),
+      s"$out/stats_global")
     lap("global_stats")
 
     if (!NoCacheCounts) counts.unpersist()

@@ -61,6 +61,9 @@ object ThroughputBench {
       maxNgrams    = 6, // the baseline's deeper depth (≤6-grams column)
       splits       = Some(shufflePartitions),
       corpusReader = sys.env.getOrElse("SPARK_GRAFT_CORPUS_READER", "builtin"),
+      // SPARK_GRAFT_VSPACE_HASHED=1: hash-keyed gram stream A/B lever
+      // (gram strings only at the vocab-sized stats output)
+      hashedStats  = sys.env.get("SPARK_GRAFT_VSPACE_HASHED").contains("1"),
       corpus       = in.resolve("corpus").toString,
       index2doc    = in.resolve("index2doc").toString,
       src2sub      = in.resolve("src2sub").toString,

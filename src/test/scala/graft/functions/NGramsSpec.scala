@@ -68,4 +68,41 @@ class NGramsSpec extends SparkSpec {
     assert(viaKernel == viaShuffle)
     assert(viaKernel.exists(_ == ((0L, "the cat", 2))))
   }
+
+  test("hash-keyed ngram_count_hashes equals ngram_counts + xxhash64") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat sat on the mat the cat"),
+      (1L, "a"),
+      (2L, ""),
+      (3L, "x y x y x"),
+      (4L, "nferdoccount_7 real words here nferdoccount_7")).toDF("doc_id", "text")
+      .select(col("doc_id"), ws_tokens(col("text")).as("toks"))
+    val viaHashed = docs
+      .select(col("doc_id"),
+        explode(graft.functions.ngram_count_hashes(col("toks"), 3)).as("e"))
+      .select(col("doc_id"), col("e.h"), col("e.n"), col("e.tf"), col("e.tok"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), if (r.isNullAt(4)) null else r.getString(4)))
+      .toMap
+    val viaStrings = docs
+      .select(col("doc_id"),
+        explode(graft.functions.ngram_counts(col("toks"), 3)).as("e"))
+      .select(col("doc_id"), col("e.token").as("token"), col("e.tf"),
+        xxhash64(col("e.token")).as("h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3)) ->
+        (r.getString(1), r.getInt(2))).toMap
+    // same (doc, hash) key set; tf equal; n = the gram's token count;
+    // tok carried exactly for unigrams (including the pseudo-token, whose
+    // DROP happens in the Corpus plan filter, not the kernel)
+    assert(viaHashed.keySet == viaStrings.keySet)
+    viaStrings.foreach { case (k, (token, tf)) =>
+      val (n, htf, tok) = viaHashed(k)
+      assert(htf == tf, s"$token")
+      assert(n == token.split(" ").length, s"$token")
+      assert(if (n == 1) tok == token else tok == null, s"$token")
+    }
+  }
 }

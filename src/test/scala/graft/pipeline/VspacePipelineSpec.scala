@@ -240,5 +240,19 @@ class VspacePipelineSpec extends SparkSpec {
     def statsSet(o: String) = spark.read.option("delimiter", "\t")
       .csv(s"$o/stats_global").collect().map(_.toSeq).toSet
     assert(statsSet(out2) == statsSet(out))
+
+    // hashedstats = true keys the gram stream by xxhash64(gram) and joins
+    // strings back at the stats output — BOTH stats tables must equal the
+    // string path's exactly (the per-corpus certification the hashed
+    // path's collision caveat relies on)
+    val out3 = graft.SparkSpec.tempDir("vspace-out-hashed")
+    VspacePipeline.run(spark, VspaceConfig.load(confPath)
+      .copy(outputFolder = out3, hashedStats = true))
+    assert(statsSet(out3) == statsSet(out))
+    def bySourceSet(o: String) = spark.read.option("delimiter", "\t")
+      .csv(s"$o/stats_by_source").withColumn(
+        "source", regexp_extract(input_file_name(), "source=([^/]+)", 1))
+      .collect().map(_.toSeq).toSet
+    assert(bySourceSet(out3) == bySourceSet(out))
   }
 }
