@@ -206,13 +206,21 @@ object DataPipelineBench {
     val nQualified = qualified.count()
     lap("quality")
 
-    // --- stage 3: exact dedup — digest-only shuffle (text never moves),
-    // keep the lowest id per digest via a digest-keyed semi-join
-    val keepExact = qualified.groupBy(col("digest"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
+    // --- stage 3: exact dedup — keep the lowest-id row per digest by
+    // folding survivor selection INTO the digest aggregation (min_by of
+    // the whole row): ONE digest-keyed shuffle, map-side combined (exact
+    // duplicates collapse before the exchange), no join. The previous
+    // shape — groupBy(digest).agg(min(doc_id)) + a doc_id-keyed LEFT SEMI
+    // back against the text frame — shuffled the FULL-TEXT frame a second
+    // time while two corpus-size checkpoints were still in write-back;
+    // at the 14.4 GB scale point that stage went disk-bound (311 s vs
+    // 56 s at 7 GB — 5.6x time at 2x data, the round-13 lap tables).
+    // min_by is a DeclarativeAggregate, so partial aggregation applies.
     val exactSurvivors = qualified
-      .join(keepExact, Seq("doc_id"), "left_semi")
+      .groupBy(col("digest"))
+      .agg(min_by(struct(qualified.columns.map(col): _*),
+        col("doc_id")).as("__r"))
+      .select(col("__r.*"))
       .localCheckpoint()
     val nExact = exactSurvivors.count()
     // Stage-frame lifecycle: each localCheckpoint materializes a
