@@ -547,30 +547,41 @@ object EventStreams {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val commitPath = new org.apache.hadoop.fs.Path(tableDir + "__commit")
-        val fs = commitPath.getFileSystem(
-          batch.sparkSession.sparkContext.hadoopConfiguration)
-        val lastCommitted =
-          if (!fs.exists(commitPath)) -1L
-          else {
-            val in = fs.open(commitPath)
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-            finally in.close()
-          }
-        if (batchId > lastCommitted) {
-          val flagged = graft.operators.MinHash
-            .bandKeys(batch, "text", Seq("doc_id"))
-            .join(corpusIndex, Seq("band", "bh"), "left_semi")
-            .select(col("doc_id")).distinct()
-          val clean = batch.join(flagged, Seq("doc_id"), "left_anti")
-          termStatsUpsertBatch(clean, tableDir)
-          val out = fs.create(commitPath, true)
-          try out.write(batchId.toString.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-        }
+        ingestPipelineBatch(batch, corpusIndex, tableDir, batchId): Unit
       }
       .start()
+  }
+
+  /** The foreachBatch body of [[ingestPipelineStream]], extracted so the
+    * replay guard is directly testable: an already-committed batchId is a
+    * no-op (returns false); otherwise the near-dup drop + term-stats merge
+    * run and the committed id marker advances (returns true). */
+  def ingestPipelineBatch(batch: DataFrame, corpusIndex: DataFrame,
+      tableDir: String, batchId: Long): Boolean = {
+    val commitPath = new org.apache.hadoop.fs.Path(tableDir + "__commit")
+    val fs = commitPath.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val lastCommitted =
+      if (!fs.exists(commitPath)) -1L
+      else {
+        val in = fs.open(commitPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+    if (batchId <= lastCommitted) false
+    else {
+      val flagged = graft.operators.MinHash
+        .bandKeys(batch, "text", Seq("doc_id"))
+        .join(corpusIndex, Seq("band", "bh"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val clean = batch.join(flagged, Seq("doc_id"), "left_anti")
+      termStatsUpsertBatch(clean, tableDir)
+      val out = fs.create(commitPath, true)
+      try out.write(batchId.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    }
   }
 
   /** Streaming CDC keep-latest upsert: each micro-batch flows through

@@ -501,5 +501,18 @@ class EventStreamsSpec extends SparkSpec {
     // sanity on the expectation itself
     assert(asMap(expectedDir)("alpha") == ((1L, 2L, 4L)))
     assert(asMap(expectedDir)("beta") == ((2L, 2L, 6L)))
+
+    // replay guard: re-offering an ALREADY-COMMITTED batch id (foreachBatch
+    // is at-least-once) must be a no-op — the additive DF/TF/tdsum merge is
+    // not idempotent, so without the committed-id marker this replay would
+    // double-count; a NEW batch id must still merge
+    val before = asMap(tableDir)
+    val replay = Seq((9L, "alpha beta alpha gamma")).toDF("doc_id", "text")
+    assert(!EventStreams.ingestPipelineBatch(replay, index, tableDir, 1L))
+    assert(asMap(tableDir) == before)
+    // a batch id beyond anything the stream committed (the stream may have
+    // run trailing empty state-cleanup batches, so "2" is not safely new)
+    assert(EventStreams.ingestPipelineBatch(replay, index, tableDir, 99L))
+    assert(asMap(tableDir)("alpha") == ((2L, 4L, 8L)))
   }
 }
