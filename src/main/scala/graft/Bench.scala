@@ -301,7 +301,18 @@ object Bench {
         if (c > 1.2 * cRef || p > 1.2 * pcRef) &&
           !(c > 1.5 * cRef || p > 1.5 * pcRef) => "\"" + k + "\""
     }.mkString("[", ",", "]")
-    val summary = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_median":$cMed%.3f,"par_canary_median":$pcMed%.3f,"canary_ref":$cRef%.3f,"par_canary_ref":$pcRef%.3f,"canaries":$qcs,"par_canaries":$qpcs,"loadavgs":$qls,"suspect":$suspect,"amber":$amber,"sf":"$sfDir"}"""
+    // per-query ratios RECOMPUTED against the final cRef/pcRef — the
+    // per-query lines' canary_ratio uses the rolling reference as of that
+    // query, so a line can print <1.2x yet land in the amber list (which
+    // buckets against the final refs); these summary maps are the ones the
+    // amber/suspect membership arithmetic actually follows
+    def ratioMap(pick: ((String, Double, Double, Double, Double)) => Double,
+        ref: Double) = results.map { r =>
+      f""""${r._1}":${if (ref > 0) pick(r) / ref else -1.0}%.2f"""
+    }.mkString("{", ",", "}")
+    val qcr  = ratioMap(_._3, cRef)
+    val qpcr = ratioMap(_._4, pcRef)
+    val summary = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary_median":$cMed%.3f,"par_canary_median":$pcMed%.3f,"canary_ref":$cRef%.3f,"par_canary_ref":$pcRef%.3f,"canaries":$qcs,"par_canaries":$qpcs,"canary_ratios":$qcr,"par_canary_ratios":$qpcr,"loadavgs":$qls,"suspect":$suspect,"amber":$amber,"sf":"$sfDir"}"""
     emit(summary)
     // monotone-downward band update, only from a run with a real sample base
     if (canaries.size >= 8 && parCanaries.size >= 8) {

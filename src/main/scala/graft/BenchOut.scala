@@ -48,13 +48,31 @@ object BenchOut {
     }
   }
 
+  /** Pull the `"gb":N` field out of a summary line, if present. */
+  private val GbField = """"gb"\s*:\s*([0-9]+(?:\.[0-9]+)?)""".r.unanchored
+
   def writeSummary(rawName: String, json: String): Unit = synchronized {
     val name = tagged(rawName)
-    try
+    try {
       Files.write(dir.resolve(s"$name.json"),
         (json + "\n").getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    catch { case e: Exception =>
+      // Scale-keyed copy: `<name>.json` is "latest run" and ANY later run
+      // overwrites it — which is how round 13's untagged 1.6 GB
+      // certification leg clobbered the 13.18 GB headline even with the
+      // tag mechanism available. A summary carrying a `gb` field is a
+      // scale benchmark, so it ALSO persists under its scale
+      // (`throughput-last-13p2g.json`): headlines at different scales can
+      // never overwrite each other, tagged or not.
+      json match {
+        case GbField(gb) =>
+          val key = f"${gb.toDouble}%.1f".replace('.', 'p') + "g"
+          Files.write(dir.resolve(s"$name-$key.json"),
+            (json + "\n").getBytes(StandardCharsets.UTF_8),
+            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        case _ => ()
+      }
+    } catch { case e: Exception =>
       System.err.println(s"[bench] persist $name.json failed: $e")
     }
   }

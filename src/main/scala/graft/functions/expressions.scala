@@ -665,6 +665,14 @@ object NgramHashKernel {
       if (c > 0) instances += c
       len += 1
     }
+    // The table caps at 2^30 slots; a document whose distinct grams could
+    // FILL it would turn the linear-probe insert below into an infinite
+    // loop. Fail fast instead: >2^29 gram instances in ONE document (a
+    // multi-GB text) is a data error at any realistic scale.
+    require(instances * 2 <= (1 << 30),
+      s"ngram_count_hashes: document yields $instances n-gram instances, " +
+      "beyond the 2^30-slot histogram — split the document upstream or " +
+      "use the string kernel (hashedstats = false)")
     var cap = 16
     while (cap < instances * 2 && cap < (1 << 30)) cap <<= 1
     val mask   = cap - 1

@@ -63,14 +63,49 @@ object Dedup {
     * the rounds it saves; turn it on for chain-like graphs (e.g. edges
     * from sliding-window or as-of relations) where diameter is unbounded. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
-      pathDoubling: Boolean = false): DataFrame = {
+      pathDoubling: Boolean = false, numPartitions: Option[Int] = None): DataFrame = {
     // Pre-partition the symmetric edge set on the join key BEFORE caching:
     // every iteration joins sym on `b`, and a cached frame keeps its
     // physical partitioning, so the per-round plan reuses this one shuffle
     // instead of re-exchanging the (potentially huge) edge set every round.
+    //
+    // `numPartitions` sizes that ONE partitioning — and with it every
+    // per-round stage, because the iterative joins co-partition to the
+    // cached sym (a USER repartition, exempt from AQE coalescing). Pass it
+    // when the session's shuffle partitions are sized for a much larger
+    // frame: inside the data pipeline the session runs ~128
+    // partitions/GB-of-corpus for the text shuffles, but the edge frame is
+    // 1000x smaller than the corpus, so inheriting the session count made
+    // every CC round pay ~1800 near-empty tasks x several stages x 2
+    // count actions — measured as the stage's 4.5x-time-at-2x-data
+    // super-linearity at the 14.4 GB scale point (the per-round work is
+    // label-sized; the task/shuffle-file OVERHEAD was the scaling term,
+    // doubling with corpus-tracked partitions on top of doubled rounds'
+    // data). Default (None) keeps the session conf — correct wherever the
+    // session is sized for frames like the edges themselves.
+    val parts = numPartitions.getOrElse(
+      edges.sparkSession.sessionState.conf.numShufflePartitions)
+    // Scoping the conf (not just sym's repartition) matters: every
+    // per-round frame is persisted, and AQE does not re-plan cached-plan
+    // exchanges (canChangeCachedPlanOutputPartitioning defaults false), so
+    // the per-round groupBy/join exchanges would otherwise still run at
+    // the session count. All actions against these plans happen inside
+    // this function (counts in the loop + the final localCheckpoint), so
+    // restoring the conf afterwards is safe.
+    val sessConf = edges.sparkSession.conf
+    val prevParts = sessConf.get("spark.sql.shuffle.partitions")
+    if (numPartitions.isDefined)
+      sessConf.set("spark.sql.shuffle.partitions", parts)
+    try connectedComponentsImpl(edges, maxIter, pathDoubling, parts)
+    finally if (numPartitions.isDefined)
+      sessConf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def connectedComponentsImpl(edges: DataFrame, maxIter: Int,
+      pathDoubling: Boolean, parts: Int): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .repartition(col("b"))
+      .repartition(parts, col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // `cached` is the frame actually holding materialized data (persisted or
     // checkpointed); `labels` is the (id, lbl) view over it. Tracked

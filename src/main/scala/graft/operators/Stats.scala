@@ -42,9 +42,24 @@ object Stats {
     * the string path (VspacePipelineSpec), not by construction. */
   def computeStatsHashed(countsHashed: DataFrame, vocabulary: DataFrame,
       extraGrouping: Seq[String]): DataFrame = {
+    // Vocabulary-side hash collisions are DETECTABLE in one vocab-sized
+    // aggregation (unlike the gram-stream side, which only the per-corpus
+    // A/B certifies), so detect them: a silent dropDuplicates pick would
+    // mislabel one token's stats with another's string. countDistinct on
+    // the token (not count(*)) so duplicate vocabulary ROWS — same string
+    // twice, legitimately deduped below — don't trip the guard.
+    val card = vocabulary.agg(
+      countDistinct(col("token")).as("t"),
+      countDistinct(xxhash64(col("token"))).as("h")).head()
+    if (card.getLong(0) != card.getLong(1))
+      throw new IllegalStateException(
+        s"computeStatsHashed: xxhash64 collision inside the vocabulary " +
+        s"(${card.getLong(0)} distinct tokens -> ${card.getLong(1)} " +
+        "distinct hashes) — the hashed stats path would mislabel a " +
+        "token's stats; use the string path (hashedstats = false)")
     val dict = vocabulary
       .select(xxhash64(col("token")).as("h"), col("token").as("__vtok"))
-      .dropDuplicates("h")
+      .dropDuplicates("h") // provably lossless: guard above ensures 1:1
     countsHashed
       .groupBy(("h" +: extraGrouping).map(col): _*)
       .agg(count(lit(1)).as("document_frequency"),

@@ -35,10 +35,20 @@ final case class VspaceConfig(
       * through the counts materialization, vocabulary probe, and both
       * stats exchanges, restoring strings at the vocab-sized stats
       * output (Corpus.tokenCountHashesFromNormalized +
-      * Stats.computeStatsHashed). Same five outputs, same rows —
-      * certified by A/B equality per corpus (a 64-bit gram-hash
-      * collision would merge one stats row, ~n²/2⁶⁵). */
-    hashedStats: Boolean = false)
+      * Stats.computeStatsHashed). Same five outputs, same rows.
+      *
+      * DEFAULT since round 14 (measured 85.02 vs 35.50 GB/h on the
+      * 13.18 GB corpus — the 8-byte keys remove the gram-string bytes
+      * from the counts materialization and every stats exchange, an
+      * advantage that only grows with vocabulary size at corpus scale).
+      * The string path remains selectable (`hashedstats = false`) as the
+      * independent A/B witness: VspacePipelineSpec certifies both stats
+      * tables bit-equal between the paths every build, vocabulary-side
+      * hash collisions fail loudly (Stats.computeStatsHashed's
+      * cardinality guard), and the residual gram-stream collision risk
+      * (~n²/2⁶⁵) is certified per corpus by the same A/B when a corpus
+      * warrants it. */
+    hashedStats: Boolean = true)
 
 object VspaceConfig {
   /** Minimal INI parser: `[section]` headers, `key = value` pairs, `#`/`;`
@@ -85,7 +95,9 @@ object VspaceConfig {
       phrases      = in("phrases"),
       compatOffByOne = conf.get("compatoffbyone").exists(_.toBoolean),
       corpusReader   = reader,
-      hashedStats    = conf.get("hashedstats").exists(_.toBoolean))
+      // absent => the hashed default (see the case-class scaladoc);
+      // `hashedstats = false` selects the string path explicitly
+      hashedStats    = conf.get("hashedstats").map(_.toBoolean).getOrElse(true))
   }
 }
 
@@ -117,8 +129,14 @@ object VspacePipeline {
     * that the per-doc CPU is fused. */
   private val NoCacheCounts = sys.env.get("SPARK_GRAFT_VSPACE_NOCACHE").contains("1")
 
+  /** `onLap` receives (stage, seconds) after each output action — always,
+    * not just under SPARK_GRAFT_VSPACE_LAPS (ThroughputBench persists the
+    * laps into its artifact; round-13 lesson: stage tables that live only
+    * in stderr get lost with the window). The laps-only extra
+    * materialization between the corpus and stats jobs stays gated. */
   def run(spark: SparkSession, cfg: VspaceConfig,
-      useBroadcastFilter: Boolean = false): Unit = {
+      useBroadcastFilter: Boolean = false,
+      onLap: (String, Double) => Unit = (_, _) => ()): Unit = {
     cfg.splits.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
     val out = cfg.outputFolder
     // stage attribution in the Spark UI (reference sets a job group per
@@ -126,9 +144,11 @@ object VspacePipeline {
     def stage(name: String): Unit =
       spark.sparkContext.setJobGroup(name, s"vspace $name", interruptOnCancel = false)
     var tLap = System.nanoTime()
-    def lap(name: String): Unit = if (Laps) {
+    def lap(name: String): Unit = {
       val now = System.nanoTime()
-      System.err.println(f"[vspace-lap] $name: ${(now - tLap) / 1e9}%.1f s")
+      if (Laps)
+        System.err.println(f"[vspace-lap] $name: ${(now - tLap) / 1e9}%.1f s")
+      onLap(name, (now - tLap) / 1e9)
       tLap = now
     }
 

@@ -547,7 +547,12 @@ object EventStreams {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestPipelineBatch(batch, corpusIndex, tableDir, batchId): Unit
+        // the checkpoint location IS the batch-id namespace: Structured
+        // Streaming numbers batches per checkpoint, so the marker must
+        // carry it or a restart with a FRESH checkpoint (batchId back at
+        // 0) would silently skip every batch up to the old marker
+        ingestPipelineBatch(batch, corpusIndex, tableDir, batchId,
+          streamId = checkpointDir): Unit
       }
       .start()
   }
@@ -555,31 +560,84 @@ object EventStreams {
   /** The foreachBatch body of [[ingestPipelineStream]], extracted so the
     * replay guard is directly testable: an already-committed batchId is a
     * no-op (returns false); otherwise the near-dup drop + term-stats merge
-    * run and the committed id marker advances (returns true). */
+    * run and the committed id marker advances (returns true).
+    *
+    * `streamId` is the batch-id NAMESPACE (the checkpoint location):
+    * batch ids are per-checkpoint, so a marker written under a different
+    * streamId never suppresses this stream's batches — it is warned about
+    * (the additive table may already contain data the new stream will
+    * re-offer; only the caller can know) and treated as no-commit. The
+    * marker itself is written atomically (temp file + rename-with-
+    * overwrite), so a crash mid-write can never leave a half-written
+    * marker; an unparseable marker therefore means external tampering and
+    * fails loudly instead of wedging every subsequent batch on a parse
+    * error or silently double-counting. */
   def ingestPipelineBatch(batch: DataFrame, corpusIndex: DataFrame,
-      tableDir: String, batchId: Long): Boolean = {
+      tableDir: String, batchId: Long, streamId: String = ""): Boolean = {
     val commitPath = new org.apache.hadoop.fs.Path(tableDir + "__commit")
-    val fs = commitPath.getFileSystem(
-      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val hadoopConf = batch.sparkSession.sparkContext.hadoopConfiguration
+    val fs = commitPath.getFileSystem(hadoopConf)
+    // marker format: "<streamId>\n<batchId>" (legacy bare "<batchId>"
+    // markers — no identity line — are honored as belonging to this stream)
     val lastCommitted =
       if (!fs.exists(commitPath)) -1L
       else {
         val in = fs.open(commitPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-        finally in.close()
+        val raw =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val lines = raw.split("\n", -1).map(_.trim)
+        val parsed: Option[(String, Long)] = lines match {
+          case Array(id, b, _*) if b.nonEmpty && b.forall(_.isDigit) =>
+            Some((id, b.toLong))
+          case Array(b) if b.nonEmpty && b.forall(_.isDigit) =>
+            Some((streamId, b.toLong)) // legacy single-line marker
+          case _ => None
+        }
+        parsed match {
+          case None =>
+            // atomic writes make a torn marker impossible; an unparseable
+            // one is corruption — failing is recoverable (delete the
+            // marker after reconciling the table), silence is not
+            throw new IllegalStateException(
+              s"ingestPipelineBatch: unparseable commit marker at " +
+              s"$commitPath (${raw.take(80)}...) — refusing to guess; " +
+              "reconcile the stats table, then delete the marker")
+          case Some((id, b)) if id == streamId => b
+          case Some((id, b)) =>
+            System.err.println(
+              s"[graft] ingestPipelineBatch: commit marker at $commitPath " +
+              s"belongs to stream '$id' (batch $b), not '$streamId' — " +
+              "treating as no prior commit; NOTE the additive stats table " +
+              "may already hold rows a fresh stream will re-offer")
+            -1L
+        }
       }
-    if (batchId <= lastCommitted) false
-    else {
+    if (batchId <= lastCommitted) {
+      System.err.println(
+        s"[graft] ingestPipelineBatch: skipping replayed batch $batchId " +
+        s"(committed through $lastCommitted for stream '$streamId')")
+      false
+    } else {
       val flagged = graft.operators.MinHash
         .bandKeys(batch, "text", Seq("doc_id"))
         .join(corpusIndex, Seq("band", "bh"), "left_semi")
         .select(col("doc_id")).distinct()
       val clean = batch.join(flagged, Seq("doc_id"), "left_anti")
       termStatsUpsertBatch(clean, tableDir)
-      val out = fs.create(commitPath, true)
-      try out.write(batchId.toString.getBytes(
+      // atomic marker advance: write a temp file, rename OVER the old
+      // marker (FileContext.rename(OVERWRITE) is atomic on posix and
+      // HDFS) — a crash anywhere leaves either the old marker or the new
+      // one, never a truncated file
+      val tmpPath = new org.apache.hadoop.fs.Path(
+        tableDir + s"__commit.tmp.$batchId")
+      val out = fs.create(tmpPath, true)
+      try out.write(s"$streamId\n$batchId".getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(commitPath.toUri, hadoopConf)
+        .rename(tmpPath, commitPath,
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       true
     }
   }

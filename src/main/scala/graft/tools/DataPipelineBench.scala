@@ -101,7 +101,12 @@ object DataPipelineBench {
     val cPre  = graft.HostCanary.sec()
     val pcPre = graft.HostCanary.parSec()
     val t0 = System.nanoTime()
-    val counts = run(spark, corpus, benchmark, outDir, Some(planted))
+    // per-stage laps persist in the artifact (round-13 lesson: the 3x/6x
+    // stage table — the round's key scale evidence — lived only in SURVEY
+    // prose and stdout)
+    val stageSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val counts = run(spark, corpus, benchmark, outDir, Some(planted),
+      lapSink = (s, t) => stageSecs(s) = t)
     val secs   = (System.nanoTime() - t0) / 1e9
     val cPost  = graft.HostCanary.sec()
     val pcPost = graft.HostCanary.parSec()
@@ -111,7 +116,18 @@ object DataPipelineBench {
     // (dual protocol — serial catches whole-JVM freezes, parallel catches
     // co-tenant capacity steal) — see graft.HostCanary
     val countsJson = counts.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-    val summary = f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"hotkey_rows":$hotKeyRows,"planted":$nPlanted,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,$countsJson}"""
+    val stagesJson = stageSecs
+      .map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
+    // candidate-gate inputs computed BEFORE the summary so the gate values
+    // persist in the artifact (a 12x reproducer reads its band from here)
+    val cm = counts.toMap
+    val docsIn = cm.getOrElse("docs_in", 0L)
+    val nCands = cm.getOrElse("near_candidates", 0L)
+    val candGroups = math.max(1L, (docsIn - hotKeyRows) / 5)
+    val candPerGroup = nCands.toDouble / candGroups
+    val candGateMax = (3.5 + 0.6 * math.max(0.0,
+      math.log(docsIn / 19.1e6) / math.log(2.0))) * 1.5
+    val summary = f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"hotkey_rows":$hotKeyRows,"planted":$nPlanted,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,"cand_per_group":$candPerGroup%.2f,"cand_gate_max":$candGateMax%.2f,"stage_secs":$stagesJson,$countsJson}"""
     println(summary)
     System.out.flush()
     graft.BenchOut.writeSummary("pipeline-last", summary)
@@ -122,7 +138,6 @@ object DataPipelineBench {
     // — with nothing failing). A run whose planted ground truth is empty,
     // mostly eaten before the decontam stage, or <90% caught BY the
     // decontam stage exits non-zero so the vacuity is loud.
-    val cm = counts.toMap
     val atNear  = cm.getOrElse("planted_after_near", 0L)
     val escaped = cm.getOrElse("planted_after_decontam", 0L)
     val caught  = atNear - escaped
@@ -140,6 +155,35 @@ object DataPipelineBench {
     }
     println(f"[dp] decontam self-validation: planted=$nPlanted reached=" +
       f"$atNear caught=$caught (${100.0 * caught / math.max(1L, atNear)}%.1f%%)")
+
+    // CANDIDATE-COUNT GATE (round-13 finding 4: candidate generation grew
+    // mildly super-proportionally — 2.34x pairs at 2x data vs the 2.0x
+    // structural — bounded by the banding math but with NO tripwire, so a
+    // 12x attempt going quadratic would only be noticed in the wall
+    // clock). The generator's structural candidates are one (base, near)
+    // pair per 5-group; everything above that is banding noise, measured
+    // at 3.5 distinct candidates per group at 19.1M docs and 4.1 at 38.3M
+    // (the noise term grows with corpus size as more unique-row band
+    // collisions clear the distinct). Model that growth as
+    // 3.5 + 0.6*log2(docs/19.1M) per group and fail LOUDLY above 1.5x the
+    // model — linear-ish growth passes with margin, quadratic growth
+    // (4x candidates at 2x data) trips it. Enforced only in the measured
+    // regime (>=5M docs); smaller corpora print the ratio for the record.
+    if (docsIn > 0 && nCands > 0) {
+      println(f"[dp] candidate self-validation: candidates=$nCands " +
+        f"groups=$candGroups per_group=$candPerGroup%.2f " +
+        f"gate_max=$candGateMax%.2f")
+      if (docsIn >= 5000000L && candPerGroup > candGateMax) {
+        System.err.println(
+          f"[dp] CANDIDATE GATE FAILED: $candPerGroup%.2f distinct " +
+          f"candidates per duplicate group exceeds the banding-noise band " +
+          f"($candGateMax%.2f at $docsIn docs) — candidate generation is " +
+          "growing super-linearly; re-derive the banding math before " +
+          "trusting this scale point")
+        spark.stop()
+        sys.exit(1)
+      }
+    }
     spark.stop()
   }
 
@@ -159,13 +203,15 @@ object DataPipelineBench {
     * probes run against already-checkpointed frames with a broadcast-
     * small right side: wall cost is seconds against a 20-minute run. */
   def run(spark: SparkSession, corpus: DataFrame, benchmark: DataFrame,
-      outDir: String, plantedIds: Option[DataFrame] = None): Seq[(String, Long)] = {
+      outDir: String, plantedIds: Option[DataFrame] = None,
+      lapSink: (String, Double) => Unit = (_, _) => ()): Seq[(String, Long)] = {
     import graft.functions.{normalize_text, word_ngrams, xxhash64_seeded}
 
     var tLast = System.nanoTime()
     def lap(stage: String): Unit = {
       val now = System.nanoTime()
       println(f"[dp] $stage: ${(now - tLast) / 1e9}%.1f s")
+      lapSink(stage.trim, (now - tLast) / 1e9)
       tLast = now
       // Shuffle files from completed stages are reaped by the
       // ContextCleaner only when their ShuffleDependency objects are GC'd
@@ -262,7 +308,8 @@ object DataPipelineBench {
       .bucketPairs(buckets, Seq("band", "bh"), "doc_id")
       .distinct()
       .localCheckpoint()
-    println(s"[dp]   near: candidates=${cands.count()}")
+    val nCands = cands.count()
+    println(s"[dp]   near: candidates=$nCands")
     lap("  near:cands")
     // single-reference verification (the lshVerifiedPairs shape): each
     // pair explodes into its two (pair, doc) rows, joins the one shingle
@@ -282,10 +329,21 @@ object DataPipelineBench {
       .filter(col("jac") >= 0.7)
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .localCheckpoint()
-    println(s"[dp]   near: verified pairs=${pairs.count()}")
+    val nPairs = pairs.count()
+    println(s"[dp]   near: verified pairs=$nPairs")
     cands.unpersist() // dead once the verified pairs are materialized
     lap("  near:verify")
-    val clusters = graft.operators.Dedup.connectedComponents(pairs)
+    // CC partitioning sized by the EDGE frame, not the session conf: the
+    // session runs ~128 shuffle partitions per corpus GB for the text
+    // stages, but the pair frame is ~1000x smaller — inheriting the
+    // session count made every CC round ~1800 near-empty tasks per stage
+    // (cached plans are AQE-exempt), measured as 4.5x time at 2x data at
+    // the 14.4 GB point. ~2M edges per partition keeps a task's slice of
+    // the 16-byte pair rows ~32 MB.
+    val ccParts = math.max(spark.sparkContext.defaultParallelism,
+      (nPairs / 2000000L).toInt + 1)
+    val clusters = graft.operators.Dedup
+      .connectedComponents(pairs, numPartitions = Some(ccParts))
       .select(col("id").as("doc_id"), col("cluster_id"))
     pairs.unpersist() // connectedComponents checkpointed its own output
     lap("  near:cc")
@@ -356,7 +414,9 @@ object DataPipelineBench {
     lap("split_write")
 
     Seq("docs_in" -> nIn, "after_quality" -> nQualified,
-      "after_exact_dedup" -> nExact, "after_near_dedup" -> nNear,
+      "after_exact_dedup" -> nExact,
+      "near_candidates" -> nCands, "near_verified_pairs" -> nPairs,
+      "after_near_dedup" -> nNear,
       "after_decontam" -> nClean, "train" -> nTrain, "val" -> nVal) ++
       plantedCounts
   }

@@ -61,9 +61,10 @@ object ThroughputBench {
       maxNgrams    = 6, // the baseline's deeper depth (≤6-grams column)
       splits       = Some(shufflePartitions),
       corpusReader = sys.env.getOrElse("SPARK_GRAFT_CORPUS_READER", "builtin"),
-      // SPARK_GRAFT_VSPACE_HASHED=1: hash-keyed gram stream A/B lever
-      // (gram strings only at the vocab-sized stats output)
-      hashedStats  = sys.env.get("SPARK_GRAFT_VSPACE_HASHED").contains("1"),
+      // hash-keyed gram stream is the DEFAULT (round 14; 2.4x end-to-end,
+      // outputs bit-equal); SPARK_GRAFT_VSPACE_HASHED=0 selects the
+      // string path — the A/B witness leg
+      hashedStats  = !sys.env.get("SPARK_GRAFT_VSPACE_HASHED").contains("0"),
       corpus       = in.resolve("corpus").toString,
       index2doc    = in.resolve("index2doc").toString,
       src2sub      = in.resolve("src2sub").toString,
@@ -74,7 +75,10 @@ object ThroughputBench {
     val cPre  = graft.HostCanary.sec()
     val pcPre = graft.HostCanary.parSec()
     val t0 = System.nanoTime()
-    VspacePipeline.run(spark, cfg)
+    // per-stage laps persist in the artifact (round-13 lesson: stage
+    // tables that live only in stderr/prose get lost with the window)
+    val stageSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    VspacePipeline.run(spark, cfg, onLap = (s, t) => stageSecs(s) = t)
     val secs   = (System.nanoTime() - t0) / 1e9
     val cPost  = graft.HostCanary.sec()
     val pcPost = graft.HostCanary.parSec()
@@ -87,7 +91,9 @@ object ThroughputBench {
     // (serial ~0.3 s / parallel ~0.15 s on a quiet box) — serial catches
     // whole-JVM freezes, parallel catches co-tenant capacity steal; see
     // graft.HostCanary and Bench's dual-canary protocol.
-    val summary = f"""{"metric":"throughput","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"ngrams":6,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,"ref_1gb_gb_per_hour":6.7,"ref_sustained_gb_per_hour":19.5}"""
+    val stagesJson = stageSecs
+      .map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
+    val summary = f"""{"metric":"throughput","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"ngrams":6,"hashed":${cfg.hashedStats},"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,"stage_secs":$stagesJson,"ref_1gb_gb_per_hour":6.7,"ref_sustained_gb_per_hour":19.5}"""
     println(summary)
     System.out.flush()
     graft.BenchOut.writeSummary("throughput-last", summary)

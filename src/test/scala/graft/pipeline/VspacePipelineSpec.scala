@@ -241,13 +241,16 @@ class VspacePipelineSpec extends SparkSpec {
       .csv(s"$o/stats_global").collect().map(_.toSeq).toSet
     assert(statsSet(out2) == statsSet(out))
 
-    // hashedstats = true keys the gram stream by xxhash64(gram) and joins
-    // strings back at the stats output — BOTH stats tables must equal the
-    // string path's exactly (the per-corpus certification the hashed
-    // path's collision caveat relies on)
-    val out3 = graft.SparkSpec.tempDir("vspace-out-hashed")
+    // the DEFAULT path is hashed since round 14 (gram stream keyed by
+    // xxhash64(gram), strings joined back at the stats output); the
+    // string path — the independent A/B witness — must produce BOTH
+    // stats tables exactly equal (the per-corpus certification the
+    // hashed path's collision caveat relies on)
+    assert(VspaceConfig.load(confPath).hashedStats,
+      "INI without a hashedstats key must default to the hashed path")
+    val out3 = graft.SparkSpec.tempDir("vspace-out-string")
     VspacePipeline.run(spark, VspaceConfig.load(confPath)
-      .copy(outputFolder = out3, hashedStats = true))
+      .copy(outputFolder = out3, hashedStats = false))
     assert(statsSet(out3) == statsSet(out))
     def bySourceSet(o: String) = spark.read.option("delimiter", "\t")
       .csv(s"$o/stats_by_source").withColumn(

@@ -508,11 +508,42 @@ class EventStreamsSpec extends SparkSpec {
     // double-count; a NEW batch id must still merge
     val before = asMap(tableDir)
     val replay = Seq((9L, "alpha beta alpha gamma")).toDF("doc_id", "text")
-    assert(!EventStreams.ingestPipelineBatch(replay, index, tableDir, 1L))
+    assert(!EventStreams.ingestPipelineBatch(replay, index, tableDir, 1L,
+      streamId = ckptDir))
     assert(asMap(tableDir) == before)
     // a batch id beyond anything the stream committed (the stream may have
     // run trailing empty state-cleanup batches, so "2" is not safely new)
-    assert(EventStreams.ingestPipelineBatch(replay, index, tableDir, 99L))
+    assert(EventStreams.ingestPipelineBatch(replay, index, tableDir, 99L,
+      streamId = ckptDir))
     assert(asMap(tableDir)("alpha") == ((2L, 4L, 8L)))
+
+    // a RESTART WITH A FRESH CHECKPOINT resets batch ids to 0; the marker
+    // is keyed by stream identity, so the old stream's "committed through
+    // 99" must NOT suppress the new stream's batch 0
+    val fresh = Seq((10L, "epsilon zeta epsilon")).toDF("doc_id", "text")
+    assert(EventStreams.ingestPipelineBatch(fresh, index, tableDir, 0L,
+      streamId = ckptDir + "_fresh"))
+    assert(asMap(tableDir)("epsilon") == ((1L, 2L, 3L)))
+    // ...and the marker now belongs to the new stream: its own replay of
+    // batch 0 is skipped
+    assert(!EventStreams.ingestPipelineBatch(fresh, index, tableDir, 0L,
+      streamId = ckptDir + "_fresh"))
+    assert(asMap(tableDir)("epsilon") == ((1L, 2L, 3L)))
+
+    // an unparseable marker (external corruption — the atomic tmp+rename
+    // write can't produce one) fails loudly instead of wedging or
+    // guessing; written through the Hadoop fs so its checksum sidecar
+    // stays consistent and the CORRUPT CONTENT (not a CRC mismatch) is
+    // what the guard sees
+    val mp = new org.apache.hadoop.fs.Path(tableDir + "__commit")
+    val mfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mo = mfs.create(mp, true)
+    try mo.write("not\na number".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally mo.close()
+    intercept[IllegalStateException] {
+      EventStreams.ingestPipelineBatch(fresh, index, tableDir, 1L,
+        streamId = ckptDir + "_fresh")
+    }
   }
 }
