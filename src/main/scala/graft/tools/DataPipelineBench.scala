@@ -40,7 +40,7 @@ object DataPipelineBench {
     // note): the band-key and verification shuffles carry corpus-order
     // bytes, and ~128 partitions/GB keeps a task's slice ~100 MB
     val shufflePartitions = math.max(cpus.toInt, (targetGB * 128).toInt)
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .appName("graft-data-pipeline")
@@ -49,7 +49,11 @@ object DataPipelineBench {
       .config("spark.ui.enabled", "false")
       .config("spark.network.timeout", "600s")
       .config("spark.executor.heartbeatInterval", "60s")
-      .getOrCreate()
+    // extra confs from env (Probe's convention), e.g.
+    // SPARK_GRAFT_CONF="spark.rdd.compress=true" for storage-lever A/Bs
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val tag = f"${targetGB}%.2f".replace('.', 'p')
