@@ -63,13 +63,23 @@ object Bench {
     * updates monotonically downward (min of persisted and this run's
     * end-of-run clean medians, with >= 8 clean samples required), since
     * the clean floor of a fixed workload only moves if the hardware does.
-    * Delete the file after a REAL hardware change. */
+    * Delete the file after a REAL hardware change.
+    *
+    * Dual-located (round-14 lesson): `target/` is wiped by clean/round
+    * resets — round 14 opened with the band file gone — so the band also
+    * lives at the git-tracked `bench-artifacts/canary-ref.json`; load
+    * prefers target (freshest) and falls back to the durable copy, save
+    * writes both. */
   private val CanaryRefPath = java.nio.file.Paths.get("target/canary-ref.json")
+  private val CanaryRefDurablePath =
+    java.nio.file.Paths.get("bench-artifacts/canary-ref.json")
   private def loadCanaryRef(): Option[(Double, Double)] =
     try {
-      if (!java.nio.file.Files.exists(CanaryRefPath)) None
+      val p = Seq(CanaryRefPath, CanaryRefDurablePath)
+        .find(java.nio.file.Files.exists(_))
+      if (p.isEmpty) None
       else {
-        val s = new String(java.nio.file.Files.readAllBytes(CanaryRefPath),
+        val s = new String(java.nio.file.Files.readAllBytes(p.get),
           java.nio.charset.StandardCharsets.UTF_8)
         val m = """"serial"\s*:\s*([0-9.]+).*"parallel"\s*:\s*([0-9.]+)""".r
           .findFirstMatchIn(s)
@@ -80,20 +90,23 @@ object Bench {
       System.err.println(s"[bench] canary-ref load failed (ignored): $e"); None
     }
   private def saveCanaryRef(serial: Double, parallel: Double): Unit =
-    try
-      java.nio.file.Files.write(CanaryRefPath,
-        // Locale.ROOT explicitly: the f-interpolator formats with the JVM
-        // default locale, and under a comma-decimal locale (de_DE) this
-        // file would round-trip through loadCanaryRef's [0-9.]+ regex as a
-        // silently TRUNCATED value ("0,351" → 0.0-ish band) rather than
-        // failing — corrupting the degradation gate's reference.
-        String.format(java.util.Locale.ROOT,
-          "{\"serial\":%.3f,\"parallel\":%.3f}%n",
-          Double.box(serial), Double.box(parallel))
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
-    catch { case e: Exception =>
+    try {
+      // Locale.ROOT explicitly: the f-interpolator formats with the JVM
+      // default locale, and under a comma-decimal locale (de_DE) this
+      // file would round-trip through loadCanaryRef's [0-9.]+ regex as a
+      // silently TRUNCATED value ("0,351" → 0.0-ish band) rather than
+      // failing — corrupting the degradation gate's reference.
+      val bytes = String.format(java.util.Locale.ROOT,
+        "{\"serial\":%.3f,\"parallel\":%.3f}%n",
+        Double.box(serial), Double.box(parallel))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      Seq(CanaryRefPath, CanaryRefDurablePath).foreach { p =>
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, bytes,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      }
+    } catch { case e: Exception =>
       System.err.println(s"[bench] canary-ref save failed (ignored): $e")
     }
 

@@ -19,6 +19,21 @@ object BenchOut {
     d
   }
 
+  /** Git-tracked mirror of every summary. `target/` is wiped by `sbt clean`
+    * and by round-boundary resets — round 14 opened with EVERY persisted
+    * scale artifact (the 14.4 GB pipeline headline, the 13.18 GB vspace
+    * A/B legs, the canary band) gone, surviving only as SURVEY prose: the
+    * exact loss class the file persistence exists to stop, one directory
+    * up. Summaries (small, one JSON object each) are therefore ALSO
+    * written under `bench-artifacts/`, which is committed with the round's
+    * work; the jsonl per-query streams stay target-only (bulky,
+    * reconstructible from the summary + stdout). */
+  private def durableDir = {
+    val d = Paths.get("bench-artifacts")
+    if (!Files.exists(d)) Files.createDirectories(d)
+    d
+  }
+
   /** Run-start truncation markers, so the first append of a run resets the
     * jsonl from the previous run. */
   private val started = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -54,9 +69,11 @@ object BenchOut {
   def writeSummary(rawName: String, json: String): Unit = synchronized {
     val name = tagged(rawName)
     try {
-      Files.write(dir.resolve(s"$name.json"),
-        (json + "\n").getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      val bytes = (json + "\n").getBytes(StandardCharsets.UTF_8)
+      def put(d: java.nio.file.Path, f: String): Unit =
+        Files.write(d.resolve(f), bytes,
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      put(dir, s"$name.json"); put(durableDir, s"$name.json")
       // Scale-keyed copy: `<name>.json` is "latest run" and ANY later run
       // overwrites it — which is how round 13's untagged 1.6 GB
       // certification leg clobbered the 13.18 GB headline even with the
@@ -67,9 +84,7 @@ object BenchOut {
       json match {
         case GbField(gb) =>
           val key = f"${gb.toDouble}%.1f".replace('.', 'p') + "g"
-          Files.write(dir.resolve(s"$name-$key.json"),
-            (json + "\n").getBytes(StandardCharsets.UTF_8),
-            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+          put(dir, s"$name-$key.json"); put(durableDir, s"$name-$key.json")
         case _ => ()
       }
     } catch { case e: Exception =>

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** End-to-end LLM TRAINING-DATA pipeline benchmark — the composition the
   * extension surface exists for, run as ONE job over a GB-scale corpus:
@@ -109,8 +110,18 @@ object DataPipelineBench {
     // stage table — the round's key scale evidence — lived only in SURVEY
     // prose and stdout)
     val stageSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // SPARK_GRAFT_CKPT_LEVEL (e.g. MEMORY_AND_DISK_SER): storage level for
+    // the corpus-sized stage checkpoints. The 6x lap tables showed exact
+    // dedup going disk-bound when the deserialized stage frames (2 live
+    // corpus copies while a third materializes) outgrow the block-store
+    // budget that the 3x working set fits in — serialized+compressed rows
+    // are the single-box lever for keeping the 6x set in memory, and the
+    // per-executor lever a cluster would tune the same way.
+    val ckptLevelName = sys.env.get("SPARK_GRAFT_CKPT_LEVEL")
+      .map(_.trim).filter(_.nonEmpty)
+    val ckptLevel = ckptLevelName.map(StorageLevel.fromString)
     val counts = run(spark, corpus, benchmark, outDir, Some(planted),
-      lapSink = (s, t) => stageSecs(s) = t)
+      lapSink = (s, t) => stageSecs(s) = t, ckptLevel = ckptLevel)
     val secs   = (System.nanoTime() - t0) / 1e9
     val cPost  = graft.HostCanary.sec()
     val pcPost = graft.HostCanary.parSec()
@@ -131,7 +142,8 @@ object DataPipelineBench {
     val candPerGroup = nCands.toDouble / candGroups
     val candGateMax = (3.5 + 0.6 * math.max(0.0,
       math.log(docsIn / 19.1e6) / math.log(2.0))) * 1.5
-    val summary = f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"hotkey_rows":$hotKeyRows,"planted":$nPlanted,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,"cand_per_group":$candPerGroup%.2f,"cand_gate_max":$candGateMax%.2f,"stage_secs":$stagesJson,$countsJson}"""
+    val ckptLevelStr = ckptLevelName.getOrElse("default")
+    val summary = f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"ckpt_level":"$ckptLevelStr","hotkey_rows":$hotKeyRows,"planted":$nPlanted,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,"cand_per_group":$candPerGroup%.2f,"cand_gate_max":$candGateMax%.2f,"stage_secs":$stagesJson,$countsJson}"""
     println(summary)
     System.out.flush()
     graft.BenchOut.writeSummary("pipeline-last", summary)
@@ -208,8 +220,18 @@ object DataPipelineBench {
     * small right side: wall cost is seconds against a 20-minute run. */
   def run(spark: SparkSession, corpus: DataFrame, benchmark: DataFrame,
       outDir: String, plantedIds: Option[DataFrame] = None,
-      lapSink: (String, Double) => Unit = (_, _) => ()): Seq[(String, Long)] = {
+      lapSink: (String, Double) => Unit = (_, _) => (),
+      ckptLevel: Option[StorageLevel] = None): Seq[(String, Long)] = {
     import graft.functions.{normalize_text, word_ngrams, xxhash64_seeded}
+
+    // Corpus-sized stage frames checkpoint at `ckptLevel` when given
+    // (serialized levels trade ~CPU for 2-3x smaller resident blocks —
+    // the lever for the 6x exact-dedup disk cliff); the small id/pair
+    // frames keep the deserialized default, where serialization buys
+    // nothing and costs per-round CC latency.
+    def ckptText(df: DataFrame): DataFrame =
+      ckptLevel.map(l => df.localCheckpoint(true, l))
+        .getOrElse(df.localCheckpoint())
 
     var tLast = System.nanoTime()
     def lap(stage: String): Unit = {
@@ -235,7 +257,7 @@ object DataPipelineBench {
     // --- stage 1: one scan computes everything per-doc and map-side:
     // normalized text, quality metrics, content digest. Persist the compact
     // frame — every later stage starts from it, never from raw text.
-    val scored = corpus
+    val scored = ckptText(corpus
       .select(col("doc_id"), col("source"),
         normalize_text(col("text")).as("text"))
       .select(col("doc_id"), col("source"), col("text"),
@@ -246,8 +268,7 @@ object DataPipelineBench {
         (size(array_distinct(col("toks"))).cast("double") /
           greatest(size(col("toks")), lit(1))).as("diversity"))
       .withColumn("quality",
-        least(col("wc") / 100.0, lit(1.0)) * 0.5 + col("diversity") * 0.5)
-      .localCheckpoint()
+        least(col("wc") / 100.0, lit(1.0)) * 0.5 + col("diversity") * 0.5))
     val nIn = scored.count()
     lap("scan+score")
 
@@ -266,12 +287,11 @@ object DataPipelineBench {
     // at the 14.4 GB scale point that stage went disk-bound (311 s vs
     // 56 s at 7 GB — 5.6x time at 2x data, the round-13 lap tables).
     // min_by is a DeclarativeAggregate, so partial aggregation applies.
-    val exactSurvivors = qualified
+    val exactSurvivors = ckptText(qualified
       .groupBy(col("digest"))
       .agg(min_by(struct(qualified.columns.map(col): _*),
         col("doc_id")).as("__r"))
-      .select(col("__r.*"))
-      .localCheckpoint()
+      .select(col("__r.*")))
     val nExact = exactSurvivors.count()
     // Stage-frame lifecycle: each localCheckpoint materializes a
     // corpus-sized frame, and holding every stage's copy to the end means
@@ -357,10 +377,9 @@ object DataPipelineBench {
       .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("m"))
       .select((-col("m.nid")).as("doc_id"))
     val inAnyCluster = clusters.select(col("doc_id"))
-    val nearSurvivors = exactSurvivors
+    val nearSurvivors = ckptText(exactSurvivors
       .join(inAnyCluster, Seq("doc_id"), "left_anti")
-      .unionByName(exactSurvivors.join(keepBest, Seq("doc_id"), "left_semi"))
-      .localCheckpoint()
+      .unionByName(exactSurvivors.join(keepBest, Seq("doc_id"), "left_semi")))
     val nNear = nearSurvivors.count()
     exactSurvivors.unpersist() // superseded by nearSurvivors
     lap("near_dedup")
@@ -385,9 +404,8 @@ object DataPipelineBench {
     val contaminated = docGrams
       .join(broadcast(heldoutGrams), Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
-    val clean = nearSurvivors
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+    val clean = ckptText(nearSurvivors
+      .join(contaminated, Seq("doc_id"), "left_anti"))
     val nClean = clean.count()
     // planted-contamination probes at this stage's boundaries, while the
     // nearSurvivors frame is still alive (see scaladoc)
