@@ -64,6 +64,15 @@ object DataPipelineBench {
     if (!Files.exists(in.resolve("_DONE")) ||
         !Files.exists(in.resolve("planted")))
       generate(spark, sfDir, in, targetGB, cpus.toInt)
+    // SPARK_GRAFT_DP_GENONLY=1: synthesize the corpus and exit, so the
+    // measured run starts against a SETTLED corpus in a separate JVM —
+    // generating minutes before the run leaves the corpus parquet in
+    // page-cache write-back and was measured to inflate the exact-dedup
+    // stage 315.5 vs 259.4 s at the 14.4 GB point.
+    if (sys.env.get("SPARK_GRAFT_DP_GENONLY").contains("1")) {
+      println(s"[dp] generate-only: corpus ready at $in")
+      spark.stop(); return
+    }
     val baseCorpus = spark.read.parquet(in.resolve("docs").toString)
     val benchmark = spark.read.parquet(in.resolve("bench").toString)
     val planted = spark.read.parquet(in.resolve("planted").toString)
