@@ -50,8 +50,13 @@ object DataPipelineBench {
       .config("spark.ui.enabled", "false")
       .config("spark.network.timeout", "600s")
       .config("spark.executor.heartbeatInterval", "60s")
+      // Serialized checkpoint blocks compress only when this is on (it is
+      // NOT Spark's default); it pairs with the MEMORY_AND_DISK_SER
+      // checkpoint default below. Overridable via SPARK_GRAFT_CONF (env
+      // confs apply after, last write wins).
+      .config("spark.rdd.compress", "true")
     // extra confs from env (Probe's convention), e.g.
-    // SPARK_GRAFT_CONF="spark.rdd.compress=true" for storage-lever A/Bs
+    // SPARK_GRAFT_CONF="spark.rdd.compress=false" for storage-lever A/Bs
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
     val spark = b.getOrCreate()
@@ -119,16 +124,22 @@ object DataPipelineBench {
     // stage table — the round's key scale evidence — lived only in SURVEY
     // prose and stdout)
     val stageSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
-    // SPARK_GRAFT_CKPT_LEVEL (e.g. MEMORY_AND_DISK_SER): storage level for
-    // the corpus-sized stage checkpoints. The 6x lap tables showed exact
-    // dedup going disk-bound when the deserialized stage frames (2 live
-    // corpus copies while a third materializes) outgrow the block-store
-    // budget that the 3x working set fits in — serialized+compressed rows
-    // are the single-box lever for keeping the 6x set in memory, and the
-    // per-executor lever a cluster would tune the same way.
+    // Storage level for the corpus-sized stage checkpoints.
+    // MEMORY_AND_DISK_SER (+ spark.rdd.compress above) is the DEFAULT
+    // since the round-14 paired A/B on identical corpora: serialized+
+    // compressed rows won EVERY stage measured — exact dedup 130.8 ->
+    // 42.2 s (3.1x) and +13% end-to-end at 11.32 GB — and completed the
+    // 17.35 GB point (55.85 GB/h) where the deserialized default died on
+    // ENOSPC in the verify stage twice (deserialized text frames are
+    // ~3x larger on disk, and 2 live corpus copies while a third
+    // materializes outgrow the volume). The same lever applies per
+    // executor on a cluster. SPARK_GRAFT_CKPT_LEVEL=default selects the
+    // deserialized witness leg; any other value names a StorageLevel.
     val ckptLevelName = sys.env.get("SPARK_GRAFT_CKPT_LEVEL")
-      .map(_.trim).filter(_.nonEmpty)
-    val ckptLevel = ckptLevelName.map(StorageLevel.fromString)
+      .map(_.trim).filter(_.nonEmpty).getOrElse("MEMORY_AND_DISK_SER")
+    val ckptLevel =
+      if (ckptLevelName.equalsIgnoreCase("default")) None
+      else Some(StorageLevel.fromString(ckptLevelName))
     val counts = run(spark, corpus, benchmark, outDir, Some(planted),
       lapSink = (s, t) => stageSecs(s) = t, ckptLevel = ckptLevel)
     val secs   = (System.nanoTime() - t0) / 1e9
@@ -151,7 +162,7 @@ object DataPipelineBench {
     val candPerGroup = nCands.toDouble / candGroups
     val candGateMax = (3.5 + 0.6 * math.max(0.0,
       math.log(docsIn / 19.1e6) / math.log(2.0))) * 1.5
-    val ckptLevelStr = ckptLevelName.getOrElse("default")
+    val ckptLevelStr = ckptLevelName
     val summary = f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"ckpt_level":"$ckptLevelStr","hotkey_rows":$hotKeyRows,"planted":$nPlanted,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,"cand_per_group":$candPerGroup%.2f,"cand_gate_max":$candGateMax%.2f,"stage_secs":$stagesJson,$countsJson}"""
     println(summary)
     System.out.flush()
