@@ -63,6 +63,58 @@ object TextKernels {
     if (union == 0) null else java.lang.Double.valueOf(inter.toDouble / union)
   }
 
+  /** [[setJaccard]]'s array<long> twin, for shingle sets that travel as
+    * 8-byte hashes instead of strings (the pipeline verify stage: hashed
+    * shingle arrays are ~4-5x smaller through the candidate regroup
+    * shuffle, and at the 23 GB scale point the string-array spill was the
+    * volume's ENOSPC). Same set semantics: duplicate and null elements
+    * deduplicate, both-empty returns NULL. Sort-merge instead of hash
+    * sets: two primitive sorts + one two-pointer pass, no boxing, no
+    * sentinel bookkeeping. */
+  def setJaccardLongs(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
+    var aHasNull = false
+    var bHasNull = false
+    val na = a.numElements()
+    val va = new Array[Long](na)
+    var la = 0
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i)) aHasNull = true
+      else { va(la) = a.getLong(i); la += 1 }
+      i += 1
+    }
+    val nb = b.numElements()
+    val vb = new Array[Long](nb)
+    var lb = 0
+    i = 0
+    while (i < nb) {
+      if (b.isNullAt(i)) bHasNull = true
+      else { vb(lb) = b.getLong(i); lb += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(va, 0, la)
+    java.util.Arrays.sort(vb, 0, lb)
+    var ia = 0
+    var ib = 0
+    var inter = 0
+    var aOnly = 0
+    var bOnly = 0
+    while (ia < la && ib < lb) {
+      val x = va(ia); val y = vb(ib)
+      if (x == y) { inter += 1; while (ia < la && va(ia) == x) ia += 1; while (ib < lb && vb(ib) == y) ib += 1 }
+      else if (x < y) { aOnly += 1; while (ia < la && va(ia) == x) ia += 1 }
+      else { bOnly += 1; while (ib < lb && vb(ib) == y) ib += 1 }
+    }
+    while (ia < la) { aOnly += 1; val x = va(ia); while (ia < la && va(ia) == x) ia += 1 }
+    while (ib < lb) { bOnly += 1; val y = vb(ib); while (ib < lb && vb(ib) == y) ib += 1 }
+    if (aHasNull && bHasNull) inter += 1
+    else if (aHasNull) aOnly += 1
+    else if (bHasNull) bOnly += 1
+    val union = inter + aOnly + bOnly
+    if (union == 0) null else java.lang.Double.valueOf(inter.toDouble / union)
+  }
+
   def normalize(s: String): String = {
     val nfc   = Normalizer.normalize(s, Normalizer.Form.NFC)
     val lower = nfc.toLowerCase(Locale.ROOT)

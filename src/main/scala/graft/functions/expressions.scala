@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Catalyst-native text normalizer (Unicode NFC + lowercase + `\w+` re-join).
@@ -508,6 +508,43 @@ case class SetJaccard(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SetJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[SetJaccard]] over array<long> — for shingle sets carried as 8-byte
+  * hashes (e.g. `array_distinct(word_ngram_hashes(...))`). Jaccard over
+  * hashed shingles equals Jaccard over the shingle strings except on a
+  * 64-bit collision (~n²/2⁶⁵ per pair — the same accepted class as the
+  * hashed gram stats and the q89 window keys), and the hashed arrays are
+  * ~4-5x smaller through a shuffle: the lever that removes the LAST
+  * corpus-derived strings from the data pipeline's exchanges (its verify
+  * stage regroups per-candidate shingle arrays). Same null/empty
+  * semantics as the string form. */
+case class SetJaccardHashes(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  // both-empty input yields null even when neither child is null
+  override def nullable: Boolean = true
+  override def prettyName: String = "set_jaccard_hashes"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextKernels.setJaccardLongs(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("jac")
+      s"""
+         |java.lang.Double $boxed = graft.functions.TextKernels.setJaccardLongs($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SetJaccardHashes =
     copy(left = newLeft, right = newRight)
 }
 

@@ -358,9 +358,18 @@ object DataPipelineBench {
     // single-reference verification (the lshVerifiedPairs shape): each
     // pair explodes into its two (pair, doc) rows, joins the one shingle
     // frame id-keyed, and regroups — shingles are computed once and only
-    // candidates' shingles cross the regroup shuffle
+    // candidates' shingles cross the regroup shuffle. Shingles travel as
+    // 8-byte hashes (array_distinct over the fused gram-hash kernel, the
+    // decontam/band-key staging): Jaccard over hashed shingle sets equals
+    // Jaccard over the shingle strings except on a 64-bit collision
+    // (~n²/2⁶⁵ per pair, the accepted class), and the hashed arrays are
+    // ~4-5x smaller through the two verify shuffles — this stage was the
+    // LAST corpus-derived strings crossing an exchange, and its
+    // string-array spill was the ENOSPC at the 23 GB scale point.
     val sh = docsText.select(col("doc_id"),
-      graft.operators.MinHash.shingles(col("text")).as("sh"))
+      array_distinct(graft.functions.word_ngram_hashes(
+        split(col("text"), " "), 3,
+        graft.operators.MinHash.BaseHashSeed)).as("sh"))
     val pairs = cands
       .select(col("id_a"), col("id_b"),
         explode(array(col("id_a"), col("id_b"))).as("doc_id"))
@@ -369,7 +378,7 @@ object DataPipelineBench {
       .agg(max(when(col("doc_id") === col("id_a"), col("sh"))).as("sh_a"),
         max(when(col("doc_id") === col("id_b"), col("sh"))).as("sh_b"))
       .select(col("id_a"), col("id_b"),
-        graft.functions.set_jaccard(col("sh_a"), col("sh_b")).as("jac"))
+        graft.functions.set_jaccard_hashes(col("sh_a"), col("sh_b")).as("jac"))
       .filter(col("jac") >= 0.7)
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .localCheckpoint()

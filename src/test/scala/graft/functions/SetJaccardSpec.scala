@@ -71,4 +71,74 @@ class SetJaccardSpec extends SparkSpec {
       .collect()
     assert(n.head.isNullAt(0))
   }
+
+  // ---- set_jaccard_hashes: the array<long> twin the pipeline verify
+  // stage ships through its shuffles. Contract: hashing each string with
+  // the SAME seed and taking set_jaccard_hashes equals set_jaccard on the
+  // strings (injective modulo 64-bit collisions, absent on any test
+  // corpus), and the long kernel matches the built-in formulation on raw
+  // long arrays including duplicates, nulls, and the both-empty NULL.
+
+  test("hashes twin: equals string set_jaccard through xxhash64 on generated arrays") {
+    val df = spark.range(2000).select(
+      transform(sequence(lit(0), pmod(col("id") * 7, lit(40))),
+        i => concat(lit("t"), pmod(col("id") * 13 + i * i, lit(50)))).as("a"),
+      transform(sequence(lit(0), pmod(col("id") * 11, lit(40))),
+        i => concat(lit("t"), pmod(col("id") * 17 + i * 3, lit(50)))).as("b"))
+    val diff = df.select(
+        graft.functions.set_jaccard(col("a"), col("b")).as("s"),
+        graft.functions.set_jaccard_hashes(
+          transform(col("a"), x => xxhash64(x)),
+          transform(col("b"), x => xxhash64(x))).as("h"))
+      .filter(!(col("s") === col("h")))
+    assert(diff.isEmpty)
+  }
+
+  test("hashes twin: built-in equivalence, dups, nulls, both-empty NULL") {
+    val builtinL = size(array_intersect(col("a"), col("b")))
+      .cast("double") / size(array_union(col("a"), col("b")))
+    val rows: Seq[(Seq[java.lang.Long], Seq[java.lang.Long])] = Seq(
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](2L, 3L, 4L)),
+      (Seq[java.lang.Long](0L, Long.MinValue, Long.MaxValue),
+        Seq[java.lang.Long](0L, Long.MaxValue)),     // sentinel-hostile values
+      (Seq[java.lang.Long](5L, 5L, 5L), Seq[java.lang.Long](5L)), // dups collapse
+      (Seq[java.lang.Long](1L, null, 1L), Seq[java.lang.Long](null, 9L)), // null both sides
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L)),   // null one side
+      (Seq.empty[java.lang.Long], Seq[java.lang.Long](7L)))       // one empty
+    val got = rows.toDF("a", "b").select(
+        graft.functions.set_jaccard_hashes(col("a"), col("b")).as("fused"),
+        builtinL.as("ref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"${r.getDouble(0)} != ${r.getDouble(1)}")
+    }
+    val e = Seq((Seq.empty[java.lang.Long], Seq.empty[java.lang.Long])).toDF("a", "b")
+      .select(graft.functions.set_jaccard_hashes(col("a"), col("b")).as("j"))
+      .collect()
+    assert(e.head.isNullAt(0))
+  }
+
+  test("hashes twin: pipeline shingle staging equals the string shingle path") {
+    // the exact frames DataPipelineBench.run builds on each verify side:
+    // string shingles (word_ngrams_distinct) vs
+    // array_distinct(word_ngram_hashes) with the band-key base seed
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat",
+      "completely different text with no overlap at all",
+      "the quick brown fox jumps over the lazy dog",  // exact dup
+      "short one").toDF("text")
+    val pairs = docs.crossJoin(docs.select(col("text").as("text2")))
+    val diff = pairs.select(
+        graft.functions.set_jaccard(
+          graft.operators.MinHash.shingles(col("text")),
+          graft.operators.MinHash.shingles(col("text2"))).as("s"),
+        graft.functions.set_jaccard_hashes(
+          array_distinct(graft.functions.word_ngram_hashes(
+            split(col("text"), " "), 3, graft.operators.MinHash.BaseHashSeed)),
+          array_distinct(graft.functions.word_ngram_hashes(
+            split(col("text2"), " "), 3, graft.operators.MinHash.BaseHashSeed))).as("h"))
+      .filter(!(col("s") <=> col("h")))
+    assert(diff.isEmpty)
+  }
 }
