@@ -93,6 +93,28 @@ object TextKernels {
       else { vb(lb) = b.getLong(i); lb += 1 }
       i += 1
     }
+    mergeJaccardLongs(va, la, vb, lb, aHasNull, bHasNull)
+  }
+
+  /** [[setJaccardLongs]] for arrays whose SCHEMA says containsNull=false
+    * (the [[graft.functions.SetJaccardHashes]] expression dispatches here
+    * at bind time): skips the per-element null branch and bulk-copies via
+    * `ArrayData.toLongArray` (a single `Platform.copyMemory` for
+    * UnsafeArrayData, which is what shuffled rows arrive as). Same result
+    * as the general form on null-free input — duplicate elements still
+    * deduplicate in the merge. */
+  def setJaccardLongsNoNulls(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
+    val va = a.toLongArray()
+    val vb = b.toLongArray()
+    mergeJaccardLongs(va, va.length, vb, vb.length, aHasNull = false,
+      bHasNull = false)
+  }
+
+  /** Shared tail of the long-set Jaccard kernels: sort both prefixes in
+    * place, two-pointer merge with duplicate skip, null-sentinel fold. */
+  private def mergeJaccardLongs(va: Array[Long], la: Int, vb: Array[Long],
+      lb: Int, aHasNull: Boolean, bHasNull: Boolean): java.lang.Double = {
     java.util.Arrays.sort(va, 0, la)
     java.util.Arrays.sort(vb, 0, lb)
     var ia = 0

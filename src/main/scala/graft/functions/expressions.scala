@@ -530,14 +530,33 @@ case class SetJaccardHashes(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "set_jaccard_hashes"
 
+  /** Both children's ELEMENT schemas null-free (the common shape:
+    * `word_ngram_hashes` output, with or without array_distinct) → the
+    * bulk-copy kernel; any nullable element side → the per-element general
+    * kernel. Same value either way (SetJaccardSpec pins both paths). */
+  private def noNullElements: Boolean = Seq(left, right).forall {
+    _.dataType match {
+      case ArrayType(_, containsNull) => !containsNull
+      case _ => false
+    }
+  }
+
+  private def kernelName: String =
+    if (noNullElements) "setJaccardLongsNoNulls" else "setJaccardLongs"
+
   override def nullSafeEval(l: Any, r: Any): Any =
-    TextKernels.setJaccardLongs(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (noNullElements)
+      TextKernels.setJaccardLongsNoNulls(
+        l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    else
+      TextKernels.setJaccardLongs(
+        l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val boxed = ctx.freshName("jac")
       s"""
-         |java.lang.Double $boxed = graft.functions.TextKernels.setJaccardLongs($a, $b);
+         |java.lang.Double $boxed = graft.functions.TextKernels.$kernelName($a, $b);
          |if ($boxed == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = $boxed.doubleValue(); }
        """.stripMargin

@@ -61,7 +61,15 @@ object Dedup {
     * O(diameter). Off by default: near-dup cluster graphs are dense and
     * low-diameter, so the extra node-sized join per round costs more than
     * the rounds it saves; turn it on for chain-like graphs (e.g. edges
-    * from sliding-window or as-of relations) where diameter is unbounded. */
+    * from sliding-window or as-of relations) where diameter is unbounded.
+    *
+    * CONCURRENCY: when `numPartitions` is set, this method temporarily
+    * overrides the SESSION's `spark.sql.shuffle.partitions` for the
+    * duration of the iteration (restored in `finally`; rationale in the
+    * body — cached-plan exchanges ignore a per-plan repartition). Do NOT
+    * run other actions on the same SparkSession concurrently with such a
+    * call: they would plan their shuffles at the edge-sized count. All of
+    * this library's own callers run it synchronously. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
       pathDoubling: Boolean = false, numPartitions: Option[Int] = None): DataFrame = {
     // Pre-partition the symmetric edge set on the join key BEFORE caching:

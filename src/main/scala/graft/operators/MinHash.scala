@@ -34,6 +34,15 @@ object MinHash {
     * 1000+). */
   val BaseHashSeed = -9L
 
+  /** Seed for VERIFICATION-stage shingle hashes (exact hashed-set Jaccard
+    * over candidate pairs), deliberately DISTINCT from [[BaseHashSeed]]:
+    * with a shared seed, a 64-bit collision that helped create a spurious
+    * candidate would be the identical collision at verify time, making the
+    * two stages' (already negligible) collision errors correlated instead
+    * of independent. A distinct seed keeps exact verification an
+    * independent check of candidate generation. */
+  val VerifyHashSeed = -77L
+
   /** The 64 MinHash signature values of a shingle-array column: for hash
     * family i (seeded xxhash64), the min over the document's shingles.
     *
@@ -196,8 +205,17 @@ object MinHash {
     * two-reference materialization cached 7.5 GB for nothing.
     */
   def bucketPairs(buckets: DataFrame, keyCols: Seq[String], idCol: String,
+      cap: Int = MaxBucketSize): DataFrame =
+    pairsFromGroups(bucketGroups(buckets, keyCols, idCol, cap))
+
+  /** The aggregation half of [[bucketPairs]]: group `buckets` by `keyCols`,
+    * collect each bucket's ids (bounded at cap+1 elements of state), drop
+    * oversized buckets, return `keyCols ++ (__ids, __n)`. Split out so the
+    * pipeline's lap mode can materialize/time the grouped frame separately
+    * from the in-row pair expansion ([[pairsFromGroups]]); `bucketPairs`
+    * composes the two unchanged. */
+  def bucketGroups(buckets: DataFrame, keyCols: Seq[String], idCol: String,
       cap: Int = MaxBucketSize): DataFrame = {
-    val ids = col("__ids")
     // The id collector must hold at most cap+1 elements of aggregation
     // state per group: a plain collect_list materializes a hot bucket's
     // ENTIRE id array before the size filter can drop it, which on the
@@ -242,6 +260,13 @@ object MinHash {
           .as("cap_site"))
     registerCapLogger(buckets.sparkSession)
     agged.filter(col("__n") <= cap)
+  }
+
+  /** The expansion half of [[bucketPairs]]: emit each surviving bucket's
+    * unordered id pairs in-row from a [[bucketGroups]] frame. */
+  def pairsFromGroups(groups: DataFrame): DataFrame = {
+    val ids = col("__ids")
+    groups
       // all unordered pairs of the bucket: for element i, pair it with
       // every LATER element (slice is 1-based; transform's index 0-based;
       // slice length size(ids) rather than `cap` — start+cap can overflow

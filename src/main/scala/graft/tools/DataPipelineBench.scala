@@ -133,12 +133,20 @@ object DataPipelineBench {
     // ENOSPC in the verify stage twice (deserialized text frames are
     // ~3x larger on disk, and 2 live corpus copies while a third
     // materializes outgrow the volume). The same lever applies per
-    // executor on a cluster. SPARK_GRAFT_CKPT_LEVEL=default selects the
-    // deserialized witness leg; any other value names a StorageLevel.
-    val ckptLevelName = sys.env.get("SPARK_GRAFT_CKPT_LEVEL")
+    // executor on a cluster. SPARK_GRAFT_CKPT_LEVEL=deserialized selects
+    // the deserialized witness leg (Spark's own localCheckpoint default;
+    // the historical alias `default` — the selector name through round 14,
+    // where artifacts' ckpt_level:"default" MEANS deserialized — is still
+    // accepted but re-reported as "deserialized" so cross-round artifact
+    // comparison has one name per level from here on). Any other value
+    // names a StorageLevel.
+    val ckptLevelName0 = sys.env.get("SPARK_GRAFT_CKPT_LEVEL")
       .map(_.trim).filter(_.nonEmpty).getOrElse("MEMORY_AND_DISK_SER")
+    val ckptLevelName =
+      if (ckptLevelName0.equalsIgnoreCase("default")) "deserialized"
+      else ckptLevelName0
     val ckptLevel =
-      if (ckptLevelName.equalsIgnoreCase("default")) None
+      if (ckptLevelName.equalsIgnoreCase("deserialized")) None
       else Some(StorageLevel.fromString(ckptLevelName))
     val counts = run(spark, corpus, benchmark, outDir, Some(planted),
       lapSink = (s, t) => stageSecs(s) = t, ckptLevel = ckptLevel)
@@ -163,7 +171,8 @@ object DataPipelineBench {
     val candGateMax = (3.5 + 0.6 * math.max(0.0,
       math.log(docsIn / 19.1e6) / math.log(2.0))) * 1.5
     val ckptLevelStr = ckptLevelName
-    val summary = f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"ckpt_level":"$ckptLevelStr","hotkey_rows":$hotKeyRows,"planted":$nPlanted,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,"cand_per_group":$candPerGroup%.2f,"cand_gate_max":$candGateMax%.2f,"stage_secs":$stagesJson,$countsJson}"""
+    val verifyModeStr = sys.env.getOrElse("SPARK_GRAFT_DP_VERIFY", "hashed")
+    val summary = f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"ckpt_level":"$ckptLevelStr","verify":"$verifyModeStr","hotkey_rows":$hotKeyRows,"planted":$nPlanted,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,"cand_per_group":$candPerGroup%.2f,"cand_gate_max":$candGateMax%.2f,"stage_secs":$stagesJson,$countsJson}"""
     println(summary)
     System.out.flush()
     graft.BenchOut.writeSummary("pipeline-last", summary)
@@ -339,20 +348,62 @@ object DataPipelineBench {
     // explicit keyCols repartition per bucketPairs' sizing contract: user
     // repartitions are exempt from AQE coalescing, which would size the
     // aggregation exchange by its compact 8-byte-id bytes — blind to the
-    // up-to-cap/2x row inflation of the downstream in-row expansion
+    // up-to-cap/2x row inflation of the downstream in-row expansion.
+    //
+    // SIZED BY THE BAND-KEY FRAME, not the session conf (the Dedup/CC
+    // lesson applied to the pipeline's dominant stage): the session runs
+    // ~128 shuffle partitions per corpus GB for the TEXT shuffles, but a
+    // band-key row is a fixed (doc_id, band, bh) ~32-byte UnsafeRow —
+    // nExact x 32 bands of them — so inheriting the session count sizes
+    // this exchange for a frame ~8x larger than it is, and because BOTH
+    // sides of the exchange track the corpus (M map tasks x R reduce
+    // partitions), the shuffle's block count grew QUADRATICALLY with scale
+    // (875k blocks of ~35 KB at 23 GB) — measured as the stage's 2.3x time
+    // at 2x data. ~128 MB of band keys per task keeps the collect_capped
+    // aggregation state comfortably in memory AND block counts linear.
+    // SPARK_GRAFT_DP_BAND_PARTS: integer pins it; `conf` selects the
+    // legacy session-conf sizing (the paired-A/B witness leg).
+    val nBandRows = nExact * graft.operators.MinHash.NumBands
+    val bandParts = sys.env.get("SPARK_GRAFT_DP_BAND_PARTS") match {
+      case Some("conf") => spark.sessionState.conf.numShufflePartitions
+      case Some(n)      => n.toInt
+      case None => math.max(spark.sparkContext.defaultParallelism,
+        (nBandRows * 32L / (128L << 20)).toInt + 1)
+    }
+    println(s"[dp]   near: band_parts=$bandParts (rows=$nBandRows)")
     val buckets = graft.operators.MinHash.bandKeys(docsText, "text", Seq("doc_id"))
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("band"), col("bh"))
+      .repartition(bandParts, col("band"), col("bh"))
     lap("  near:bands")
     // grouped candidate generation (MinHash.bucketPairs, the q32 shape):
     // one bucket-keyed shuffle, in-row pair expansion bounded by the
     // default cap — the same path the gated queries run, exercised here
-    // at the 6.4M-doc pipeline scale
+    // at the 6.4M-doc pipeline scale.
+    // SPARK_GRAFT_DP_NEARLAP=1: diagnostic lap mode — materialize the
+    // repartitioned band keys (eager serialized checkpoint) so the stage
+    // splits into `bands_mat` (signature build CPU + the band-key shuffle)
+    // and `group_emit` (collect_capped aggregation + in-row expansion +
+    // distinct). The checkpoint boundary preserves the (band, bh)
+    // partitioning (LogicalRDD keeps outputPartitioning), so the groupBy
+    // stays exchange-free and the two sub-stages sum to the fused stage's
+    // work plus one extra cache write/read — a diagnostic, not the
+    // production plan.
+    val nearLap = sys.env.get("SPARK_GRAFT_DP_NEARLAP").contains("1")
+    val bucketsMeasured =
+      if (!nearLap) buckets
+      else {
+        val bmat = buckets.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        lap("  near:cands:bands_mat")
+        bmat
+      }
     val cands = graft.operators.MinHash
-      .bucketPairs(buckets, Seq("band", "bh"), "doc_id")
+      .bucketPairs(bucketsMeasured, Seq("band", "bh"), "doc_id")
       .distinct()
       .localCheckpoint()
     val nCands = cands.count()
+    if (nearLap) {
+      lap("  near:cands:group_emit")
+      bucketsMeasured.unpersist()
+    }
     println(s"[dp]   near: candidates=$nCands")
     lap("  near:cands")
     // single-reference verification (the lshVerifiedPairs shape): each
@@ -366,10 +417,26 @@ object DataPipelineBench {
     // ~4-5x smaller through the two verify shuffles — this stage was the
     // LAST corpus-derived strings crossing an exchange, and its
     // string-array spill was the ENOSPC at the 23 GB scale point.
-    val sh = docsText.select(col("doc_id"),
-      array_distinct(graft.functions.word_ngram_hashes(
-        split(col("text"), " "), 3,
-        graft.operators.MinHash.BaseHashSeed)).as("sh"))
+    // Hashed with VerifyHashSeed, NOT the band keys' BaseHashSeed, so the
+    // exact check's collision class is independent of candidate
+    // generation's (a shared seed replays the same collision both times).
+    // SPARK_GRAFT_DP_VERIFY=string selects the reference-faithful
+    // string-shingle witness leg (the r14 `half` shape) for paired A/Bs;
+    // pair sets are bit-identical across the two legs (proven at 11.32 GB,
+    // 6,061,337 pairs) — only the shuffle bytes differ.
+    val verifyMode = sys.env.getOrElse("SPARK_GRAFT_DP_VERIFY", "hashed")
+    val sh =
+      if (verifyMode == "string")
+        docsText.select(col("doc_id"),
+          graft.operators.MinHash.shingles(col("text")).as("sh"))
+      else
+        docsText.select(col("doc_id"),
+          array_distinct(graft.functions.word_ngram_hashes(
+            split(col("text"), " "), 3,
+            graft.operators.MinHash.VerifyHashSeed)).as("sh"))
+    val jacOf: (Column, Column) => Column =
+      if (verifyMode == "string") graft.functions.set_jaccard
+      else graft.functions.set_jaccard_hashes
     val pairs = cands
       .select(col("id_a"), col("id_b"),
         explode(array(col("id_a"), col("id_b"))).as("doc_id"))
@@ -378,7 +445,7 @@ object DataPipelineBench {
       .agg(max(when(col("doc_id") === col("id_a"), col("sh"))).as("sh_a"),
         max(when(col("doc_id") === col("id_b"), col("sh"))).as("sh_b"))
       .select(col("id_a"), col("id_b"),
-        graft.functions.set_jaccard_hashes(col("sh_a"), col("sh_b")).as("jac"))
+        jacOf(col("sh_a"), col("sh_b")).as("jac"))
       .filter(col("jac") >= 0.7)
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .localCheckpoint()
@@ -406,9 +473,24 @@ object DataPipelineBench {
       .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("m"))
       .select((-col("m.nid")).as("doc_id"))
     val inAnyCluster = clusters.select(col("doc_id"))
-    val nearSurvivors = ckptText(exactSurvivors
-      .join(inAnyCluster, Seq("doc_id"), "left_anti")
-      .unionByName(exactSurvivors.join(keepBest, Seq("doc_id"), "left_semi")))
+    // Survivors = everything minus the cluster LOSERS (members not chosen
+    // by keep-best) — ONE id-frame anti-join against the text frame. The
+    // r14 shape expressed the same set as (non-members) UNION (semi-join
+    // winners), which shuffled the FULL corpus text TWICE (once per join)
+    // plus a union; the losers set is computed entirely on id-sized frames
+    // first, so exactly one corpus-text exchange remains. Set-identical:
+    // keepBest ⊆ inAnyCluster, so all − (inAnyCluster − keepBest) =
+    // non-members ∪ winners. SPARK_GRAFT_DP_KEEPBEST=union selects the r14
+    // witness leg for paired A/Bs (counts must match bit-for-bit).
+    val nearSurvivors = ckptText(
+      if (sys.env.get("SPARK_GRAFT_DP_KEEPBEST").contains("union"))
+        exactSurvivors
+          .join(inAnyCluster, Seq("doc_id"), "left_anti")
+          .unionByName(exactSurvivors.join(keepBest, Seq("doc_id"), "left_semi"))
+      else {
+        val losers = inAnyCluster.join(keepBest, Seq("doc_id"), "left_anti")
+        exactSurvivors.join(losers, Seq("doc_id"), "left_anti")
+      })
     val nNear = nearSurvivors.count()
     exactSurvivors.unpersist() // superseded by nearSurvivors
     lap("near_dedup")
@@ -459,16 +541,21 @@ object DataPipelineBench {
         col("quality"), col("text"))
     outFrame.write.mode(SaveMode.Overwrite)
       .partitionBy("split").parquet(outDir)
+    lap("split_write")
+    // read-back counts lapped separately from the write (the write is the
+    // pipeline's deliverable; the counts are self-validation overhead —
+    // partition-pruned parquet count scans, metadata-cheap)
     val written = spark.read.parquet(outDir)
     val nTrain = written.filter(col("split") === "train").count()
     val nVal = written.filter(col("split") === "val").count()
-    lap("split_write")
+    lap("out_count")
 
     Seq("docs_in" -> nIn, "after_quality" -> nQualified,
       "after_exact_dedup" -> nExact,
       "near_candidates" -> nCands, "near_verified_pairs" -> nPairs,
       "after_near_dedup" -> nNear,
-      "after_decontam" -> nClean, "train" -> nTrain, "val" -> nVal) ++
+      "after_decontam" -> nClean, "train" -> nTrain, "val" -> nVal,
+      "band_parts" -> bandParts.toLong) ++
       plantedCounts
   }
 

@@ -121,7 +121,11 @@ class SetJaccardSpec extends SparkSpec {
   test("hashes twin: pipeline shingle staging equals the string shingle path") {
     // the exact frames DataPipelineBench.run builds on each verify side:
     // string shingles (word_ngrams_distinct) vs
-    // array_distinct(word_ngram_hashes) with the band-key base seed
+    // array_distinct(word_ngram_hashes) with the VERIFY seed (distinct
+    // from the band keys' BaseHashSeed since r15, so the exact check's
+    // collision class is independent of candidate generation's — any seed
+    // yields the same Jaccard modulo 64-bit collisions; pin the one the
+    // pipeline ships)
     val docs = Seq(
       "the quick brown fox jumps over the lazy dog",
       "the quick brown fox jumps over the lazy cat",
@@ -135,10 +139,40 @@ class SetJaccardSpec extends SparkSpec {
           graft.operators.MinHash.shingles(col("text2"))).as("s"),
         graft.functions.set_jaccard_hashes(
           array_distinct(graft.functions.word_ngram_hashes(
-            split(col("text"), " "), 3, graft.operators.MinHash.BaseHashSeed)),
+            split(col("text"), " "), 3, graft.operators.MinHash.VerifyHashSeed)),
           array_distinct(graft.functions.word_ngram_hashes(
-            split(col("text2"), " "), 3, graft.operators.MinHash.BaseHashSeed))).as("h"))
+            split(col("text2"), " "), 3, graft.operators.MinHash.VerifyHashSeed))).as("h"))
       .filter(!(col("s") <=> col("h")))
     assert(diff.isEmpty)
+  }
+
+  test("hashes twin: no-null fast path (containsNull=false schema) equals the general kernel") {
+    // containsNull=false elements (sequence of a non-nullable lambda) route
+    // SetJaccardHashes through setJaccardLongsNoNulls (bulk toLongArray
+    // copy); re-typing the SAME arrays as nullable-element routes through
+    // the general kernel. Values must be identical, duplicates included
+    // (the fast path skips null checks, NOT the duplicate merge).
+    // lambda bodies stay statically non-nullable (bitwiseAND/*/+ — pmod is
+    // nullable in Catalyst, which would flip the arrays to containsNull=true
+    // and dodge the fast path); `& 15` folds values into a small range so
+    // duplicates and overlap both occur
+    val df = spark.range(500).select(
+      transform(sequence(lit(0), col("id").bitwiseAND(lit(31L))),
+        i => (col("id") * 13 + i * i).bitwiseAND(lit(15L))).as("a"),
+      transform(sequence(lit(0), (col("id") * 3).bitwiseAND(lit(31L))),
+        i => (col("id") * 17 + i * 3).bitwiseAND(lit(15L))).as("b"))
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    assert(!df.schema("a").dataType.asInstanceOf[ArrayType].containsNull,
+      "precondition: test frame must carry containsNull=false elements")
+    val nullable = df.select(
+      col("a").cast(ArrayType(LongType, containsNull = true)).as("a"),
+      col("b").cast(ArrayType(LongType, containsNull = true)).as("b"))
+    val fast = df.select(
+      graft.functions.set_jaccard_hashes(col("a"), col("b")).as("j")).collect()
+    val general = nullable.select(
+      graft.functions.set_jaccard_hashes(col("a"), col("b")).as("j")).collect()
+    fast.zip(general).foreach { case (f, g) =>
+      assert(f.getDouble(0) == g.getDouble(0), s"${f.getDouble(0)} != ${g.getDouble(0)}")
+    }
   }
 }
