@@ -475,14 +475,7 @@ object EventStreams {
     * and the tmp-swap disappears. */
   def termStatsUpsertBatch(batchDocs: DataFrame, tableDir: String): Unit = {
     val spark = batchDocs.sparkSession
-    val inc = batchDocs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("wc"),
-        explode(graft.functions.ngram_counts(col("toks"), 1)).as("e"))
-      .select(col("wc"), col("e.token").as("token"), col("e.tf").as("tf"))
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("document_frequency"),
-        sum(col("tf")).as("term_frequency"), sum(col("wc")).as("tdsum"))
+    val inc = termStatsOf(batchDocs)
     val path = new org.apache.hadoop.fs.Path(tableDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val current =
@@ -496,6 +489,80 @@ object EventStreams {
     merged.write.mode("overwrite").parquet(tmp.toString)
     fs.delete(path, true)
     fs.rename(tmp, path)
+  }
+
+  /** The term-stats aggregation itself (A2's DF/TF/tdsum over (doc_id,
+    * text) docs) — factored out of [[termStatsUpsertBatch]] so the
+    * reconciliation helpers recompute with DEFINITIONALLY the same
+    * aggregation the incremental merge applies. */
+  def termStatsOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    .select(col("doc_id"), size(col("toks")).as("wc"),
+      explode(graft.functions.ngram_counts(col("toks"), 1)).as("e"))
+    .select(col("wc"), col("e.token").as("token"), col("e.tf").as("tf"))
+    .groupBy(col("token"))
+    .agg(count(lit(1)).as("document_frequency"),
+      sum(col("tf")).as("term_frequency"), sum(col("wc")).as("tdsum"))
+
+  /** Reconciliation DIFF for the additive term-stats table — the
+    * actionable half of [[ingestPipelineBatch]]'s warnings: both the
+    * cross-stream marker case ("the additive table may already hold rows
+    * a fresh stream will re-offer") and the corrupt-marker failure
+    * ("reconcile the stats table, then delete the marker") need the
+    * operator to compare the table against a ground-truth recompute.
+    *
+    * `docs` is the authoritative ingested-document set (whatever the
+    * stream actually committed — e.g. the deduped corpus table the same
+    * pipeline maintains); the expected stats are [[termStatsOf]] over it,
+    * definitionally the aggregation the incremental merge sums. Returns
+    * one row per DIVERGENT token: (token, expected_df/tf/tdsum,
+    * actual_df/tf/tdsum), where a token missing from the table carries
+    * NULL actuals and a token wrongly present carries NULL expecteds.
+    * Empty result = table is exactly the recompute. */
+  def reconcileTermStats(docs: DataFrame, tableDir: String): DataFrame = {
+    val spark = docs.sparkSession
+    val expected = termStatsOf(docs)
+      .select(col("token"), col("document_frequency").as("expected_df"),
+        col("term_frequency").as("expected_tf"), col("tdsum").as("expected_tdsum"))
+    val path = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val actual =
+      (if (fs.exists(path)) spark.read.parquet(tableDir)
+       else termStatsOf(docs).limit(0))
+        .select(col("token"), col("document_frequency").as("actual_df"),
+          col("term_frequency").as("actual_tf"), col("tdsum").as("actual_tdsum"))
+    expected.join(actual, Seq("token"), "full_outer")
+      .filter(!(col("expected_df") <=> col("actual_df")) ||
+        !(col("expected_tf") <=> col("actual_tf")) ||
+        !(col("expected_tdsum") <=> col("actual_tdsum")))
+  }
+
+  /** Reconciliation REPAIR: overwrite the term-stats table with the
+    * [[termStatsOf]] recompute over `docs` (same atomic tmp-swap as the
+    * merge) and, by default, delete the commit marker — after a repair
+    * the table reflects exactly `docs`, so any old marker (another
+    * stream's, or the corrupt one being recovered from) is stale; the
+    * next stream run starts from batch 0 against a correct table.
+    * Returns the number of divergent tokens that were corrected (0 = the
+    * table was already exact; the swap still runs, making repair
+    * idempotent). Logs the correction count. */
+  def repairTermStats(docs: DataFrame, tableDir: String,
+      dropCommitMarker: Boolean = true): Long = {
+    val spark = docs.sparkSession
+    val divergent = reconcileTermStats(docs, tableDir).count()
+    val path = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(tableDir + "__tmp")
+    termStatsOf(docs).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    fs.rename(tmp, path)
+    if (dropCommitMarker)
+      fs.delete(new org.apache.hadoop.fs.Path(tableDir + "__commit"), false): Unit
+    System.err.println(
+      s"[graft] repairTermStats: rewrote $tableDir from the document set " +
+      s"($divergent divergent token(s) corrected" +
+      (if (dropCommitMarker) "; commit marker dropped)" else ")"))
+    divergent
   }
 
   /** Streaming vocabulary-statistics maintenance: docs stream in, the

@@ -546,4 +546,50 @@ class EventStreamsSpec extends SparkSpec {
         streamId = ckptDir + "_fresh")
     }
   }
+
+  test("term-stats reconciliation: diff names divergent tokens, repair restores the recompute") {
+    import spark.implicits._
+    val tableDir = graft.SparkSpec.tempDir("reconcile") + "/table"
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "beta delta"),
+      (3L, "epsilon")).toDF("doc_id", "text")
+    // healthy table: one merge of the full doc set -> diff is EMPTY
+    EventStreams.termStatsUpsertBatch(docs, tableDir)
+    assert(EventStreams.reconcileTermStats(docs, tableDir).isEmpty)
+    // damage it the way the warned-about scenarios do (a batch re-offered
+    // into the additive merge after a cross-stream marker reset =
+    // double-counted sums), plus a marker to prove repair drops it
+    EventStreams.termStatsUpsertBatch(
+      Seq((2L, "beta delta")).toDF("doc_id", "text"), tableDir)
+    val mp = new org.apache.hadoop.fs.Path(tableDir + "__commit")
+    val mfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mo = mfs.create(mp, true)
+    try mo.write("somestream\n7".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally mo.close()
+    // the diff names EXACTLY the double-counted tokens, with the expected
+    // (recompute) and actual (damaged) sides both visible
+    val diff = EventStreams.reconcileTermStats(docs, tableDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)),
+         (r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(diff.keySet == Set("beta", "delta"))
+    assert(diff("beta") == (((2L, 2L, 6L), (3L, 3L, 8L))))
+    assert(diff("delta") == (((1L, 1L, 2L), (2L, 2L, 4L))))
+    // a token the table is MISSING shows NULL actuals (full-outer shape)
+    val wider = docs.unionByName(Seq((4L, "zeta")).toDF("doc_id", "text"))
+    val missing = EventStreams.reconcileTermStats(wider, tableDir)
+      .filter(col("token") === "zeta").collect()
+    assert(missing.length == 1 && missing.head.isNullAt(4))
+    // repair: table becomes the recompute, marker is gone, diff is empty,
+    // and a second repair is an idempotent 0-correction pass
+    assert(EventStreams.repairTermStats(docs, tableDir) == 2L)
+    assert(!mfs.exists(mp))
+    assert(EventStreams.reconcileTermStats(docs, tableDir).isEmpty)
+    assert(EventStreams.repairTermStats(docs, tableDir) == 0L)
+    val beta = spark.read.parquet(tableDir).filter(col("token") === "beta")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(beta.toSeq == Seq((2L, 2L, 6L)))
+  }
 }
