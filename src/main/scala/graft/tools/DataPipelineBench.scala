@@ -250,7 +250,11 @@ object DataPipelineBench {
   def run(spark: SparkSession, corpus: DataFrame, benchmark: DataFrame,
       outDir: String, plantedIds: Option[DataFrame] = None,
       lapSink: (String, Double) => Unit = (_, _) => (),
-      ckptLevel: Option[StorageLevel] = None): Seq[(String, Long)] = {
+      ckptLevel: Option[StorageLevel] = None,
+      verifyMode: String = sys.env.getOrElse("SPARK_GRAFT_DP_VERIFY", "hashed"),
+      keepBestUnion: Boolean =
+        sys.env.get("SPARK_GRAFT_DP_KEEPBEST").contains("union"))
+      : Seq[(String, Long)] = {
     import graft.functions.{normalize_text, word_ngrams, xxhash64_seeded}
 
     // Corpus-sized stage frames checkpoint at `ckptLevel` when given
@@ -424,7 +428,6 @@ object DataPipelineBench {
     // string-shingle witness leg (the r14 `half` shape) for paired A/Bs;
     // pair sets are bit-identical across the two legs (proven at 11.32 GB,
     // 6,061,337 pairs) — only the shuffle bytes differ.
-    val verifyMode = sys.env.getOrElse("SPARK_GRAFT_DP_VERIFY", "hashed")
     val sh =
       if (verifyMode == "string")
         docsText.select(col("doc_id"),
@@ -483,7 +486,7 @@ object DataPipelineBench {
     // non-members ∪ winners. SPARK_GRAFT_DP_KEEPBEST=union selects the r14
     // witness leg for paired A/Bs (counts must match bit-for-bit).
     val nearSurvivors = ckptText(
-      if (sys.env.get("SPARK_GRAFT_DP_KEEPBEST").contains("union"))
+      if (keepBestUnion)
         exactSurvivors
           .join(inAnyCluster, Seq("doc_id"), "left_anti")
           .unionByName(exactSurvivors.join(keepBest, Seq("doc_id"), "left_semi"))

@@ -48,4 +48,34 @@ class DataPipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(0L, 3L, 4L, 5L))
   }
+
+  test("A/B witness legs are result-identical: keep-best union shape, string verify") {
+    import spark.implicits._
+    def doc(p: String): String = (0 until 40).map(i => s"$p$i").mkString(" ")
+    val corpus = Seq(
+      (0L, "s0", doc("a")), (1L, "s0", doc("a")),
+      (2L, "s0", doc("b")), (3L, "s0", doc("b") + " extra"),
+      (4L, "s1", doc("c")), (5L, "s1", doc("d")),
+      (6L, "s1", doc("e") + " " + doc("q").split(" ").take(12).mkString(" ")),
+      (7L, "s1", "a b c")).toDF("doc_id", "source", "text")
+    val benchmark = Seq((100L, doc("q"))).toDF("bench_id", "text")
+    def leg(name: String, union: Boolean, verify: String) = {
+      val out = graft.SparkSpec.tempDir(s"graft-dp-ab-$name")
+      val counts = DataPipelineBench.run(spark, corpus, benchmark, out,
+        verifyMode = verify, keepBestUnion = union).toMap
+      val kept = spark.read.parquet(out).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      (counts, kept)
+    }
+    // the default path vs the two witness legs the big-scale paired A/Bs
+    // run (SPARK_GRAFT_DP_KEEPBEST=union / SPARK_GRAFT_DP_VERIFY=string):
+    // every stage count and the survivor SET must be bit-identical — the
+    // legs differ only in how many bytes cross which exchange
+    val (cBase, kBase) = leg("base", union = false, verify = "hashed")
+    val (cUnion, kUnion) = leg("union", union = true, verify = "hashed")
+    val (cStr, kStr) = leg("strv", union = false, verify = "string")
+    assert(cUnion == cBase && kUnion == kBase)
+    assert(cStr == cBase && kStr == kBase)
+    assert(kBase == Set(0L, 3L, 4L, 5L))
+  }
 }
