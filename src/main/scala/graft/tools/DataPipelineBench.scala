@@ -172,7 +172,12 @@ object DataPipelineBench {
       math.log(docsIn / 19.1e6) / math.log(2.0))) * 1.5
     val ckptLevelStr = ckptLevelName
     val verifyModeStr = sys.env.getOrElse("SPARK_GRAFT_DP_VERIFY", "hashed")
-    val summary = f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"ckpt_level":"$ckptLevelStr","verify":"$verifyModeStr","hotkey_rows":$hotKeyRows,"planted":$nPlanted,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,"cand_per_group":$candPerGroup%.2f,"cand_gate_max":$candGateMax%.2f,"stage_secs":$stagesJson,$countsJson}"""
+    // heap provenance: the single-JVM local-mode heap (build.sbt -Xmx via
+    // SPARK_DRIVER_MEM) bounds concurrent block materialization — at 32
+    // threads x few-hundred-MB SER checkpoint blocks the default 8g OOMs
+    // at GB scale, so scale runs set it explicitly; record what this run had
+    val heapGb = Runtime.getRuntime.maxMemory() / 1e9
+    val summary = f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"heap_gb":$heapGb%.1f,"ckpt_level":"$ckptLevelStr","verify":"$verifyModeStr","hotkey_rows":$hotKeyRows,"planted":$nPlanted,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,"cand_per_group":$candPerGroup%.2f,"cand_gate_max":$candGateMax%.2f,"stage_secs":$stagesJson,$countsJson}"""
     println(summary)
     System.out.flush()
     graft.BenchOut.writeSummary("pipeline-last", summary)

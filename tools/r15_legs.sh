@@ -21,7 +21,7 @@ run_leg() {
   local tgt="$1"; shift
   log "leg $name target=$tgt env: $*"
   sync; sleep 20
-  env "$@" SPARK_GRAFT_BENCH_TAG="$name" \
+  env "$@" SPARK_GRAFT_BENCH_TAG="$name" SPARK_DRIVER_MEM=64g \
     timeout 3600 sbt -batch "runMain graft.tools.DataPipelineBench $tgt" \
     > "/tmp/dp_${name}_${tgt}.log" 2>&1
   local rc=$?
