@@ -887,3 +887,42 @@ case class WordNgramsDistinct(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): WordNgramsDistinct =
     copy(child = newChild)
 }
+
+/** Membership probe of a broadcast long-key Bloom filter — the map-side
+  * prefilter for two-pass LSH candidate generation: pass 1 finds band-key
+  * values held by >= 2 documents (the only keys that can emit a candidate
+  * pair) and folds them into a Bloom filter; pass 2 recomputes the band
+  * keys map-side and shuffles ONLY rows whose key might be hot. False
+  * positives are BENIGN by construction (a singleton key that leaks
+  * through groups into a 1-element bucket and emits no pairs); false
+  * negatives are impossible in a Bloom filter, so the candidate-pair set
+  * is IDENTICAL to the single-pass form while the dominant shuffle drops
+  * to the hot fraction. Codegen'd; the filter rides the closure as a
+  * Spark broadcast (one copy per executor, not per task).
+  */
+case class BloomMightContainLong(child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_might_contain_long"
+
+  override def nullSafeEval(input: Any): Any =
+    bloom.value.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // one executor-local filter deref per ROW is a volatile read inside
+    // Broadcast.value; hoist the deref to a lazily-initialized mutable
+    // state slot so the per-row probe is a plain field access
+    val bloomRef = ctx.addReferenceObj("bloomBc", bloom,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val filterVar = ctx.addMutableState(
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName, "bloomFilter",
+      v => s"$v = (org.apache.spark.util.sketch.BloomFilter) $bloomRef.value();")
+    defineCodeGen(ctx, ev, c => s"$filterVar.mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
+    copy(child = newChild)
+}

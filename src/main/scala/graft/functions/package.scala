@@ -64,6 +64,13 @@ package object functions {
   def minhash_signatures(hashes: Column, k: Int): Column =
     Bridge.column(MinHashSignatures(ex(hashes), k))
 
+  /** Map-side membership probe of a broadcast long-key Bloom filter (see
+    * [[BloomMightContainLong]]) — the two-pass LSH candidate prefilter. */
+  def bloom_might_contain_long(
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      c: Column): Column =
+    Bridge.column(BloomMightContainLong(ex(c), bloom))
+
   /** Max element multiplicity of a string array — value-identical to
     * `array_max(transform(array_distinct(a), x => size(filter(a, y => y === x))))`
     * in one hashed pass (see [[TopCount]]). */

@@ -107,12 +107,36 @@ object CandsLap {
         case "bh" =>
           graft.operators.MinHash.bucketPairs(
             bk.select(col("doc_id"), col("bh"))
-              .repartition(sizedParts, col("bh")),
+              .repartition(confParts, col("bh")),
+            Seq("bh"), "doc_id")
+        case "bloom" =>
+          // two-pass: pass 1 shuffles bh ALONE (16 B rows) to find keys
+          // held by >= 2 docs — the only keys that can pair — and folds
+          // them into a Bloom filter; pass 2 recomputes the band keys
+          // map-side and shuffles only probably-hot rows. False positives
+          // leak singletons that pair with nothing; false negatives are
+          // impossible — candidate set identical by construction (the
+          // count assert below enforces it).
+          val hot = bk.select(col("bh"))
+            .groupBy(col("bh")).agg(count(lit(1)).as("n"))
+            .filter(col("n") >= lit(2L)).select(col("bh"))
+          val bloom = hot.stat.bloomFilter("bh", math.max(1000L, nExact), 0.01)
+          val bc = spark.sparkContext.broadcast(bloom)
+          graft.operators.MinHash.bucketPairs(
+            bk.select(col("doc_id"), col("bh"))
+              .filter(graft.functions.bloom_might_contain_long(bc, col("bh")))
+              .repartition(spark.sparkContext.defaultParallelism, col("bh")),
             Seq("bh"), "doc_id")
       }
     }
 
-    val variants = Seq("conf", "sized", "bh")
+    // run 1 (r15, 11.32 GB, reps 2) measured `sized` 22% SLOWER than
+    // `conf` (267.5 vs 218.7 s, clean canaries) — the partition-count
+    // hypothesis is refuted; variants since then target BYTES:
+    // SPARK_GRAFT_CANDSLAP_VARIANTS overrides the comma-separated list.
+    val variants = sys.env.get("SPARK_GRAFT_CANDSLAP_VARIANTS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("conf", "bh", "bloom"))
     val laps = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
     val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
     graft.HostCanary.sec(); graft.HostCanary.parSec() // JIT-warm
@@ -134,6 +158,11 @@ object CandsLap {
           f"free=${new java.io.File("/").getFreeSpace / 1e9}%.0f GB)")
       }
     }
+    // the bh/bloom variants key by bh ALONE; equality here is the live
+    // witness that band-seeded hashes never cross-band-collide on this
+    // corpus (and that Bloom false positives leaked no pairs)
+    require(counts.values.toSet.size == 1,
+      s"variants disagree on candidate count: $counts")
     val lapsJson = laps.map { case (v, s, c) =>
       f"""{"variant":"$v","secs":$s%.1f,"canary":$c%.3f}""" }.mkString("[", ",", "]")
     val countsJson = counts.map { case (k, n) => s""""$k":$n""" }.mkString("{", ",", "}")
