@@ -172,12 +172,13 @@ object DataPipelineBench {
       math.log(docsIn / 19.1e6) / math.log(2.0))) * 1.5
     val ckptLevelStr = ckptLevelName
     val verifyModeStr = sys.env.getOrElse("SPARK_GRAFT_DP_VERIFY", "hashed")
+    val candsModeStr = sys.env.getOrElse("SPARK_GRAFT_DP_CANDS", "bh")
     // heap provenance: the single-JVM local-mode heap (build.sbt -Xmx via
     // SPARK_DRIVER_MEM) bounds concurrent block materialization — at 32
     // threads x few-hundred-MB SER checkpoint blocks the default 8g OOMs
     // at GB scale, so scale runs set it explicitly; record what this run had
     val heapGb = Runtime.getRuntime.maxMemory() / 1e9
-    val summary = f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"heap_gb":$heapGb%.1f,"ckpt_level":"$ckptLevelStr","verify":"$verifyModeStr","hotkey_rows":$hotKeyRows,"planted":$nPlanted,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,"cand_per_group":$candPerGroup%.2f,"cand_gate_max":$candGateMax%.2f,"stage_secs":$stagesJson,$countsJson}"""
+    val summary = f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"heap_gb":$heapGb%.1f,"ckpt_level":"$ckptLevelStr","verify":"$verifyModeStr","cands":"$candsModeStr","hotkey_rows":$hotKeyRows,"planted":$nPlanted,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,"cand_per_group":$candPerGroup%.2f,"cand_gate_max":$candGateMax%.2f,"stage_secs":$stagesJson,$countsJson}"""
     println(summary)
     System.out.flush()
     graft.BenchOut.writeSummary("pipeline-last", summary)
@@ -258,7 +259,8 @@ object DataPipelineBench {
       ckptLevel: Option[StorageLevel] = None,
       verifyMode: String = sys.env.getOrElse("SPARK_GRAFT_DP_VERIFY", "hashed"),
       keepBestUnion: Boolean =
-        sys.env.get("SPARK_GRAFT_DP_KEEPBEST").contains("union"))
+        sys.env.get("SPARK_GRAFT_DP_KEEPBEST").contains("union"),
+      candsMode: String = sys.env.getOrElse("SPARK_GRAFT_DP_CANDS", "bh"))
       : Seq[(String, Long)] = {
     import graft.functions.{normalize_text, word_ngrams, xxhash64_seeded}
 
@@ -359,59 +361,89 @@ object DataPipelineBench {
     // aggregation exchange by its compact 8-byte-id bytes — blind to the
     // up-to-cap/2x row inflation of the downstream in-row expansion.
     //
-    // SIZED BY THE BAND-KEY FRAME, not the session conf (the Dedup/CC
-    // lesson applied to the pipeline's dominant stage): the session runs
-    // ~128 shuffle partitions per corpus GB for the TEXT shuffles, but a
-    // band-key row is a fixed (doc_id, band, bh) ~32-byte UnsafeRow —
-    // nExact x 32 bands of them — so inheriting the session count sizes
-    // this exchange for a frame ~8x larger than it is, and because BOTH
-    // sides of the exchange track the corpus (M map tasks x R reduce
-    // partitions), the shuffle's block count grew QUADRATICALLY with scale
-    // (875k blocks of ~35 KB at 23 GB) — measured as the stage's 2.3x time
-    // at 2x data. ~128 MB of band keys per task keeps the collect_capped
-    // aggregation state comfortably in memory AND block counts linear.
-    // SPARK_GRAFT_DP_BAND_PARTS: integer pins it; `conf` selects the
-    // legacy session-conf sizing (the paired-A/B witness leg).
+    // Partition count: the session conf (corpus-sized). The r15 "size by
+    // band-key bytes" hypothesis (~128 MB/task => ~6x fewer partitions)
+    // was REFUTED by interleaved same-window laps (CandsLap run 1,
+    // 11.32 GB: sized 267.5/286.6 s vs conf 218.7/279.0) — bigger
+    // per-task sorts in the aggregation's sort-based fallback cost more
+    // than the M x R block-count reduction saves. SPARK_GRAFT_DP_BAND_PARTS:
+    // an integer pins it; `sized` selects the refuted formula for probes.
     val nBandRows = nExact * graft.operators.MinHash.NumBands
     val bandParts = sys.env.get("SPARK_GRAFT_DP_BAND_PARTS") match {
-      case Some("conf") => spark.sessionState.conf.numShufflePartitions
-      case Some(n)      => n.toInt
-      case None => math.max(spark.sparkContext.defaultParallelism,
+      case Some("sized") => math.max(spark.sparkContext.defaultParallelism,
         (nBandRows * 32L / (128L << 20)).toInt + 1)
+      case Some(n) if n != "conf" => n.toInt
+      case _ => spark.sessionState.conf.numShufflePartitions
     }
-    println(s"[dp]   near: band_parts=$bandParts (rows=$nBandRows)")
-    val buckets = graft.operators.MinHash.bandKeys(docsText, "text", Seq("doc_id"))
-      .repartition(bandParts, col("band"), col("bh"))
-    lap("  near:bands")
-    // grouped candidate generation (MinHash.bucketPairs, the q32 shape):
-    // one bucket-keyed shuffle, in-row pair expansion bounded by the
-    // default cap — the same path the gated queries run, exercised here
-    // at the 6.4M-doc pipeline scale.
-    // SPARK_GRAFT_DP_NEARLAP=1: diagnostic lap mode — materialize the
-    // repartitioned band keys (eager serialized checkpoint) so the stage
-    // splits into `bands_mat` (signature build CPU + the band-key shuffle)
-    // and `group_emit` (collect_capped aggregation + in-row expansion +
-    // distinct). The checkpoint boundary preserves the (band, bh)
-    // partitioning (LogicalRDD keeps outputPartitioning), so the groupBy
-    // stays exchange-free and the two sub-stages sum to the fused stage's
-    // work plus one extra cache write/read — a diagnostic, not the
-    // production plan.
+    // Candidate staging (SPARK_GRAFT_DP_CANDS):
+    //  - `bh` (default): band keys travel as (doc_id, bh) ONLY — the band
+    //    ordinal lives inside the seeded hash (MinHash.bandHashKeys), so
+    //    the dominant exchange carries 24-byte rows instead of 32 and the
+    //    aggregation keys one long. Candidates are bit-identical to the
+    //    (band, bh) form modulo an ~1e-19 cross-band collision class that
+    //    exact verification discards anyway; measured 1.5x on the stage
+    //    (CandsLap run 1).
+    //  - `bloom`: two-pass prefilter — pass 1 shuffles bh alone (16-byte
+    //    rows) to Bloom the keys with >= 2 docs; pass 2 recomputes band
+    //    keys map-side and shuffles only probably-hot rows (the only keys
+    //    that can pair; false positives leak pairless singletons, false
+    //    negatives are impossible). Candidate set identical by
+    //    construction (BloomMightContainSpec).
+    //  - `bandbh`: the r14 staging ((band, bh) rows) for paired A/Bs.
+    // SPARK_GRAFT_DP_NEARLAP=1 (single-pass modes): materialize the
+    // repartitioned band keys so the stage splits into `bands_mat` (build
+    // CPU + shuffle) and `group_emit` (aggregation + expansion + distinct).
+    println(s"[dp]   near: cands_mode=$candsMode band_parts=$bandParts (rows=$nBandRows)")
     val nearLap = sys.env.get("SPARK_GRAFT_DP_NEARLAP").contains("1")
-    val bucketsMeasured =
+    var lapFrame: Option[DataFrame] = None
+    def lapMat(buckets: DataFrame): DataFrame =
       if (!nearLap) buckets
       else {
         val bmat = buckets.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
         lap("  near:cands:bands_mat")
+        lapFrame = Some(bmat)
         bmat
       }
-    val cands = graft.operators.MinHash
-      .bucketPairs(bucketsMeasured, Seq("band", "bh"), "doc_id")
+    val rawCands = candsMode match {
+      case "bandbh" =>
+        val buckets = graft.operators.MinHash
+          .bandKeys(docsText, "text", Seq("doc_id"))
+          .repartition(bandParts, col("band"), col("bh"))
+        lap("  near:bands")
+        graft.operators.MinHash.bucketPairs(lapMat(buckets),
+          Seq("band", "bh"), "doc_id")
+      case "bloom" =>
+        val bk = graft.operators.MinHash
+          .bandHashKeys(docsText, "text", Seq("doc_id"))
+        lap("  near:bands")
+        val hot = bk.select(col("bh"))
+          .groupBy(col("bh")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= lit(2L)).select(col("bh"))
+        val bloom = hot.stat.bloomFilter("bh", math.max(1000L, nExact), 0.01)
+        val bc = spark.sparkContext.broadcast(bloom)
+        lap("  near:cands:bloom")
+        // post-filter rows are pair-participant-sized (~candidates x 2),
+        // 1000x below the corpus — id-scale partitioning, the CC sizing
+        graft.operators.MinHash.bucketPairs(
+          bk.filter(graft.functions.bloom_might_contain_long(bc, col("bh")))
+            .repartition(math.max(spark.sparkContext.defaultParallelism,
+              (nExact / 2000000L).toInt + 1), col("bh")),
+          Seq("bh"), "doc_id")
+      case _ =>
+        val buckets = graft.operators.MinHash
+          .bandHashKeys(docsText, "text", Seq("doc_id"))
+          .repartition(bandParts, col("bh"))
+        lap("  near:bands")
+        graft.operators.MinHash.bucketPairs(lapMat(buckets),
+          Seq("bh"), "doc_id")
+    }
+    val cands = rawCands
       .distinct()
       .localCheckpoint()
     val nCands = cands.count()
     if (nearLap) {
       lap("  near:cands:group_emit")
-      bucketsMeasured.unpersist()
+      lapFrame.foreach(_.unpersist())
     }
     println(s"[dp]   near: candidates=$nCands")
     lap("  near:cands")

@@ -139,4 +139,16 @@ class MinHashSpec extends SparkSpec {
     assert(fusedEdge.exceptAll(perColEdge).isEmpty &&
       perColEdge.exceptAll(fusedEdge).isEmpty)
   }
+
+  test("bandHashKeys equals bandKeys' bh column (band folded into the seeded hash)") {
+    // the bh-only staging the pipeline's candidate stage shuffles: same
+    // carry + bh MULTISET as bandKeys (each bh is already seeded by its
+    // band ordinal), just without ever materializing the band column
+    import org.apache.spark.sql.functions.col
+    val a = MinHash.bandKeys(docs, "text", Seq("doc_id"))
+      .select(col("doc_id"), col("bh"))
+    val b = MinHash.bandHashKeys(docs, "text", Seq("doc_id"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(b.count() == 3L * MinHash.NumBands) // doc 4 still dropped
+  }
 }

@@ -59,23 +59,29 @@ class DataPipelineSpec extends SparkSpec {
       (6L, "s1", doc("e") + " " + doc("q").split(" ").take(12).mkString(" ")),
       (7L, "s1", "a b c")).toDF("doc_id", "source", "text")
     val benchmark = Seq((100L, doc("q"))).toDF("bench_id", "text")
-    def leg(name: String, union: Boolean, verify: String) = {
+    def leg(name: String, union: Boolean = false, verify: String = "hashed",
+        cands: String = "bh") = {
       val out = graft.SparkSpec.tempDir(s"graft-dp-ab-$name")
       val counts = DataPipelineBench.run(spark, corpus, benchmark, out,
-        verifyMode = verify, keepBestUnion = union).toMap
+        verifyMode = verify, keepBestUnion = union, candsMode = cands).toMap
       val kept = spark.read.parquet(out).select(col("doc_id"))
         .collect().map(_.getLong(0)).toSet
       (counts, kept)
     }
-    // the default path vs the two witness legs the big-scale paired A/Bs
-    // run (SPARK_GRAFT_DP_KEEPBEST=union / SPARK_GRAFT_DP_VERIFY=string):
-    // every stage count and the survivor SET must be bit-identical — the
-    // legs differ only in how many bytes cross which exchange
-    val (cBase, kBase) = leg("base", union = false, verify = "hashed")
-    val (cUnion, kUnion) = leg("union", union = true, verify = "hashed")
-    val (cStr, kStr) = leg("strv", union = false, verify = "string")
+    // the default path vs the witness legs the big-scale paired A/Bs run
+    // (SPARK_GRAFT_DP_KEEPBEST=union / SPARK_GRAFT_DP_VERIFY=string /
+    // SPARK_GRAFT_DP_CANDS=bandbh|bloom): every stage count and the
+    // survivor SET must be bit-identical — the legs differ only in how
+    // many bytes cross which exchange
+    val (cBase, kBase) = leg("base")
+    val (cUnion, kUnion) = leg("union", union = true)
+    val (cStr, kStr) = leg("strv", verify = "string")
+    val (cBandBh, kBandBh) = leg("bandbh", cands = "bandbh")
+    val (cBloom, kBloom) = leg("bloom", cands = "bloom")
     assert(cUnion == cBase && kUnion == kBase)
     assert(cStr == cBase && kStr == kBase)
+    assert(cBandBh == cBase && kBandBh == kBase)
+    assert(cBloom == cBase && kBloom == kBase)
     assert(kBase == Set(0L, 3L, 4L, 5L))
   }
 }
