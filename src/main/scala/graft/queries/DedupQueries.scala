@@ -112,12 +112,21 @@ object DedupQueries {
     // LshBucketCapSpec). The explicit repartition ahead of the groupBy
     // pins the aggregation's partitioning (user repartitions are exempt
     // from AQE coalescing), keeping the in-row expansion stage wide.
-    val buckets = graft.operators.MinHash.bandKeys(
+    // Band keys travel as (doc_id, bh) ONLY — the band ordinal lives
+    // inside the seeded hash (MinHash.bandHashKeys): 24-byte rows through
+    // this exchange instead of 32 and a one-long aggregation key,
+    // measured 1.5-2.8x on the candidate stage at pipeline scale
+    // (CandsLap r15, interleaved same-window laps, candidates
+    // bit-identical). Results are invariant: bh keying differs from
+    // (band, bh) only on a ~1e-19 cross-band collision class, which can
+    // only ADD a candidate that exact verification then judges on true
+    // Jaccard like any other.
+    val buckets = graft.operators.MinHash.bandHashKeys(
         fanout(docs).select(col("doc_id"), col("text")), "text", Seq("doc_id"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
-        col("band"), col("bh"))
+        col("bh"))
     val cands = graft.operators.MinHash
-      .bucketPairs(buckets, Seq("band", "bh"), "doc_id", bucketCap)
+      .bucketPairs(buckets, Seq("bh"), "doc_id", bucketCap)
       .distinct()
     // Verification references the shingle pipeline ONCE: a two-join
     // formulation (sh on id_a, sh on id_b) computes `sh` — a full-corpus
