@@ -173,12 +173,13 @@ object DataPipelineBench {
     val ckptLevelStr = ckptLevelName
     val verifyModeStr = sys.env.getOrElse("SPARK_GRAFT_DP_VERIFY", "hashed")
     val candsModeStr = sys.env.getOrElse("SPARK_GRAFT_DP_CANDS", "bh")
+    val verifyPreStr = sys.env.getOrElse("SPARK_GRAFT_DP_VERIFYPRE", "bloom")
     // heap provenance: the single-JVM local-mode heap (build.sbt -Xmx via
     // SPARK_DRIVER_MEM) bounds concurrent block materialization — at 32
     // threads x few-hundred-MB SER checkpoint blocks the default 8g OOMs
     // at GB scale, so scale runs set it explicitly; record what this run had
     val heapGb = Runtime.getRuntime.maxMemory() / 1e9
-    val summary = f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"heap_gb":$heapGb%.1f,"ckpt_level":"$ckptLevelStr","verify":"$verifyModeStr","cands":"$candsModeStr","hotkey_rows":$hotKeyRows,"planted":$nPlanted,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,"cand_per_group":$candPerGroup%.2f,"cand_gate_max":$candGateMax%.2f,"stage_secs":$stagesJson,$countsJson}"""
+    val summary = f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"heap_gb":$heapGb%.1f,"ckpt_level":"$ckptLevelStr","verify":"$verifyModeStr","cands":"$candsModeStr","verify_pre":"$verifyPreStr","hotkey_rows":$hotKeyRows,"planted":$nPlanted,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,"cand_per_group":$candPerGroup%.2f,"cand_gate_max":$candGateMax%.2f,"stage_secs":$stagesJson,$countsJson}"""
     println(summary)
     System.out.flush()
     graft.BenchOut.writeSummary("pipeline-last", summary)
@@ -260,7 +261,8 @@ object DataPipelineBench {
       verifyMode: String = sys.env.getOrElse("SPARK_GRAFT_DP_VERIFY", "hashed"),
       keepBestUnion: Boolean =
         sys.env.get("SPARK_GRAFT_DP_KEEPBEST").contains("union"),
-      candsMode: String = sys.env.getOrElse("SPARK_GRAFT_DP_CANDS", "bh"))
+      candsMode: String = sys.env.getOrElse("SPARK_GRAFT_DP_CANDS", "bh"),
+      verifyPre: String = sys.env.getOrElse("SPARK_GRAFT_DP_VERIFYPRE", "bloom"))
       : Seq[(String, Long)] = {
     import graft.functions.{normalize_text, word_ngrams, xxhash64_seeded}
 
@@ -465,12 +467,40 @@ object DataPipelineBench {
     // string-shingle witness leg (the r14 `half` shape) for paired A/Bs;
     // pair sets are bit-identical across the two legs (proven at 11.32 GB,
     // 6,061,337 pairs) — only the shuffle bytes differ.
+    //
+    // Participant prefilter (SPARK_GRAFT_DP_VERIFYPRE, default `bloom`):
+    // the shingle frame below was the stage's one CORPUS-proportional term
+    // — computed and shuffled for every survivor, though the join consumes
+    // only docs appearing in >= 1 candidate pair (~40-50% of survivors at
+    // the r15 scale points, and the stage grew 2.77x at 2.03x data). One
+    // pass over the already-checkpointed pair frame collects the distinct
+    // participant ids into a broadcast Bloom filter, and survivors are
+    // filtered MAP-SIDE before shingling, making the whole stage
+    // candidate-proportional. False positives (1%) cost one wasted array
+    // each, which the inner join drops; false negatives are impossible, so
+    // the verified pair set is IDENTICAL by construction (unit A/B leg in
+    // DataPipelineSpec; VerifyLap asserts pair-set counts live at scale).
+    // `off` selects the unfiltered r14/r15 witness leg for paired A/Bs.
+    var nParticipants = -1L
+    val verifyBase =
+      if (verifyPre == "bloom" && nCands > 0) {
+        val participants = cands
+          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+          .distinct()
+        nParticipants = participants.count()
+        println(f"[dp]   near: verify participants=$nParticipants " +
+          f"(${100.0 * nParticipants / math.max(nExact, 1)}%.1f%% of survivors)")
+        val bloom = participants.stat.bloomFilter("doc_id",
+          math.max(1000L, nParticipants), 0.01)
+        val bc = spark.sparkContext.broadcast(bloom)
+        docsText.filter(graft.functions.bloom_might_contain_long(bc, col("doc_id")))
+      } else docsText
     val sh =
       if (verifyMode == "string")
-        docsText.select(col("doc_id"),
+        verifyBase.select(col("doc_id"),
           graft.operators.MinHash.shingles(col("text")).as("sh"))
       else
-        docsText.select(col("doc_id"),
+        verifyBase.select(col("doc_id"),
           array_distinct(graft.functions.word_ngram_hashes(
             split(col("text"), " "), 3,
             graft.operators.MinHash.VerifyHashSeed)).as("sh"))
@@ -595,7 +625,8 @@ object DataPipelineBench {
       "near_candidates" -> nCands, "near_verified_pairs" -> nPairs,
       "after_near_dedup" -> nNear,
       "after_decontam" -> nClean, "train" -> nTrain, "val" -> nVal,
-      "band_parts" -> bandParts.toLong) ++
+      "band_parts" -> bandParts.toLong,
+      "verify_participants" -> nParticipants) ++
       plantedCounts
   }
 

@@ -60,10 +60,11 @@ class DataPipelineSpec extends SparkSpec {
       (7L, "s1", "a b c")).toDF("doc_id", "source", "text")
     val benchmark = Seq((100L, doc("q"))).toDF("bench_id", "text")
     def leg(name: String, union: Boolean = false, verify: String = "hashed",
-        cands: String = "bh") = {
+        cands: String = "bh", verifypre: String = "bloom") = {
       val out = graft.SparkSpec.tempDir(s"graft-dp-ab-$name")
       val counts = DataPipelineBench.run(spark, corpus, benchmark, out,
-        verifyMode = verify, keepBestUnion = union, candsMode = cands).toMap
+        verifyMode = verify, keepBestUnion = union, candsMode = cands,
+        verifyPre = verifypre).toMap
       val kept = spark.read.parquet(out).select(col("doc_id"))
         .collect().map(_.getLong(0)).toSet
       (counts, kept)
@@ -78,10 +79,15 @@ class DataPipelineSpec extends SparkSpec {
     val (cStr, kStr) = leg("strv", verify = "string")
     val (cBandBh, kBandBh) = leg("bandbh", cands = "bandbh")
     val (cBloom, kBloom) = leg("bloom", cands = "bloom")
+    // the unfiltered-verify witness leg reports no participant count, so
+    // compare counts modulo that diagnostic key
+    val (cVpOff, kVpOff) = leg("vpoff", verifypre = "off")
     assert(cUnion == cBase && kUnion == kBase)
     assert(cStr == cBase && kStr == kBase)
     assert(cBandBh == cBase && kBandBh == kBase)
     assert(cBloom == cBase && kBloom == kBase)
+    assert((cVpOff - "verify_participants") == (cBase - "verify_participants")
+      && kVpOff == kBase)
     assert(kBase == Set(0L, 3L, 4L, 5L))
   }
 }
