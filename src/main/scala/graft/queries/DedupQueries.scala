@@ -137,6 +137,16 @@ object DedupQueries {
     // CANDIDATE shingles (not the corpus) move through the regroup
     // shuffle. max(when(...)) picks each side's array — exactly one
     // non-null per group, max for determinism.
+    //
+    // Scale note: at corpus scale the `sh` frame is the shape's one
+    // corpus-proportional term — the pipeline twin (DataPipelineBench,
+    // SPARK_GRAFT_DP_VERIFYPRE=bloom) prefilters it map-side with a
+    // broadcast Bloom of the candidate-participant ids (zero false
+    // negatives ⇒ identical pairs), making verification
+    // candidate-proportional. Not adopted here: the prefilter needs the
+    // pair frame MATERIALIZED for its two driver-side actions, and at
+    // this query's bench scale (5k docs) those actions cost more than
+    // the full shingle pass they save.
     val sh = shingled(docs)
     cands
       .select(col("id_a"), col("id_b"),
