@@ -140,14 +140,35 @@ object MinHash {
     * (int, long). Measured 1.5x on the stage at 11.32 GB (CandsLap run 1,
     * interleaved same-window laps: 150.0/158.4 s vs 218.7/279.0). */
   def bandHashKeys(df: DataFrame, textCol: String, carryCols: Seq[String],
-      n: Int = 3): DataFrame = {
+      n: Int = 3): DataFrame =
+    bandHashKeysWith(df, textCol, carryCols, n,
+      graft.functions.minhash_signatures(_, NumHashes))
+
+  /** [[bandHashKeys]] with the ONE-PERMUTATION signature
+    * ([[graft.functions.minhash_signatures_oph]]): each shingle hash is
+    * routed to one of the 64 slots and each slot keeps its minimum
+    * (rotation-densified), so the map side does ONE bin-route per shingle
+    * instead of 64 seeded hashes — the k-family kernel's inner loop was
+    * the dominant map-side CPU of the candidate stage. A DIFFERENT LSH
+    * family: the candidate set differs from [[bandHashKeys]]' (higher
+    * estimator variance on short documents, where most slots densify), so
+    * only for consumers that exact-verify pairs — precision is untouched
+    * and recall sits on the same 32x2 banding margin (statistical recall
+    * spec in MinHashSpec; the pipeline's planted-dup gate witnesses it
+    * live at every scale point). Selected by `SPARK_GRAFT_DP_SIG=oph`. */
+  def bandHashKeysOph(df: DataFrame, textCol: String, carryCols: Seq[String],
+      n: Int = 3): DataFrame =
+    bandHashKeysWith(df, textCol, carryCols, n,
+      graft.functions.minhash_signatures_oph(_, NumHashes))
+
+  private def bandHashKeysWith(df: DataFrame, textCol: String,
+      carryCols: Seq[String], n: Int, sig: Column => Column): DataFrame = {
     val sigs = df
       .filter(size(split(col(textCol), " ")) >= n)
       .select(carryCols.map(col) :+
         graft.functions.word_ngram_hashes(split(col(textCol), " "), n,
           BaseHashSeed).as("__h"): _*)
-      .select(carryCols.map(col) :+
-        graft.functions.minhash_signatures(col("__h"), NumHashes).as("__sig"): _*)
+      .select(carryCols.map(col) :+ sig(col("__h")).as("__sig"): _*)
     sigs.select(carryCols.map(col) :+
       explode(array((0 until NumBands).map { b =>
         xxhash64_seeded(1000L + b,

@@ -127,8 +127,31 @@ object CandsLap {
               .filter(graft.functions.bloom_might_contain_long(bc, col("bh")))
               .repartition(spark.sparkContext.defaultParallelism, col("bh")),
             Seq("bh"), "doc_id")
+        case "oph" =>
+          // the `bh` staging with ONE-PERMUTATION signatures — a different
+          // LSH family (one bin-route per shingle instead of 64 seeded
+          // hashes), so its candidate COUNT legitimately differs from the
+          // k-family variants and is excluded from the equality witness
+          graft.operators.MinHash.bucketPairs(
+            graft.operators.MinHash
+              .bandHashKeysOph(docsText, "text", Seq("doc_id"))
+              .repartition(confParts, col("bh")),
+            Seq("bh"), "doc_id")
+        case "mapfam" =>
+          // map-side-only probe: evaluate every k-family band hash through
+          // a partial aggregate (no group shuffle) — isolates the
+          // signature-build CPU share of the stage. Count = 1 row.
+          graft.operators.MinHash.bandHashKeys(docsText, "text", Seq("doc_id"))
+            .agg(sum(col("bh")).as("s"), count(lit(1)).as("n"))
+        case "mapoph" =>
+          graft.operators.MinHash.bandHashKeysOph(docsText, "text", Seq("doc_id"))
+            .agg(sum(col("bh")).as("s"), count(lit(1)).as("n"))
       }
     }
+    // variants whose candidate sets are bit-identical by construction —
+    // the count-equality assert (the live no-cross-band-collision / no-
+    // false-negative witness) applies within this group only
+    val comparable = Set("conf", "sized", "bh", "bloom", "bandbh")
 
     // run 1 (r15, 11.32 GB, reps 2) measured `sized` 22% SLOWER than
     // `conf` (267.5 vs 218.7 s, clean canaries) — the partition-count
@@ -161,8 +184,9 @@ object CandsLap {
     // the bh/bloom variants key by bh ALONE; equality here is the live
     // witness that band-seeded hashes never cross-band-collide on this
     // corpus (and that Bloom false positives leaked no pairs)
-    require(counts.values.toSet.size == 1,
-      s"variants disagree on candidate count: $counts")
+    val comparableCounts = counts.filter { case (k, _) => comparable(k) }
+    require(comparableCounts.values.toSet.size <= 1,
+      s"equivalent variants disagree on candidate count: $comparableCounts")
     val lapsJson = laps.map { case (v, s, c) =>
       f"""{"variant":"$v","secs":$s%.1f,"canary":$c%.3f}""" }.mkString("[", ",", "]")
     val countsJson = counts.map { case (k, n) => s""""$k":$n""" }.mkString("{", ",", "}")

@@ -174,12 +174,13 @@ object DataPipelineBench {
     val verifyModeStr = sys.env.getOrElse("SPARK_GRAFT_DP_VERIFY", "hashed")
     val candsModeStr = sys.env.getOrElse("SPARK_GRAFT_DP_CANDS", "bh")
     val verifyPreStr = sys.env.getOrElse("SPARK_GRAFT_DP_VERIFYPRE", "bloom")
+    val sigStr = sys.env.getOrElse("SPARK_GRAFT_DP_SIG", "family")
     // heap provenance: the single-JVM local-mode heap (build.sbt -Xmx via
     // SPARK_DRIVER_MEM) bounds concurrent block materialization — at 32
     // threads x few-hundred-MB SER checkpoint blocks the default 8g OOMs
     // at GB scale, so scale runs set it explicitly; record what this run had
     val heapGb = Runtime.getRuntime.maxMemory() / 1e9
-    val summary = f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"heap_gb":$heapGb%.1f,"ckpt_level":"$ckptLevelStr","verify":"$verifyModeStr","cands":"$candsModeStr","verify_pre":"$verifyPreStr","hotkey_rows":$hotKeyRows,"planted":$nPlanted,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,"cand_per_group":$candPerGroup%.2f,"cand_gate_max":$candGateMax%.2f,"stage_secs":$stagesJson,$countsJson}"""
+    val summary = f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"heap_gb":$heapGb%.1f,"ckpt_level":"$ckptLevelStr","verify":"$verifyModeStr","cands":"$candsModeStr","verify_pre":"$verifyPreStr","sig":"$sigStr","hotkey_rows":$hotKeyRows,"planted":$nPlanted,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,"cand_per_group":$candPerGroup%.2f,"cand_gate_max":$candGateMax%.2f,"stage_secs":$stagesJson,$countsJson}"""
     println(summary)
     System.out.flush()
     graft.BenchOut.writeSummary("pipeline-last", summary)
@@ -262,7 +263,8 @@ object DataPipelineBench {
       keepBestUnion: Boolean =
         sys.env.get("SPARK_GRAFT_DP_KEEPBEST").contains("union"),
       candsMode: String = sys.env.getOrElse("SPARK_GRAFT_DP_CANDS", "bh"),
-      verifyPre: String = sys.env.getOrElse("SPARK_GRAFT_DP_VERIFYPRE", "bloom"))
+      verifyPre: String = sys.env.getOrElse("SPARK_GRAFT_DP_VERIFYPRE", "bloom"),
+      sigScheme: String = sys.env.getOrElse("SPARK_GRAFT_DP_SIG", "family"))
       : Seq[(String, Long)] = {
     import graft.functions.{normalize_text, word_ngrams, xxhash64_seeded}
 
@@ -395,7 +397,20 @@ object DataPipelineBench {
     // SPARK_GRAFT_DP_NEARLAP=1 (single-pass modes): materialize the
     // repartitioned band keys so the stage splits into `bands_mat` (build
     // CPU + shuffle) and `group_emit` (aggregation + expansion + distinct).
-    println(s"[dp]   near: cands_mode=$candsMode band_parts=$bandParts (rows=$nBandRows)")
+    // Signature scheme (SPARK_GRAFT_DP_SIG):
+    //  - `family` (default): the fused 64-seeded-hash kernel
+    //    (minhash_signatures) — 64 XXH64 long-mixes per shingle.
+    //  - `oph`: one-permutation + rotation densification
+    //    (minhash_signatures_oph) — ONE bin-route per shingle. A different
+    //    LSH family, so the candidate SET differs; precision is untouched
+    //    (exact verify downstream) and recall is witnessed live by the
+    //    planted-dup gate. Probe lever until measured.
+    def bandHashKeysOf(df: DataFrame): DataFrame =
+      if (sigScheme == "oph")
+        graft.operators.MinHash.bandHashKeysOph(df, "text", Seq("doc_id"))
+      else graft.operators.MinHash.bandHashKeys(df, "text", Seq("doc_id"))
+    println(s"[dp]   near: cands_mode=$candsMode sig=$sigScheme " +
+      s"band_parts=$bandParts (rows=$nBandRows)")
     val nearLap = sys.env.get("SPARK_GRAFT_DP_NEARLAP").contains("1")
     var lapFrame: Option[DataFrame] = None
     def lapMat(buckets: DataFrame): DataFrame =
@@ -415,8 +430,7 @@ object DataPipelineBench {
         graft.operators.MinHash.bucketPairs(lapMat(buckets),
           Seq("band", "bh"), "doc_id")
       case "bloom" =>
-        val bk = graft.operators.MinHash
-          .bandHashKeys(docsText, "text", Seq("doc_id"))
+        val bk = bandHashKeysOf(docsText)
         lap("  near:bands")
         val hot = bk.select(col("bh"))
           .groupBy(col("bh")).agg(count(lit(1)).as("n"))
@@ -432,8 +446,7 @@ object DataPipelineBench {
               (nExact / 2000000L).toInt + 1), col("bh")),
           Seq("bh"), "doc_id")
       case _ =>
-        val buckets = graft.operators.MinHash
-          .bandHashKeys(docsText, "text", Seq("doc_id"))
+        val buckets = bandHashKeysOf(docsText)
           .repartition(bandParts, col("bh"))
         lap("  near:bands")
         graft.operators.MinHash.bucketPairs(lapMat(buckets),

@@ -60,11 +60,12 @@ class DataPipelineSpec extends SparkSpec {
       (7L, "s1", "a b c")).toDF("doc_id", "source", "text")
     val benchmark = Seq((100L, doc("q"))).toDF("bench_id", "text")
     def leg(name: String, union: Boolean = false, verify: String = "hashed",
-        cands: String = "bh", verifypre: String = "bloom") = {
+        cands: String = "bh", verifypre: String = "bloom",
+        sig: String = "family") = {
       val out = graft.SparkSpec.tempDir(s"graft-dp-ab-$name")
       val counts = DataPipelineBench.run(spark, corpus, benchmark, out,
         verifyMode = verify, keepBestUnion = union, candsMode = cands,
-        verifyPre = verifypre).toMap
+        verifyPre = verifypre, sigScheme = sig).toMap
       val kept = spark.read.parquet(out).select(col("doc_id"))
         .collect().map(_.getLong(0)).toSet
       (counts, kept)
@@ -89,5 +90,15 @@ class DataPipelineSpec extends SparkSpec {
     assert((cVpOff - "verify_participants") == (cBase - "verify_participants")
       && kVpOff == kBase)
     assert(kBase == Set(0L, 3L, 4L, 5L))
+    // the one-permutation signature leg (SPARK_GRAFT_DP_SIG=oph) is a
+    // DIFFERENT LSH family — its candidate COUNT may legitimately differ —
+    // but exact verification makes the verified pairs, and therefore every
+    // survivor count and the final set, land identically on this corpus
+    // (the near-dup pair is J~0.95, far above any family's banding noise)
+    val (cOph, kOph) = leg("oph", sig = "oph")
+    assert(kOph == kBase)
+    assert(cOph("after_near_dedup") == cBase("after_near_dedup") &&
+      cOph("after_decontam") == cBase("after_decontam") &&
+      cOph("near_verified_pairs") == cBase("near_verified_pairs"))
   }
 }
