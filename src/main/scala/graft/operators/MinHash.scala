@@ -155,7 +155,19 @@ object MinHash {
     * only for consumers that exact-verify pairs — precision is untouched
     * and recall sits on the same 32x2 banding margin (statistical recall
     * spec in MinHashSpec; the pipeline's planted-dup gate witnesses it
-    * live at every scale point). Selected by `SPARK_GRAFT_DP_SIG=oph`. */
+    * live at every scale point). Selected by `SPARK_GRAFT_DP_SIG=oph`.
+    *
+    * ADJUDICATED AGAINST as a default (CandsLap, 11.32 GB corpus,
+    * `candslap-oph-11p3g.json`): on this corpus's short-document mix the
+    * densified slots correlate across non-similar docs and banding emits
+    * 131.0 M candidates where the k-family emits 15.5 M (8.4x,
+    * deterministic across reps) — 8.4x the verify work downstream — while
+    * the map-side signature probe shows the k-family kernel was never the
+    * bottleneck (mapfam 23-27 s of a 273 s stage, mapoph no cheaper at
+    * 30-33 s: the fused 64-hash loop is in-register long-mixing, and OPH
+    * pays the same shingle-hash stream plus a densification pass). Kept as
+    * a probe lever for long-document corpora, where slots fill and the
+    * variance argument actually applies. */
   def bandHashKeysOph(df: DataFrame, textCol: String, carryCols: Seq[String],
       n: Int = 3): DataFrame =
     bandHashKeysWith(df, textCol, carryCols, n,

@@ -404,7 +404,11 @@ object DataPipelineBench {
     //    (minhash_signatures_oph) — ONE bin-route per shingle. A different
     //    LSH family, so the candidate SET differs; precision is untouched
     //    (exact verify downstream) and recall is witnessed live by the
-    //    planted-dup gate. Probe lever until measured.
+    //    planted-dup gate. MEASURED AND REFUTED as a default at 11.32 GB
+    //    (candslap-oph-11p3g.json): 131.0 M candidates vs the family's
+    //    15.5 M (8.4x, deterministic — short docs densify most slots and
+    //    correlate across non-similar docs) and no map-side CPU win
+    //    (mapfam 23-27 s vs mapoph 30-33 s). See bandHashKeysOph scaladoc.
     def bandHashKeysOf(df: DataFrame): DataFrame =
       if (sigScheme == "oph")
         graft.operators.MinHash.bandHashKeysOph(df, "text", Seq("doc_id"))
