@@ -175,12 +175,14 @@ object DataPipelineBench {
     val candsModeStr = sys.env.getOrElse("SPARK_GRAFT_DP_CANDS", "bh")
     val verifyPreStr = sys.env.getOrElse("SPARK_GRAFT_DP_VERIFYPRE", "bloom")
     val sigStr = sys.env.getOrElse("SPARK_GRAFT_DP_SIG", "family")
+    val exactStr = sys.env.getOrElse("SPARK_GRAFT_DP_EXACT", "agg")
+    val keepBestStr = sys.env.getOrElse("SPARK_GRAFT_DP_KEEPBEST", "anti")
     // heap provenance: the single-JVM local-mode heap (build.sbt -Xmx via
     // SPARK_DRIVER_MEM) bounds concurrent block materialization — at 32
     // threads x few-hundred-MB SER checkpoint blocks the default 8g OOMs
     // at GB scale, so scale runs set it explicitly; record what this run had
     val heapGb = Runtime.getRuntime.maxMemory() / 1e9
-    val summary = f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"heap_gb":$heapGb%.1f,"ckpt_level":"$ckptLevelStr","verify":"$verifyModeStr","cands":"$candsModeStr","verify_pre":"$verifyPreStr","sig":"$sigStr","hotkey_rows":$hotKeyRows,"planted":$nPlanted,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,"cand_per_group":$candPerGroup%.2f,"cand_gate_max":$candGateMax%.2f,"stage_secs":$stagesJson,$countsJson}"""
+    val summary = f"""{"metric":"pipeline","gb":$gb%.3f,"secs":$secs%.1f,"gb_per_hour":$gbPerHr%.2f,"cores":$cpus,"heap_gb":$heapGb%.1f,"ckpt_level":"$ckptLevelStr","verify":"$verifyModeStr","cands":"$candsModeStr","verify_pre":"$verifyPreStr","sig":"$sigStr","exact":"$exactStr","keepbest":"$keepBestStr","hotkey_rows":$hotKeyRows,"planted":$nPlanted,"canary_pre":$cPre%.3f,"canary_post":$cPost%.3f,"par_canary_pre":$pcPre%.3f,"par_canary_post":$pcPost%.3f,"loadavg":${graft.HostCanary.loadAvg()}%.1f,"cand_per_group":$candPerGroup%.2f,"cand_gate_max":$candGateMax%.2f,"stage_secs":$stagesJson,$countsJson}"""
     println(summary)
     System.out.flush()
     graft.BenchOut.writeSummary("pipeline-last", summary)
@@ -260,8 +262,9 @@ object DataPipelineBench {
       lapSink: (String, Double) => Unit = (_, _) => (),
       ckptLevel: Option[StorageLevel] = None,
       verifyMode: String = sys.env.getOrElse("SPARK_GRAFT_DP_VERIFY", "hashed"),
-      keepBestUnion: Boolean =
-        sys.env.get("SPARK_GRAFT_DP_KEEPBEST").contains("union"),
+      keepBestMode: String =
+        sys.env.getOrElse("SPARK_GRAFT_DP_KEEPBEST", "anti"),
+      exactMode: String = sys.env.getOrElse("SPARK_GRAFT_DP_EXACT", "agg"),
       candsMode: String = sys.env.getOrElse("SPARK_GRAFT_DP_CANDS", "bh"),
       verifyPre: String = sys.env.getOrElse("SPARK_GRAFT_DP_VERIFYPRE", "bloom"),
       sigScheme: String = sys.env.getOrElse("SPARK_GRAFT_DP_SIG", "family"))
@@ -321,21 +324,10 @@ object DataPipelineBench {
     val nQualified = qualified.count()
     lap("quality")
 
-    // --- stage 3: exact dedup — keep the lowest-id row per digest by
-    // folding survivor selection INTO the digest aggregation (min_by of
-    // the whole row): ONE digest-keyed shuffle, map-side combined (exact
-    // duplicates collapse before the exchange), no join. The previous
-    // shape — groupBy(digest).agg(min(doc_id)) + a doc_id-keyed LEFT SEMI
-    // back against the text frame — shuffled the FULL-TEXT frame a second
-    // time while two corpus-size checkpoints were still in write-back;
-    // at the 14.4 GB scale point that stage went disk-bound (311 s vs
-    // 56 s at 7 GB — 5.6x time at 2x data, the round-13 lap tables).
-    // min_by is a DeclarativeAggregate, so partial aggregation applies.
-    val exactSurvivors = ckptText(qualified
-      .groupBy(col("digest"))
-      .agg(min_by(struct(qualified.columns.map(col): _*),
-        col("doc_id")).as("__r"))
-      .select(col("__r.*")))
+    // --- stage 3: exact dedup (see exactDedup's scaladoc for the two
+    // stagings; SPARK_GRAFT_DP_EXACT selects)
+    val exactSurvivors = ckptText(
+      exactDedup(spark, qualified, exactMode, nQualified / 2))
     val nExact = exactSurvivors.count()
     // Stage-frame lifecycle: each localCheckpoint materializes a
     // corpus-sized frame, and holding every stage's copy to the end means
@@ -554,31 +546,13 @@ object DataPipelineBench {
       .select(col("id").as("doc_id"), col("cluster_id"))
     pairs.unpersist() // connectedComponents checkpointed its own output
     lap("  near:cc")
-    val keepBest = clusters
-      .join(exactSurvivors.select(col("doc_id"), col("quality")), "doc_id")
-      .groupBy(col("cluster_id"))
-      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("m"))
-      .select((-col("m.nid")).as("doc_id"))
-    val inAnyCluster = clusters.select(col("doc_id"))
-    // Survivors = everything minus the cluster LOSERS (members not chosen
-    // by keep-best) — ONE id-frame anti-join against the text frame. The
-    // r14 shape expressed the same set as (non-members) UNION (semi-join
-    // winners), which shuffled the FULL corpus text TWICE (once per join)
-    // plus a union; the losers set is computed entirely on id-sized frames
-    // first, so exactly one corpus-text exchange remains. Set-identical:
-    // keepBest ⊆ inAnyCluster, so all − (inAnyCluster − keepBest) =
-    // non-members ∪ winners. SPARK_GRAFT_DP_KEEPBEST=union selects the r14
-    // witness leg for paired A/Bs (counts must match bit-for-bit).
-    val nearSurvivors = ckptText(
-      if (keepBestUnion)
-        exactSurvivors
-          .join(inAnyCluster, Seq("doc_id"), "left_anti")
-          .unionByName(exactSurvivors.join(keepBest, Seq("doc_id"), "left_semi"))
-      else {
-        val losers = inAnyCluster.join(keepBest, Seq("doc_id"), "left_anti")
-        exactSurvivors.join(losers, Seq("doc_id"), "left_anti")
-      })
+    // keep-best survivor stagings live in nearKeepBest (scaladoc there);
+    // SPARK_GRAFT_DP_KEEPBEST selects anti (default) | bloom | union
+    val (survivorPlan, kbCleanup) =
+      nearKeepBest(spark, exactSurvivors, clusters, keepBestMode)
+    val nearSurvivors = ckptText(survivorPlan)
     val nNear = nearSurvivors.count()
+    kbCleanup()
     exactSurvivors.unpersist() // superseded by nearSurvivors
     lap("near_dedup")
 
@@ -645,6 +619,124 @@ object DataPipelineBench {
       "band_parts" -> bandParts.toLong,
       "verify_participants" -> nParticipants) ++
       plantedCounts
+  }
+
+  /** Exact-dedup survivor plan over the qualified frame: keep the
+    * lowest-id row per content digest. Two stagings, result-identical by
+    * construction (`SPARK_GRAFT_DP_EXACT`):
+    *
+    *  - `agg` (default): fold survivor selection INTO the digest
+    *    aggregation (min_by of the whole row) — ONE digest-keyed shuffle,
+    *    map-side combined, no join. The pre-r13 shape
+    *    (groupBy.agg(min(doc_id)) + a doc_id-keyed LEFT SEMI back against
+    *    the text frame) shuffled the FULL-TEXT frame a second time and
+    *    went disk-bound at the 14.4 GB point (311 s vs 56 s at 7 GB).
+    *    min_by is a DeclarativeAggregate, so partial aggregation applies —
+    *    but duplicates are spread randomly across input partitions, so
+    *    map-side combine collapses almost nothing and ~the whole corpus
+    *    text still crosses the digest exchange.
+    *  - `bloom`: participant prefilter (the verify-stage staging applied
+    *    here). Pass 1 shuffles an 8-byte digest hash ALONE through a
+    *    count aggregation and folds the hashes held by >= 2 rows — the
+    *    only digests that can dedup anything (~1 per 5-group in the
+    *    synthesized mix; ~20-40% of rows in a web crawl) — into a
+    *    broadcast Bloom filter. Pass 2 splits the corpus MAP-SIDE: rows
+    *    whose digest hash misses the filter are provably digest-unique
+    *    and bypass the exchange entirely; only probably-duplicate rows
+    *    shuffle their text through the min_by aggregation. False
+    *    positives (1%) ride the aggregation as singleton groups that
+    *    min_by keeps unchanged; false negatives are impossible, so the
+    *    survivor SET is identical (DataPipelineSpec's A/B leg + the
+    *    DedupLap live checksum). The 64-bit digest-hash collision class
+    *    (~n²/2⁶⁵ pairs) only ever ADDS a row to the aggregation path —
+    *    grouping is by the true digest — so exactness is unconditional.
+    *    At 100 TB this is the difference between shuffling the corpus
+    *    and shuffling its duplicate fraction.
+    *
+    * `expectedDupDigests` sizes the Bloom filter (an upper bound is fine:
+    * oversizing only lowers the false-positive rate; 30 M keys at 1% is
+    * ~34 MB broadcast). */
+  def exactDedup(spark: SparkSession, qualified: DataFrame, mode: String,
+      expectedDupDigests: Long): DataFrame = {
+    def agg(df: DataFrame): DataFrame = df
+      .groupBy(col("digest"))
+      .agg(min_by(struct(df.columns.map(col): _*), col("doc_id")).as("__r"))
+      .select(col("__r.*"))
+    mode match {
+      case "bloom" =>
+        val dupHashes = qualified
+          .select(xxhash64(col("digest")).as("dh"))
+          .groupBy(col("dh")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= lit(2L)).select(col("dh"))
+        val bloom = dupHashes.stat.bloomFilter("dh",
+          math.max(1000L, expectedDupDigests), 0.01)
+        val bc = spark.sparkContext.broadcast(bloom)
+        def mightDup: Column = graft.functions.bloom_might_contain_long(
+          bc, xxhash64(col("digest")))
+        qualified.filter(!mightDup)
+          .unionByName(agg(qualified.filter(mightDup)))
+      case _ => agg(qualified)
+    }
+  }
+
+  /** Near-dup keep-best survivor plan: from the cluster assignment, keep
+    * the best-quality member per cluster (lowest id on ties) plus every
+    * non-member. Returns (plan, cleanup) — run cleanup after the caller
+    * materializes the plan. Stagings (`SPARK_GRAFT_DP_KEEPBEST`), all
+    * set-identical (keepBest ⊆ inAnyCluster, so
+    * all − (inAnyCluster − keepBest) = non-members ∪ winners):
+    *
+    *  - `anti` (default): losers computed entirely on id-sized frames,
+    *    then ONE doc_id-keyed anti-join against the text frame — the full
+    *    survivor text crosses that one exchange.
+    *  - `bloom`: participant prefilter — the losers id-frame (~cluster
+    *    members − clusters, 1000x below the corpus) folds into a
+    *    broadcast Bloom filter; rows missing it are provably keepers and
+    *    bypass the exchange MAP-SIDE, and only probable-losers (the
+    *    losers plus ~1% false positives) shuffle text through the
+    *    anti-join, which drops the true losers and recovers the false
+    *    positives. False negatives are impossible, so the survivor set is
+    *    identical by construction. Text through the exchange is
+    *    loser-proportional instead of corpus-proportional — the same
+    *    argument as the verify-stage prefilter. (A broadcast of the EXACT
+    *    loser id set would skip the recovery join but is ~13x more bytes
+    *    per key; at billions of losers neither broadcasts and this
+    *    staging degrades to `anti` — flip the mode, the results are
+    *    identical.)
+    *  - `union`: the r14 witness shape — (non-members) UNION (semi-join
+    *    winners), two corpus-text exchanges; kept for paired A/Bs. */
+  def nearKeepBest(spark: SparkSession, exactSurvivors: DataFrame,
+      clusters: DataFrame, mode: String): (DataFrame, () => Unit) = {
+    val keepBest = clusters
+      .join(exactSurvivors.select(col("doc_id"), col("quality")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("m"))
+      .select((-col("m.nid")).as("doc_id"))
+    val inAnyCluster = clusters.select(col("doc_id"))
+    mode match {
+      case "union" =>
+        (exactSurvivors
+          .join(inAnyCluster, Seq("doc_id"), "left_anti")
+          .unionByName(
+            exactSurvivors.join(keepBest, Seq("doc_id"), "left_semi")),
+          () => ())
+      case "bloom" =>
+        val losers = inAnyCluster.join(keepBest, Seq("doc_id"), "left_anti")
+          .localCheckpoint() // referenced twice (Bloom build + recovery join)
+        val nLosers = losers.count()
+        val bloom = losers.stat.bloomFilter("doc_id",
+          math.max(1000L, nLosers), 0.01)
+        val bc = spark.sparkContext.broadcast(bloom)
+        def mightLose: Column =
+          graft.functions.bloom_might_contain_long(bc, col("doc_id"))
+        (exactSurvivors.filter(!mightLose)
+          .unionByName(exactSurvivors.filter(mightLose)
+            .join(losers, Seq("doc_id"), "left_anti")),
+          () => losers.unpersist())
+      case _ =>
+        val losers = inAnyCluster.join(keepBest, Seq("doc_id"), "left_anti")
+        (exactSurvivors.join(losers, Seq("doc_id"), "left_anti"), () => ())
+    }
   }
 
   /** Synthesize a ~targetGB parquet corpus with a CONTROLLED duplicate

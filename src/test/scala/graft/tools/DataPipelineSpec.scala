@@ -59,13 +59,14 @@ class DataPipelineSpec extends SparkSpec {
       (6L, "s1", doc("e") + " " + doc("q").split(" ").take(12).mkString(" ")),
       (7L, "s1", "a b c")).toDF("doc_id", "source", "text")
     val benchmark = Seq((100L, doc("q"))).toDF("bench_id", "text")
-    def leg(name: String, union: Boolean = false, verify: String = "hashed",
-        cands: String = "bh", verifypre: String = "bloom",
-        sig: String = "family") = {
+    def leg(name: String, keepbest: String = "anti",
+        verify: String = "hashed", cands: String = "bh",
+        verifypre: String = "bloom", sig: String = "family",
+        exact: String = "agg") = {
       val out = graft.SparkSpec.tempDir(s"graft-dp-ab-$name")
       val counts = DataPipelineBench.run(spark, corpus, benchmark, out,
-        verifyMode = verify, keepBestUnion = union, candsMode = cands,
-        verifyPre = verifypre, sigScheme = sig).toMap
+        verifyMode = verify, keepBestMode = keepbest, exactMode = exact,
+        candsMode = cands, verifyPre = verifypre, sigScheme = sig).toMap
       val kept = spark.read.parquet(out).select(col("doc_id"))
         .collect().map(_.getLong(0)).toSet
       (counts, kept)
@@ -76,10 +77,15 @@ class DataPipelineSpec extends SparkSpec {
     // survivor SET must be bit-identical — the legs differ only in how
     // many bytes cross which exchange
     val (cBase, kBase) = leg("base")
-    val (cUnion, kUnion) = leg("union", union = true)
+    val (cUnion, kUnion) = leg("union", keepbest = "union")
     val (cStr, kStr) = leg("strv", verify = "string")
     val (cBandBh, kBandBh) = leg("bandbh", cands = "bandbh")
     val (cBloom, kBloom) = leg("bloom", cands = "bloom")
+    // the Bloom participant stagings for exact dedup and keep-best: rows
+    // provably outside any duplicate relation bypass the stage's exchange
+    // map-side; the survivor sets must be IDENTICAL by construction
+    val (cExB, kExB) = leg("exbloom", exact = "bloom")
+    val (cKbB, kKbB) = leg("kbbloom", keepbest = "bloom")
     // the unfiltered-verify witness leg reports no participant count, so
     // compare counts modulo that diagnostic key
     val (cVpOff, kVpOff) = leg("vpoff", verifypre = "off")
@@ -87,6 +93,8 @@ class DataPipelineSpec extends SparkSpec {
     assert(cStr == cBase && kStr == kBase)
     assert(cBandBh == cBase && kBandBh == kBase)
     assert(cBloom == cBase && kBloom == kBase)
+    assert(cExB == cBase && kExB == kBase)
+    assert(cKbB == cBase && kKbB == kBase)
     assert((cVpOff - "verify_participants") == (cBase - "verify_participants")
       && kVpOff == kBase)
     assert(kBase == Set(0L, 3L, 4L, 5L))
