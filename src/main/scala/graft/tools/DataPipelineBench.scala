@@ -176,7 +176,7 @@ object DataPipelineBench {
     val verifyPreStr = sys.env.getOrElse("SPARK_GRAFT_DP_VERIFYPRE", "bloom")
     val sigStr = sys.env.getOrElse("SPARK_GRAFT_DP_SIG", "family")
     val exactStr = sys.env.getOrElse("SPARK_GRAFT_DP_EXACT", "agg")
-    val keepBestStr = sys.env.getOrElse("SPARK_GRAFT_DP_KEEPBEST", "anti")
+    val keepBestStr = sys.env.getOrElse("SPARK_GRAFT_DP_KEEPBEST", "bloom")
     // heap provenance: the single-JVM local-mode heap (build.sbt -Xmx via
     // SPARK_DRIVER_MEM) bounds concurrent block materialization — at 32
     // threads x few-hundred-MB SER checkpoint blocks the default 8g OOMs
@@ -263,7 +263,7 @@ object DataPipelineBench {
       ckptLevel: Option[StorageLevel] = None,
       verifyMode: String = sys.env.getOrElse("SPARK_GRAFT_DP_VERIFY", "hashed"),
       keepBestMode: String =
-        sys.env.getOrElse("SPARK_GRAFT_DP_KEEPBEST", "anti"),
+        sys.env.getOrElse("SPARK_GRAFT_DP_KEEPBEST", "bloom"),
       exactMode: String = sys.env.getOrElse("SPARK_GRAFT_DP_EXACT", "agg"),
       candsMode: String = sys.env.getOrElse("SPARK_GRAFT_DP_CANDS", "bh"),
       verifyPre: String = sys.env.getOrElse("SPARK_GRAFT_DP_VERIFYPRE", "bloom"),
@@ -547,7 +547,7 @@ object DataPipelineBench {
     pairs.unpersist() // connectedComponents checkpointed its own output
     lap("  near:cc")
     // keep-best survivor stagings live in nearKeepBest (scaladoc there);
-    // SPARK_GRAFT_DP_KEEPBEST selects anti (default) | bloom | union
+    // SPARK_GRAFT_DP_KEEPBEST selects bloom (default) | anti | union
     val (survivorPlan, kbCleanup) =
       nearKeepBest(spark, exactSurvivors, clusters, keepBestMode)
     val nearSurvivors = ckptText(survivorPlan)
@@ -651,7 +651,15 @@ object DataPipelineBench {
     *    (~n²/2⁶⁵ pairs) only ever ADDS a row to the aggregation path —
     *    grouping is by the true digest — so exactness is unconditional.
     *    At 100 TB this is the difference between shuffling the corpus
-    *    and shuffling its duplicate fraction.
+    *    and shuffling its duplicate fraction. MEASURED AND ADJUDICATED
+    *    AGAINST as the default at THIS duplicate mix (deduplap-11p3g.json,
+    *    interleaved laps, checksums identical): clean rep 49.6 s vs agg's
+    *    19.3 s — with 40% of rows digest-participants, the extra
+    *    corpus-wide hash shuffle + Bloom build + double corpus pass cost
+    *    more than bypassing 60% of the text saves. The staging inverts at
+    *    web-crawl participant fractions (~20%) or when the exchange is
+    *    network-bound (cluster) rather than page-cache-local (this box);
+    *    the lever records the decision boundary.
     *
     * `expectedDupDigests` sizes the Bloom filter (an upper bound is fine:
     * oversizing only lowers the false-positive rate; 30 M keys at 1% is
@@ -686,23 +694,28 @@ object DataPipelineBench {
     * set-identical (keepBest ⊆ inAnyCluster, so
     * all − (inAnyCluster − keepBest) = non-members ∪ winners):
     *
-    *  - `anti` (default): losers computed entirely on id-sized frames,
-    *    then ONE doc_id-keyed anti-join against the text frame — the full
+    *  - `bloom` (default since the r15 DedupLap adjudication): participant
+    *    prefilter — the losers id-frame (~cluster members − clusters,
+    *    1000x below the corpus) folds into a broadcast Bloom filter; rows
+    *    missing it are provably keepers and bypass the exchange MAP-SIDE,
+    *    and only probable-losers (the losers plus ~1% false positives)
+    *    shuffle text through the anti-join, which drops the true losers
+    *    and recovers the false positives. False negatives are impossible,
+    *    so the survivor set is identical by construction. Text through
+    *    the exchange is loser-proportional instead of corpus-proportional
+    *    — the same argument as the verify-stage prefilter. Measured
+    *    (deduplap-11p3g.json, interleaved same-JVM laps, checksums
+    *    identical): 16.1/17.4 s across reps (±4%) where `anti` swung
+    *    68.9/16.9 s — equal clean-window minimum, 4x lower worst case,
+    *    and ~4x fewer text bytes through the exchange by construction
+    *    (25% of survivors are probable-losers at this mix). (A broadcast
+    *    of the EXACT loser id set would skip the recovery join but is
+    *    ~13x more bytes per key; at billions of losers neither broadcasts
+    *    and this staging degrades to `anti` — flip the mode, the results
+    *    are identical.)
+    *  - `anti`: losers computed entirely on id-sized frames, then ONE
+    *    doc_id-keyed anti-join against the text frame — the full
     *    survivor text crosses that one exchange.
-    *  - `bloom`: participant prefilter — the losers id-frame (~cluster
-    *    members − clusters, 1000x below the corpus) folds into a
-    *    broadcast Bloom filter; rows missing it are provably keepers and
-    *    bypass the exchange MAP-SIDE, and only probable-losers (the
-    *    losers plus ~1% false positives) shuffle text through the
-    *    anti-join, which drops the true losers and recovers the false
-    *    positives. False negatives are impossible, so the survivor set is
-    *    identical by construction. Text through the exchange is
-    *    loser-proportional instead of corpus-proportional — the same
-    *    argument as the verify-stage prefilter. (A broadcast of the EXACT
-    *    loser id set would skip the recovery join but is ~13x more bytes
-    *    per key; at billions of losers neither broadcasts and this
-    *    staging degrades to `anti` — flip the mode, the results are
-    *    identical.)
     *  - `union`: the r14 witness shape — (non-members) UNION (semi-join
     *    winners), two corpus-text exchanges; kept for paired A/Bs. */
   def nearKeepBest(spark: SparkSession, exactSurvivors: DataFrame,

@@ -59,7 +59,7 @@ class DataPipelineSpec extends SparkSpec {
       (6L, "s1", doc("e") + " " + doc("q").split(" ").take(12).mkString(" ")),
       (7L, "s1", "a b c")).toDF("doc_id", "source", "text")
     val benchmark = Seq((100L, doc("q"))).toDF("bench_id", "text")
-    def leg(name: String, keepbest: String = "anti",
+    def leg(name: String, keepbest: String = "bloom",
         verify: String = "hashed", cands: String = "bh",
         verifypre: String = "bloom", sig: String = "family",
         exact: String = "agg") = {
@@ -81,11 +81,14 @@ class DataPipelineSpec extends SparkSpec {
     val (cStr, kStr) = leg("strv", verify = "string")
     val (cBandBh, kBandBh) = leg("bandbh", cands = "bandbh")
     val (cBloom, kBloom) = leg("bloom", cands = "bloom")
-    // the Bloom participant stagings for exact dedup and keep-best: rows
-    // provably outside any duplicate relation bypass the stage's exchange
-    // map-side; the survivor sets must be IDENTICAL by construction
+    // the Bloom participant stagings: rows provably outside any duplicate
+    // relation bypass the stage's exchange map-side; the survivor sets
+    // must be IDENTICAL by construction. keep-best's bloom staging is the
+    // DEFAULT since the r15 DedupLap adjudication, so `anti` is now the
+    // witness leg here (exact dedup adjudicated the other way: agg stays
+    // default, bloom is the lever).
     val (cExB, kExB) = leg("exbloom", exact = "bloom")
-    val (cKbB, kKbB) = leg("kbbloom", keepbest = "bloom")
+    val (cKbB, kKbB) = leg("kbanti", keepbest = "anti")
     // the unfiltered-verify witness leg reports no participant count, so
     // compare counts modulo that diagnostic key
     val (cVpOff, kVpOff) = leg("vpoff", verifypre = "off")
